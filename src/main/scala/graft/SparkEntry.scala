@@ -1,13 +1,310 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{CoreQueries => C, Dedup, Similarity, TextOps}
+import graft.streaming.EventOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from the SURVEY.md §2
+  * inventory (or the beyond-reference LLM-pipeline surface); every
+  * entry in [[oracleSql]] is the DuckDB-equivalent SQL the driver
+  * checks it against at sf0.01.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    C.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- core relational battery (SURVEY.md §2.2–§2.6) ----
+    "q1_pricing_summary" -> (C.q1PricingSummary _),
+    "q2_filter_project" -> (C.q2FilterProject _),
+    "q3_top_revenue" -> (C.q3TopRevenue _),
+    "q4_semi_join" -> (C.q4SemiJoin _),
+    "q5_anti_join" -> (C.q5AntiJoin _),
+    "q6_nation_revenue" -> (C.q6NationRevenue _),
+    "q7_forecast_revenue" -> (C.q7ForecastRevenue _),
+    "q8_int_div_avg" -> (C.q8IntDivAvg _),
+    "q9_distinct" -> (C.q9Distinct _),
+    "q10_count_distinct" -> (C.q10CountDistinct _),
+    "q11_orderby_nulls" -> (C.q11OrderByNulls _),
+    "q12_except" -> (C.q12Except _),
+    "q13_union_intersect" -> (C.q13UnionIntersect _),
+    "q14_case_agg" -> (C.q14CaseAgg _),
+    "q15_window_rank" -> (C.q15WindowRank _),
+    "q16_window_running" -> (C.q16WindowRunning _),
+    "q17_cte_max_supplier" -> (C.q17CteMaxSupplier _),
+    "q18_scalar_subquery" -> (C.q18ScalarSubquery _),
+    "q19_in_subquery" -> (C.q19InSubquery _),
+    "q20_having" -> (C.q20Having _),
+    "q21_outer_join" -> (C.q21OuterJoin _),
+    "q22_rollup" -> (C.q22Rollup _),
+    "q23_full_outer" -> (C.q23FullOuter _),
+    "q24_cross_join" -> (C.q24CrossJoin _),
+    "q25_string_funcs" -> (C.q25StringFuncs _),
+    "q26_date_funcs" -> (C.q26DateFuncs _),
+    "q27_case_cast" -> (C.q27CaseCast _),
+    // ---- events / streaming-shaped (batch forms) ----
+    "e1_tumbling_counts" -> (EventOps.tumblingCounts _),
+    "e2_json_props" -> (EventOps.jsonProps _),
+    "e3_sessionize" -> (EventOps.sessionize _),
+    "e4_funnel" -> (EventOps.funnel _),
+    // ---- text analysis ----
+    "t1_token_stats" -> (TextOps.tokenStats _),
+    "t2_quality_score" -> (TextOps.qualityScore _),
+    "t3_lang_id" -> (TextOps.langIdAccuracy _),
+    "t4_fingerprint" -> (TextOps.fingerprint _),
+    // ---- dedup ----
+    "d1_exact_dedup" -> (Dedup.exactDedup _),
+    "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "d3_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "d4_simhash" -> (Dedup.simhashDups _),
+    "d5_embedding_dup" -> ((s: SparkSession, d: String) => Dedup.embeddingDup(s, d)),
+    // ---- similarity search ----
+    "s1_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
+    "s2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "s3_lsh_buckets" -> (Similarity.lshBucketStats _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_extendedprice) AS avg_price,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND l_quantity < 5""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q6_nation_revenue" ->
+      """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q7_forecast_revenue" ->
+      """SELECT sum(l_extendedprice * l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q8_int_div_avg" ->
+      """SELECT l_linenumber,
+        |  CAST(CAST(sum(l_orderkey) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS int_avg_orderkey,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_linenumber""".stripMargin,
+    "q9_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q10_count_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q11_orderby_nulls" ->
+      """SELECT l_orderkey, l_linenumber, nullif(l_discount, 0.0) AS disc_or_null
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY disc_or_null ASC NULLS LAST, l_orderkey, l_linenumber""".stripMargin,
+    "q12_except" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000""".stripMargin,
+    "q13_union_intersect" ->
+      """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |UNION ALL
+        |SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal < 0""".stripMargin,
+    "q14_case_agg" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_count,
+        |  CAST(sum(CASE WHEN o_orderpriority LIKE '5%' THEN 1 ELSE 0 END) AS BIGINT) AS low_count,
+        |  CAST(count(*) AS BIGINT) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q15_window_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) WHERE rn <= 3""".stripMargin,
+    "q16_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+        |FROM orders WHERE o_custkey <= 20""".stripMargin,
+    "q17_cte_max_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
+    "q18_scalar_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)""".stripMargin,
+    "q19_in_subquery" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE c_nationkey IN (
+        |  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA')""".stripMargin,
+    "q20_having" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS order_count,
+        |  sum(o_totalprice) AS total_spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 3""".stripMargin,
+    "q21_outer_join" ->
+      """SELECT n_name, CAST(count(o_orderkey) AS BIGINT) AS order_count,
+        |  coalesce(sum(o_totalprice), 0.0) AS total_spend
+        |FROM nation
+        |LEFT JOIN customer ON n_nationkey = c_nationkey
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY n_name""".stripMargin,
+    "q22_rollup" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |  sum(c_acctbal) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q23_full_outer" ->
+      """SELECT coalesce(cn.c_nationkey, sn.s_nationkey) AS nationkey,
+        |  CAST(coalesce(cn.n_cust, 0) AS BIGINT) AS n_cust,
+        |  CAST(coalesce(sn.n_supp, 0) AS BIGINT) AS n_supp
+        |FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) cn
+        |FULL OUTER JOIN
+        |  (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) sn
+        |ON cn.c_nationkey = sn.s_nationkey""".stripMargin,
+    "q24_cross_join" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
+    "q25_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up_name,
+        |  lower(p_brand) AS low_brand,
+        |  left(p_name, 4) AS left4,
+        |  right(p_type, 3) AS right3,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+        |  p_brand || ':' || p_type AS brand_type,
+        |  CAST(length(p_name) AS INTEGER) AS name_len
+        |FROM part WHERE p_partkey <= 50""".stripMargin,
+    "q26_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  sum(o_totalprice) AS month_total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q27_case_cast" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 100000 THEN 'small'
+        |       WHEN o_totalprice BETWEEN 100000 AND 300000 THEN 'medium'
+        |       ELSE 'large' END AS size_class,
+        |  CAST(o_totalprice AS BIGINT) AS price_long,
+        |  o_orderstatus
+        |FROM orders WHERE o_orderkey <= 500""".stripMargin,
+    "e1_tumbling_counts" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events, sum(value) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "e2_json_props" ->
+      """SELECT k % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) GROUP BY 1""".stripMargin,
+    "e3_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g),
+        |per_session AS (
+        |  SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM per_session GROUP BY user_id""".stripMargin,
+    "e4_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        |  CAST(sum(CASE WHEN first_click > first_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+        |  CAST(sum(CASE WHEN first_purchase > first_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+        |FROM f""".stripMargin,
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_measured,
+        |  n_chars
+        |FROM documents""".stripMargin,
+    "t2_quality_score" ->
+      """SELECT doc_id, lang,
+        |  CAST(length(text) AS INTEGER) AS n_chars_m,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+')) AS mean_tok_len,
+        |  CAST(len(string_split_regex(text, '\bthe\b')) - 1 AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+        |FROM documents""".stripMargin,
+    "t3_lang_id" -> TextOps.langIdOracleSql,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')), ' +', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d2_ngram_jaccard" -> Dedup.ngramJaccardOracleSql(0.5),
+    "d3_minhash_lsh" -> Dedup.minhashLshOracleSql(0.25),
+    "d4_simhash" -> Dedup.simhashOracleSql,
+    "d5_embedding_dup" -> Dedup.embeddingDupOracleSql(0.98),
+    "s1_brute_topk" -> Similarity.bruteTopKOracleSql(0L, 10),
+    "s2_ann_lsh" -> Similarity.annLshOracleSql(0L, 10),
+    "s3_lsh_buckets" -> Similarity.lshBucketsOracleSql,
+  )
 }

@@ -1,0 +1,334 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator battery: projection, filter, aggregate,
+  * joins (inner/outer/semi/anti/cross), set ops, windows, CTE-shaped
+  * compositions, rollup. Mirrors the reference's operator inventory
+  * (SURVEY.md §2.2–§2.6; reference executor at
+  * /root/reference/src/executor/query/select/mod.rs) re-expressed as
+  * declarative DataFrame plans so Catalyst picks physical strategies.
+  *
+  * Scale notes (100 TB): every query here keeps filters/projections
+  * at the scan (pushdown), broadcasts dimension tables explicitly,
+  * and aggregates with partial (map-side) combine — no driver-side
+  * collection anywhere.
+  */
+object CoreQueries {
+
+  /** TPC-H Q1 shape: scan-filter-aggregate with partial aggregation.
+    * Reference analogue: GROUP BY + SUM (select/mod.rs:76-134). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        avg(col("l_quantity")).as("avg_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        avg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Projection + filter: both must reach the parquet scan
+    * (PushedFilters + pruned ReadSchema in the physical plan). */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-07-01") &&
+        col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+
+  /** TPC-H Q3 shape: 3-way join + agg + top-k.
+    * customer is small → broadcast; orders⋈lineitem shuffles on the
+    * join key; TakeOrderedAndProject caps the sort at k. */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > lit("1997-01-01"))
+    l.join(broadcast(c.join(o, c("c_custkey") === o("o_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Semi-join (EXISTS). The reference has no semi/anti joins
+    * (SURVEY.md §2.3) — free extension surface in Spark. */
+  def q4SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val bigLines = t(spark, dir, "lineitem").filter(col("l_quantity") > 45)
+    o.join(bigLines, o("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Anti-join (NOT EXISTS): customers with no orders. */
+  def q5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  /** TPC-H Q5 shape: 5-way star join, dims broadcast, revenue per
+    * nation. Exercises multi-join planning (SURVEY.md §2.3). */
+  def q6NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** TPC-H Q6 shape: pure scan-filter-agg, fully pushed down. */
+  def q7ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** MultiSQL integer-division semantics: `/` on two ints is integer
+    * division, and AVG of an int column is SUM/COUNT in integer math
+    * (reference value/methods/binary.rs:66-100, recipe/new.rs:117-130).
+    * Spark `div` reproduces it; plain `/` would yield double. */
+  def q8IntDivAvg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_linenumber"))
+      .agg(
+        sum(col("l_orderkey")).as("sum_ok"),
+        count(lit(1)).as("n"))
+      .select(col("l_linenumber"),
+        expr("sum_ok div n").as("int_avg_orderkey"),
+        col("n"))
+
+  /** DISTINCT — the reference parses-and-ignores it (manual/mod.rs:47);
+    * we honor it (documented divergence, SURVEY.md §2.4). */
+  def q9Distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+
+  /** COUNT(DISTINCT) — partial aggregation with distinct expansion. */
+  def q10CountDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n"))
+
+  /** ORDER BY with NULLS-LAST default — MultiSQL places NULLs last on
+    * ASC (reference order.rs:84-104); Spark default is NULLS FIRST, so
+    * we pin asc_nulls_last explicitly (SURVEY.md §1.2). */
+  def q11OrderByNulls(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_or_null"))
+      .orderBy(col("disc_or_null").asc_nulls_last, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+
+  /** Set ops: EXCEPT (distinct semantics, not the reference's
+    * adjacent-dedup quirk — set_expr.rs:78-80, documented divergence). */
+  def q12Except(spark: SparkSession, dir: String): DataFrame = {
+    val rich = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val bigSpenders = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("c_custkey"))
+    rich.except(bigSpenders)
+  }
+
+  /** UNION ALL + INTERSECT over compatible shapes. */
+  def q13UnionIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    val b = t(spark, dir, "orders").filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey"))
+    a.intersect(b).union(
+      t(spark, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("o_custkey")))
+  }
+
+  /** Conditional aggregation (CASE WHEN inside agg). */
+  def q14CaseAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(
+        sum(when(col("o_orderpriority").startsWith("1"), 1).otherwise(0)).as("urgent_count"),
+        sum(when(col("o_orderpriority").startsWith("5"), 1).otherwise(0)).as("low_count"),
+        count(lit(1)).as("total"))
+
+  /** Window: rank per partition + filter (top-3 customers by balance
+    * per nation). Net-new surface — the reference has no window
+    * functions (SURVEY.md §2.5). */
+  def q15WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(spark, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rn"))
+  }
+
+  /** Window: running sum per key, deterministic frame via unique
+    * (date, orderkey) ordering. */
+  def q16WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") <= 20)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice")).over(w).as("running_spend"))
+  }
+
+  /** CTE-shaped composition (TPC-H Q15 shape): revenue per supplier,
+    * then keep the max. The reference materializes CTEs eagerly
+    * (query/mod.rs:72-91); in Spark the CTE is just a shared subplan. */
+  def q17CteMaxSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("m"))
+    revenue.join(broadcast(maxRev), col("total_revenue") === col("m"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** Scalar subquery: parts above average retail price. */
+  def q18ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val avgPrice = p.agg(avg(col("p_retailprice")).as("ap"))
+    p.join(broadcast(avgPrice), col("p_retailprice") > col("ap"))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+  }
+
+  /** IN-subquery → semi-join: customers of nations in ASIA. */
+  def q19InSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    t(spark, dir, "customer")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+  }
+
+  /** HAVING (aggregate filter) — the reference only supports HAVING on
+    * grouped columns (select/mod.rs:33-34); full aggregate-HAVING is
+    * extension surface. */
+  def q20Having(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("o_totalprice")).as("total_spend"))
+      .filter(col("order_count") >= 3)
+
+  /** Left outer join + null-handling aggregation: orders per nation
+    * including nations with no customers. */
+  def q21OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    n.join(c, n("n_nationkey") === c("c_nationkey"), "left_outer")
+      .join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("n_name"))
+      .agg(
+        count(col("o_orderkey")).as("order_count"),
+        coalesce(sum(col("o_totalprice")), lit(0.0)).as("total_spend"))
+  }
+
+  /** ROLLUP hierarchy totals (region → nation). Extension surface:
+    * the reference has no grouping sets (SURVEY.md §2.4). */
+  def q22Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("c_acctbal")).as("total_bal"))
+
+  /** Full outer join on aggregated sides: per-nation customer count vs
+    * supplier count (some nations have one side only). */
+  def q23FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val cn = t(spark, dir, "customer").groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sn = t(spark, dir, "supplier").groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, cn("c_nationkey") === sn("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  /** Cross join (small × small): region × order-status grid with
+    * per-cell counts via a subsequent join. */
+  def q24CrossJoin(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region").select(col("r_name"))
+    val s = t(spark, dir, "orders").select(col("o_orderstatus")).distinct()
+    r.crossJoin(s).orderBy(col("r_name"), col("o_orderstatus"))
+  }
+
+  /** String function battery: UPPER/LOWER/LEFT/RIGHT/REPLACE/CONCAT/
+    * LEN — the reference's scalar set (SURVEY.md §2.7,
+    * value/methods/utility.rs). LEN is byte-length there; data is
+    * ASCII so length == octet_length (divergence documented). */
+  def q25StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_partkey") <= 50)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_brand")).as("low_brand"),
+        substring(col("p_name"), 1, 4).as("left4"),
+        expr("substring(p_type, -3, 3)").as("right3"),
+        regexp_replace(col("p_type"), lit(" "), lit("_")).as("type_snake"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"))
+
+  /** Date/time function battery: YEAR/MONTH/DAY + date_trunc
+    * (reference methods/timestamp.rs maps epoch-seconds; Spark native
+    * timestamps are the idiomatic carrier). */
+  def q26DateFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")).as("month_total"))
+
+  /** CASE + CAST + BETWEEN battery (reference recipe/new.rs:218-270). */
+  def q27CaseCast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 500)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 100000, "small")
+          .when(col("o_totalprice").between(100000, 300000), "medium")
+          .otherwise("large").as("size_class"),
+        col("o_totalprice").cast("long").as("price_long"),
+        col("o_orderstatus"))
+}

@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): nothing here compares all pairs. Exact dedup
+  * shuffles 16-byte digests, not documents. MinHash/SimHash reduce each
+  * doc to a small signature, then LSH banding turns "find similar
+  * pairs" into an equi-join on band keys — shuffle-friendly and
+  * skew-tolerant (a hot band key is at worst one bucket, and AQE
+  * skew-join splits it). The Jaccard verify stage joins only LSH/
+  * shingle candidates, never the full cross product.
+  *
+  * All hashes are *portable* (derived from md5 hex + integer mod
+  * arithmetic) so the DuckDB oracle can reproduce them bit-for-bit.
+  */
+object Dedup {
+
+  /** Modulus for portable integer hashing (fits (P-1)^2 in Int64). */
+  val P: Long = 1000000007L
+  /** MinHash permutation count and deterministic coefficients. */
+  val NumHashes = 16
+  val As: Seq[Long] = (0 until NumHashes).map(i => ((i * 2654435761L) + 1L) % P)
+  val Bs: Seq[Long] = (0 until NumHashes).map(i => ((i * 40503L) + 17L) % P)
+
+  /** Portable 60-bit hash of a string: first 15 hex chars of md5,
+    * parsed base-16 (same value from DuckDB's
+    * ('0x'||substr(md5(s),1,15))::BIGINT). */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Word 3-gram shingles, distinct, as (doc_id, shingle) pairs. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"
+      ))).as("shingle"))
+
+  /** Exact dedup: group by content fingerprint, keep the smallest
+    * doc_id as canonical. Shuffles digests only. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 1)
+      .select(col("fp"), col("keep_id"), col("n_copies"))
+
+  /** N-gram Jaccard near-dup: candidate pairs via an equi-join on
+    * shared shingles (inverted index — no cross product), then exact
+    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|). */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(counts.select(col("doc_id"), col("n_sh").as("na")), col("id_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(counts.select(col("doc_id"), col("n_sh").as("nb")), col("id_b") === col("doc_id"))
+      .drop("doc_id")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-doc MinHash signature (NumHashes portable permutations).
+    * One narrow pass over shingles + one groupBy(doc_id). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val xm = (portableHash(col("shingle")) % P).as("xm")
+    val withHash = shingles(spark, dir).select(col("doc_id"), xm)
+    val aggs = (0 until NumHashes).map { i =>
+      min((col("xm") * As(i) + Bs(i)) % P).as(s"mh$i")
+    }
+    withHash.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup: band signatures (bands of rows=2), bucket
+    * by band value, emit candidate pairs per bucket, estimate
+    * similarity as the fraction of matching minhashes. The banding
+    * join is the scale path: shuffle on (band_id, band_key), never n². */
+  def minhashLsh(spark: SparkSession, dir: String, minEstSim: Double = 0.25): DataFrame = {
+    val sig = minhashSignatures(spark, dir).cache()
+    val nBands = NumHashes / 2
+    val bands = sig.select(
+      col("doc_id"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band_id"),
+          concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_id"), col("bk.band_key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val estSim = (0 until NumHashes)
+      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / NumHashes
+    cand
+      .join(sig.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"), estSim.as("est_sim"))
+      .filter(col("est_sim") >= minEstSim)
+  }
+
+  /** SimHash (32-bit): per-token portable hashes vote bit-by-bit;
+    * docs with identical simhash are near-dup candidates. */
+  val SimHashBits = 32
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"), portableHash(col("tok")).as("h"))
+    val bitSums = (0 until SimHashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimHashBits).map { b =>
+          when(col(s"s$b") > 0, lit(1L) * (1L << b)).otherwise(0L)
+        }.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash bucket dup groups: simhash values shared by >1 doc. */
+  def simhashDups(spark: SparkSession, dir: String): DataFrame =
+    simhash(spark, dir)
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Embedding-cosine near-dup pairs. Brute-force candidate pairs here
+    * (correct baseline, oracle-checkable); the 100 TB path is the
+    * LSH-bucketed variant in [[Similarity.annLsh]] with the same
+    * verify stage. Norms are precomputed per vector; dot/norm products
+    * sum in index order so the oracle's arithmetic matches exactly. */
+  def embeddingDup(spark: SparkSession, dir: String, threshold: Double = 0.98): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(transform(v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))"))
+    val dot = expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (dot / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL — generated from the same constants as the Spark
+  // plans above, so hash values match bit-for-bit.
+  // ------------------------------------------------------------------
+
+  /** Shared shingle CTE prefix (word 3-grams, distinct per doc). */
+  private def shingleCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |tok3 AS (SELECT * FROM tok WHERE len(w) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] FOR i IN range(len(w) - 2)]) AS shingle
+      |    FROM tok3))""".stripMargin
+
+  def ngramJaccardOracleSql(threshold: Double): String =
+    s"""$shingleCte,
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+       |FROM pairs JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+       |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= $threshold""".stripMargin
+
+  def minhashLshOracleSql(minEstSim: Double): String = {
+    val mh = (0 until NumHashes)
+      .map(i => s"min((xm * ${As(i)} + ${Bs(i)}) % $P) AS mh$i").mkString(",\n    ")
+    val bandCond = (0 until NumHashes / 2)
+      .map(b => s"(a.mh${2 * b} = b.mh${2 * b} AND a.mh${2 * b + 1} = b.mh${2 * b + 1})")
+      .mkString("\n    OR ")
+    val est = (0 until NumHashes)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$shingleCte,
+       |shx AS (SELECT doc_id,
+       |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P AS xm FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $mh
+       |  FROM shx GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, ($est) / ${NumHashes}.0 AS est_sim
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)
+       |WHERE ($est) / ${NumHashes}.0 >= $minEstSim""".stripMargin
+  }
+
+  def simhashOracleSql: String = {
+    val bitSums = (0 until SimHashBits)
+      .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n    ")
+    val recompose = (0 until SimHashBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM th GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $recompose AS simhash FROM bits)
+       |SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(min(doc_id) AS BIGINT) AS keep_id
+       |FROM sh GROUP BY simhash HAVING count(*) > 1""".stripMargin
+  }
+
+  def embeddingDupOracleSql(threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos_sim
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $threshold""".stripMargin
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: Array[Float]`, 64-dim).
+  *
+  * Two tiers:
+  *  - [[bruteTopK]] — exact cosine top-k. At 100 TB this is a single
+  *    narrow map (query broadcast as literals) + TakeOrderedAndProject:
+  *    no shuffle of the vectors, only the top-k heap per partition.
+  *  - [[annLsh]] — random-hyperplane LSH: bucket every vector by the
+  *    sign pattern of NumPlanes deterministic hyperplanes, probe only
+  *    the query's bucket. The scale path: the bucket id is a tiny int,
+  *    candidates are an equi-match on it, and bucket skew is bounded by
+  *    2^NumPlanes spread.
+  *
+  * Hyperplanes use integer LCG arithmetic (no platform RNG / libm) so
+  * the DuckDB oracle reproduces them exactly.
+  */
+object Similarity {
+
+  val NumPlanes = 8
+  val Dim = 64
+
+  /** Deterministic hyperplane component in [-0.5, 0.5): LCG over the
+    * flattened (plane, dim) index. Pure integer math → portable. */
+  def planeComponent(p: Int, d: Int): Double = {
+    val idx = p * Dim + d
+    (((1103515245L * idx + 12345L) % 1000003L + 1000003L) % 1000003L).toDouble / 1000003.0 - 0.5
+  }
+
+  private def asDouble = expr("transform(embedding, x -> cast(x as double))")
+  private def normExpr = expr(
+    "sqrt(aggregate(transform(v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))")
+
+  /** vec_id + double vector + precomputed L2 norm. */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble.as("v"))
+      .withColumn("nrm", normExpr)
+
+  /** Exact cosine similarity against the vector with vec_id = qid,
+    * top k by similarity (vec_id tiebreak). Sums run in index order
+    * for oracle-exact arithmetic. */
+  def bruteTopK(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val e = vectors(spark, dir)
+    val q = e.filter(col("vec_id") === qid).select(col("v").as("qv"), col("nrm").as("qn"))
+    val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    e.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), (dot / (col("nrm") * col("qn"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** LSH bucket id: bit b set iff dot(v, plane_b) >= 0. */
+  def bucketExpr: Column = {
+    (0 until NumPlanes).map { p =>
+      val dot = (0 until Dim).map { d =>
+        col("v").getItem(d) * lit(planeComponent(p, d))
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN via hyperplane-LSH: candidates share the query's bucket;
+    * exact cosine re-rank within the bucket only. */
+  def annLsh(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val e = vectors(spark, dir).withColumn("bucket", bucketExpr)
+    val q = e.filter(col("vec_id") === qid)
+      .select(col("v").as("qv"), col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    e.crossJoin(broadcast(q))
+      .filter(col("bucket") === col("qbucket") && col("vec_id") =!= qid)
+      .select(col("vec_id"), col("bucket"), (dot / (col("nrm") * col("qn"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Bucket histogram — sanity view of LSH spread (skew check). */
+  def lshBucketStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble.as("v"))
+      .withColumn("bucket", bucketExpr)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL — same constants, same summation order.
+  // ------------------------------------------------------------------
+
+  private def vectorsCte: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  /** SQL text of the bucket id for a vector column named `v`
+    * (1-based indexing in DuckDB vs getItem's 0-based). */
+  private def bucketSql(v: String): String =
+    (0 until NumPlanes).map { p =>
+      val dot = (0 until Dim)
+        .map(d => s"$v[${d + 1}] * ${planeComponent(p, d)}").mkString(" + ")
+      s"CASE WHEN ($dot) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("\n  + ")
+
+  def bruteTopKOracleSql(qid: Long, k: Int): String =
+    s"""$vectorsCte,
+       |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = $qid)
+       |SELECT e2.vec_id,
+       |  list_sum(list_transform(range(1, ${Dim + 1}), i -> e2.v[i] * q.qv[i])) / (e2.nrm * q.qn) AS cos_sim
+       |FROM n e2, q WHERE e2.vec_id <> $qid
+       |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
+
+  def annLshOracleSql(qid: Long, k: Int): String =
+    s"""$vectorsCte,
+       |b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM n),
+       |q AS (SELECT v AS qv, nrm AS qn, bucket AS qbucket FROM b WHERE vec_id = $qid)
+       |SELECT b.vec_id, b.bucket,
+       |  list_sum(list_transform(range(1, ${Dim + 1}), i -> b.v[i] * q.qv[i])) / (b.nrm * q.qn) AS cos_sim
+       |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> $qid
+       |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
+
+  def lshBucketsOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, ${bucketSql("v")} AS bucket FROM e)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors FROM b GROUP BY bucket""".stripMargin
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language ID,
+  * fingerprinting. All are single-pass narrow transformations built
+  * from codegen'd `functions._` expressions — at 100 TB they run
+  * embarrassingly parallel with zero shuffle, and the projections
+  * prune the scan to the columns used.
+  */
+object TextOps {
+
+  /** Whitespace tokenization + counts. split on \s+ matches the
+    * oracle's string_split_regex. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        length(col("text")).as("n_chars_measured"),
+        col("n_chars"))
+
+  /** Quality scoring: length, mean token length, stopword ratio,
+    * all-alpha ratio — the standard cheap heuristics applied before
+    * expensive model-based filtering. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(trim(col("text")), "\\s+"))
+    val stops = size(split(col("text"), "\\bthe\\b")) - 1
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        length(col("text")).as("n_chars_m"),
+        toks.as("n_tokens"),
+        (length(col("text")).cast("double") / toks.cast("double")).as("mean_tok_len"),
+        (stops.cast("double") / toks.cast("double")).as("stop_ratio"))
+  }
+
+  /** Language ID by stopword-marker counting — a deterministic n-gram
+    * heuristic (real pipelines use fastText; same plan shape). The
+    * marker count for language L = occurrences of L's most common
+    * function word as a standalone token. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def marker(word: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), lit(" " + word + " "), lit("")))) /
+        lit(word.length + 2)
+    val en = marker("the"); val fr = marker("le"); val de = marker("der")
+    val es = marker("el"); val zh = marker("de")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        en.as("c_en"), fr.as("c_fr"), de.as("c_de"), es.as("c_es"), zh.as("c_zh"))
+      .withColumn("predicted",
+        when(col("c_en") >= greatest(col("c_fr"), col("c_de"), col("c_es"), col("c_zh")), "en")
+          .when(col("c_fr") >= greatest(col("c_de"), col("c_es"), col("c_zh")), "fr")
+          .when(col("c_de") >= greatest(col("c_es"), col("c_zh")), "de")
+          .when(col("c_es") >= col("c_zh"), "es")
+          .otherwise("zh"))
+      .select(col("doc_id"), col("lang"), col("predicted"))
+  }
+
+  /** Per-language ID accuracy rollup (tests the heuristic end-to-end). */
+  def langIdAccuracy(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") === col("lang"), 1).otherwise(0)).as("n_correct"))
+
+  /** DuckDB oracle for [[langIdAccuracy]] — same marker-count formula
+    * (literal replace diff / marker width) and same tie-break chain. */
+  def langIdOracleSql: String = {
+    def m(word: String) =
+      s"(length(text) - length(replace(text, ' $word ', ''))) / ${word.length + 2}"
+    s"""WITH m AS (
+       |  SELECT doc_id, lang,
+       |    ${m("the")} AS c_en,
+       |    ${m("le")} AS c_fr,
+       |    ${m("der")} AS c_de,
+       |    ${m("el")} AS c_es,
+       |    ${m("de")} AS c_zh
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN c_en >= greatest(c_fr, c_de, c_es, c_zh) THEN 'en'
+       |         WHEN c_fr >= greatest(c_de, c_es, c_zh) THEN 'fr'
+       |         WHEN c_de >= greatest(c_es, c_zh) THEN 'de'
+       |         WHEN c_es >= c_zh THEN 'es'
+       |         ELSE 'zh' END AS predicted
+       |  FROM m)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |FROM p GROUP BY lang""".stripMargin
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lowercase,
+    * alphanumeric+space only, collapsed whitespace). The idiomatic
+    * exact-dup key at scale — 16 bytes/doc instead of the full text. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(
+          lower(regexp_replace(col("text"), lit("[^A-Za-z0-9 ]"), lit(""))),
+          lit(" +"), lit(" "))).as("fp"))
+}
