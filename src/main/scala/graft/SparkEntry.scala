@@ -61,7 +61,10 @@ object SparkEntry {
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "d3_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "d4_simhash" -> (Dedup.simhashDups _),
-    "d5_embedding_dup" -> ((s: SparkSession, d: String) => Dedup.embeddingDup(s, d)),
+    // threshold 0.4: the synthetic embeddings have no true near-dups
+    // (max same-bucket cosine ≈ 0.49), and an empty result would make
+    // this a vacuous check.
+    "d5_embedding_dup" -> ((s: SparkSession, d: String) => Dedup.embeddingDup(s, d, 0.4)),
     // ---- similarity search ----
     "s1_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "s2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -235,7 +238,7 @@ object SparkEntry {
         |  CASE WHEN o_totalprice < 100000 THEN 'small'
         |       WHEN o_totalprice BETWEEN 100000 AND 300000 THEN 'medium'
         |       ELSE 'large' END AS size_class,
-        |  CAST(o_totalprice AS BIGINT) AS price_long,
+        |  CAST(trunc(o_totalprice) AS BIGINT) AS price_long,
         |  o_orderstatus
         |FROM orders WHERE o_orderkey <= 500""".stripMargin,
     "e1_tumbling_counts" ->
@@ -251,7 +254,7 @@ object SparkEntry {
       """WITH g AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
         |    THEN 1 ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
@@ -267,9 +270,9 @@ object SparkEntry {
     "e4_funnel" ->
       """WITH f AS (
         |  SELECT user_id,
-        |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
-        |    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
-        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
         |  FROM events GROUP BY user_id)
         |SELECT CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
@@ -302,7 +305,7 @@ object SparkEntry {
     "d2_ngram_jaccard" -> Dedup.ngramJaccardOracleSql(0.5),
     "d3_minhash_lsh" -> Dedup.minhashLshOracleSql(0.25),
     "d4_simhash" -> Dedup.simhashOracleSql,
-    "d5_embedding_dup" -> Dedup.embeddingDupOracleSql(0.98),
+    "d5_embedding_dup" -> Dedup.embeddingDupOracleSql(0.4),
     "s1_brute_topk" -> Similarity.bruteTopKOracleSql(0L, 10),
     "s2_ann_lsh" -> Similarity.annLshOracleSql(0L, 10),
     "s3_lsh_buckets" -> Similarity.lshBucketsOracleSql,

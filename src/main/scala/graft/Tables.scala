@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Loaders for the driver-provided testdata tables (TESTDATA.md).
   *
@@ -17,7 +19,23 @@ object Tables {
   val smallDims: Set[String] = Set("region", "nation", "supplier")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+      // parquet reader rejects outright (PARQUET_TYPE_ILLEGAL — this
+      // silently killed every e-query in round 1). Read nanos as a
+      // long and truncate to a µs timestamp; the DuckDB oracles use
+      // epoch_us(ts), which truncates identically, so values match.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Raw events schema (ts as nanos-long) for the streaming reader,
+    * which must declare the on-disk schema, not the converted one. */
+  def rawEventsSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
 
   /** Register every table as a temp view (for SQL-path queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,729 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import SqlText._
+
+/** The engine facade — the Spark-native analogue of the reference's
+  * `Glue` session (/root/reference/src/glue/mod.rs:33-37,161-187):
+  * `execute(sql) → Payload` over a multi-database catalog.
+  *
+  * Architecture (Spark-first, not a port):
+  *  - **Catalog** = Spark's session catalog (in-memory implementation).
+  *    Databases, tables, views and qualified `db.table` resolution are
+  *    native; managed tables are parquet-backed (the Sled-analog
+  *    default store), CSV databases mount a file per table.
+  *  - **Query path** = `spark.sql` → Catalyst. No hand-rolled planner;
+  *    the dialect delta lives in registered functions and the
+  *    statement dispatcher below.
+  *  - **Constraint surface** Spark doesn't enforce — UNIQUE,
+  *    AUTO_INCREMENT, DEFAULT, NOT NULL (reference
+  *    src/executor/alter_row/insert.rs:10-98, validate_unique.rs:23-160,
+  *    src/database/auto_increment.rs:6-33) — is enforced by this
+  *    class's write path, as distributed DataFrame checks (anti-join /
+  *    aggregate assertions), never driver-side row loops.
+  *  - **UPDATE/DELETE** = read → transform → localCheckpoint (cuts
+  *    lineage so we can overwrite what we read) → overwrite, the
+  *    idiomatic rewrite on an immutable columnar store.
+  *  - **CREATE INDEX** records metadata and physically re-clusters the
+  *    table by the indexed column (range partition + sort), so parquet
+  *    row-group min/max stats provide the range pruning the
+  *    reference's sorted KV index provides (src/data/index.rs:35-62).
+  *
+  * Statement dispatch mirrors the reference executor
+  * (/root/reference/src/executor/execute.rs:55-177).
+  */
+class Engine(val spark: SparkSession) {
+
+  val meta = new MetaStore
+  private val vars = scala.collection.mutable.Map.empty[String, String]
+
+  graft.functions.Dialect.register(spark)
+
+  // ------------------------------------------------------------------
+  // Public API (reference glue/mod.rs:161-248, glue/select.rs:13-82)
+  // ------------------------------------------------------------------
+
+  /** Execute one SQL statement. */
+  def execute(sql: String): Payload = {
+    val s = preprocess(stripTrailingSemi(sql))
+    dispatch(s)
+  }
+
+  /** Variable substitution + dialect token rewrites. DATEADD must be
+    * renamed before parsing: Spark 4's grammar special-cases
+    * `DATEADD(unit, …)` with an unquoted unit keyword and throws on
+    * the MultiSQL string-literal form before function resolution ever
+    * runs, so the registered implementation would be unreachable. */
+  private def preprocess(sql: String): String =
+    rewriteOutsideQuotes(substituteVars(sql), "DATEADD(", "graft_dateadd(")
+
+  private def rewriteOutsideQuotes(sql: String, from: String, to: String): String = {
+    val out = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (quote != 0) {
+        out += c
+        if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out += c; i += 1
+      } else if (i + from.length <= sql.length &&
+          sql.regionMatches(true, i, from, 0, from.length) &&
+          (i == 0 || !(sql(i - 1).isLetterOrDigit || sql(i - 1) == '_'))) {
+        out ++= to
+        i += from.length
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** Execute a ';'-separated script, returning one payload each. */
+  def executeMany(script: String): Seq[Payload] =
+    splitStatements(script).map(execute)
+
+  /** SELECT as a distributed DataFrame (the form to use when the
+    * result doesn't fit on the driver — `execute` collects). */
+  def query(sql: String): DataFrame =
+    spark.sql(preprocess(stripTrailingSemi(sql)))
+
+  /** Reference `select_as_string`: rows rendered as display strings. */
+  def selectAsString(sql: String): Seq[Seq[String]] = {
+    val df = query(sql)
+    df.columns.toSeq +: df.collect().toSeq.map(_.toSeq.map(v => if (v == null) "NULL" else v.toString))
+  }
+
+  /** Reference `select_as_csv` (glue/select.rs:60-82). */
+  def selectAsCsv(sql: String): String =
+    selectAsString(sql).map(_.map(csvQuote).mkString(",")).mkString("\n")
+
+  /** Reference `select_json` (glue/select.rs:13-38): array of objects. */
+  def selectJson(sql: String): String = {
+    val df = query(sql)
+    "[" + df.toJSON.collect().mkString(",") + "]"
+  }
+
+  /** Reference `insert_vec` (glue/mod.rs:190-248): typed programmatic
+    * insert through the same validation pipeline as SQL INSERT. */
+  def insertVec(table: String, columns: Seq[String], rows: Seq[Seq[Any]]): Payload = {
+    val (db, tbl) = resolve(table)
+    val tm = requireMeta(db, tbl)
+    val provided = columns.map(c => tm.column(c).getOrElse(
+      throw new EngineException(s"unknown column $c in $table")))
+    val schema = StructType(provided.map(_.sparkField))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1), schema)
+    insertDataFrame(db, tbl, tm, columns, df)
+  }
+
+  // ------------------------------------------------------------------
+  // Dispatcher
+  // ------------------------------------------------------------------
+
+  private def dispatch(sql: String): Payload = {
+    val up = sql.toUpperCase
+    if (up.startsWith("SELECT") || up.startsWith("WITH") || up.startsWith("VALUES") || up.startsWith("(") || up.startsWith("TABLE "))
+      runSelect(sql)
+    else if (up.startsWith("CREATE DATABASE") || up.startsWith("CREATE SCHEMA"))
+      createDatabase(sql)
+    else if (up.startsWith("DROP DATABASE") || up.startsWith("DROP SCHEMA"))
+      dropDatabase(sql)
+    else if (up.startsWith("CREATE VIEW") || up.startsWith("CREATE OR REPLACE VIEW"))
+      { spark.sql(sql); Payload.Create }
+    else if (up.startsWith("DROP VIEW"))
+      { spark.sql(sql); Payload.DropTable }
+    else if (up.startsWith("CREATE TABLE"))
+      createTable(sql)
+    else if (up.startsWith("CREATE INDEX") || up.startsWith("CREATE UNIQUE INDEX"))
+      createIndex(sql)
+    else if (up.startsWith("DROP INDEX"))
+      dropIndex(sql)
+    else if (up.startsWith("INSERT"))
+      insert(sql)
+    else if (up.startsWith("UPDATE"))
+      update(sql)
+    else if (up.startsWith("DELETE"))
+      delete(sql)
+    else if (up.startsWith("ALTER TABLE"))
+      alterTable(sql)
+    else if (up.startsWith("TRUNCATE"))
+      truncate(sql)
+    else if (up.startsWith("DROP TABLE"))
+      dropTable(sql)
+    else if (up.startsWith("EXPLAIN"))
+      explain(sql)
+    else if (up.startsWith("SET "))
+      setVariable(sql)
+    else if (up.startsWith("EXECUTE FILE"))
+      executeFile(sql)
+    else if (up.startsWith("USE "))
+      { spark.sql(sql); Payload.Success }
+    else
+      throw new EngineException(s"unsupported statement: ${sql.take(60)}")
+  }
+
+  private def runSelect(sql: String): Payload = {
+    val df = spark.sql(sql)
+    Payload.Select(df.columns.toSeq, df.collect().toSeq.map(_.toSeq))
+  }
+
+  // ------------------------------------------------------------------
+  // Databases (reference execute.rs:59-76,103-110; glue/mod.rs:110-129)
+  // ------------------------------------------------------------------
+
+  private val createDbRe =
+    """(?is)CREATE\s+(?:DATABASE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?([`"\w.]+)(?:\s+LOCATION\s+'([^']*)')?\s*""".r
+
+  /** CREATE DATABASE name [LOCATION 'path'] — path sniffing like the
+    * reference's `Connection::try_from` (glue/mod.rs:110-129):
+    * `*.csv` file → CSV database (one table, schema inferred with the
+    * unanimous-type-else-string policy), anything else → managed
+    * parquet directory, mounting any parquet tables already present. */
+  private def createDatabase(sql: String): Payload = sql match {
+    case createDbRe(ifNot, rawName, location) =>
+      val name = cleanIdent(rawName)
+      val ifNotExists = ifNot != null
+      if (spark.catalog.databaseExists(name)) {
+        if (ifNotExists) return Payload.Success
+        throw new EngineException(s"database $name already exists")
+      }
+      Option(location) match {
+        case Some(path) if path.toLowerCase.endsWith(".csv") =>
+          spark.sql(s"CREATE DATABASE `$name`")
+          mountCsv(name, path)
+        case Some(path) =>
+          val dir = new java.io.File(path)
+          dir.mkdirs()
+          spark.sql(s"CREATE DATABASE `$name` LOCATION '${dir.getAbsolutePath}'")
+          mountExistingParquet(name, dir)
+        case None =>
+          spark.sql(s"CREATE DATABASE `$name`")
+      }
+      Payload.Success
+    case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+  }
+
+  /** CSV database: a single table named after the file (reference
+    * csv/mutable.rs:13 OnlyOneTableAllowed), schema per
+    * [[CsvInference]]. Registered as an external csv table so reads
+    * AND inserts go through the same file. */
+  private def mountCsv(db: String, path: String): Unit = {
+    val inf = CsvInference.infer(spark, path)
+    val tableName = new java.io.File(path).getName.stripSuffix(".csv")
+    val fields = inf.columns.map(c => s"`${c.name}` ${typeName(c.dataType)}").mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE `$db`.`$tableName` ($fields) USING csv
+         |OPTIONS (path '$path', header '${inf.hasHeader}')""".stripMargin)
+    meta.put(db, tableName, TableMeta(inf.columns,
+      csvPath = Some(path), csvHasHeader = inf.hasHeader))
+  }
+
+  private def mountExistingParquet(db: String, dir: java.io.File): Unit = {
+    val children = Option(dir.listFiles()).getOrElse(Array.empty)
+    children.filter(f => f.getName.endsWith(".parquet") ||
+        (f.isDirectory && Option(f.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))))
+      .foreach { f =>
+        val tbl = f.getName.stripSuffix(".parquet")
+        spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$tbl` USING parquet LOCATION '${f.getAbsolutePath}'")
+        val cols = spark.table(s"`$db`.`$tbl`").schema.map(f2 =>
+          ColumnMeta(f2.name, f2.dataType, nullable = true))
+        meta.put(db, tbl, TableMeta(cols))
+      }
+  }
+
+  private def dropDatabase(sql: String): Payload = {
+    val re = """(?is)DROP\s+(?:DATABASE|SCHEMA)\s+(IF\s+EXISTS\s+)?([`"\w.]+)\s*""".r
+    sql match {
+      case re(_, rawName) =>
+        val name = cleanIdent(rawName)
+        spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
+        Payload.Success
+      case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // CREATE TABLE (reference create/table.rs:7-45)
+  // ------------------------------------------------------------------
+
+  private def createTable(sql: String): Payload = {
+    val re = """(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`"\w.]+)\s*(.*)""".r
+    sql match {
+      case re(ifNot, rawName, rest) =>
+        val (db, tbl) = resolve(rawName)
+        val ifNotExists = ifNot != null
+        if (spark.catalog.tableExists(s"`$db`.`$tbl`")) {
+          if (ifNotExists) return Payload.Create
+          throw new EngineException(s"table $db.$tbl already exists")
+        }
+        if (rest.trim.toUpperCase.startsWith("AS ")) {
+          // CTAS: Spark-native; metadata derived from the result.
+          spark.sql(s"CREATE TABLE `$db`.`$tbl` USING parquet ${rest.trim}")
+          val cols = spark.table(s"`$db`.`$tbl`").schema.map(f =>
+            ColumnMeta(f.name, f.dataType))
+          meta.put(db, tbl, TableMeta(cols))
+        } else {
+          val (block, _) = parenBlock(rest, 0)
+          val cols = parseColumnDefs(block)
+          val fields = cols.map(c => s"`${c.name}` ${typeName(c.dataType)}").mkString(", ")
+          spark.sql(s"CREATE TABLE `$db`.`$tbl` ($fields) USING parquet")
+          meta.put(db, tbl, TableMeta(cols))
+        }
+        Payload.Create
+      case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // INSERT + constraint pipeline (reference alter_row/insert.rs:10-98)
+  // ------------------------------------------------------------------
+
+  private def insert(sql: String): Payload = {
+    val re = """(?is)INSERT\s+INTO\s+([`"\w.]+)\s*(.*)""".r
+    sql match {
+      case re(rawName, rest0) =>
+        val (db, tbl) = resolve(rawName)
+        val tm = requireMeta(db, tbl)
+        var rest = rest0.trim
+        // Optional explicit column list: a paren block NOT starting a
+        // VALUES/SELECT source.
+        val explicitCols: Seq[String] =
+          if (rest.startsWith("(")) {
+            val (block, end) = parenBlock(rest, 0)
+            val inner = block.trim.toUpperCase
+            if (!inner.startsWith("SELECT") && !inner.startsWith("VALUES") && !inner.startsWith("WITH")) {
+              rest = rest.substring(end).trim
+              splitTop(block, ',').map(cleanIdent)
+            } else Seq.empty
+          } else Seq.empty
+        val cols = if (explicitCols.nonEmpty) explicitCols else tm.columns.map(_.name)
+        val srcSql =
+          if (rest.toUpperCase.startsWith("VALUES")) s"SELECT * FROM ($rest)"
+          else rest
+        val src = spark.sql(srcSql)
+        if (src.columns.length != cols.length)
+          throw new EngineException(
+            s"wrong number of values: ${src.columns.length} given, ${cols.length} expected")
+        insertDataFrame(db, tbl, tm, cols, src)
+      case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+    }
+  }
+
+  /** Shared validated write path (SQL INSERT and [[insertVec]]):
+    * position columns → coerce types → apply DEFAULTs → fill
+    * AUTO_INCREMENT → NOT NULL check → UNIQUE check → append.
+    * All checks are distributed aggregates, not driver loops. */
+  private def insertDataFrame(db: String, tbl: String, tm: TableMeta,
+                              cols: Seq[String], src: DataFrame): Payload = {
+    cols.foreach(c => if (tm.column(c).isEmpty)
+      throw new EngineException(s"unknown column $c in $db.$tbl"))
+    val positioned = src.toDF(cols: _*)
+
+    // Missing columns get their DEFAULT expression (evaluated per row,
+    // like reference validate.rs:46-100) or NULL.
+    val full = tm.columns.map { cm =>
+      val have = cols.exists(_.equalsIgnoreCase(cm.name))
+      val base =
+        if (have) col(cm.name)
+        else cm.default.map(d => expr(d)).getOrElse(lit(null))
+      base.cast(cm.dataType).as(cm.name)
+    }
+    var out = positioned.select(full: _*)
+
+    // AUTO_INCREMENT fill (reference auto_increment.rs:4-44): nulls in
+    // the auto column get counter, counter+1, … . Sequential semantics
+    // need a global row numbering — correct here because validated
+    // inserts are small batches; bulk loads go through plain writes.
+    val autoCol = tm.columns.find(_.autoIncrement)
+    autoCol.foreach { cm =>
+      val w = Window.orderBy(monotonically_increasing_id())
+      out = out
+        .withColumn("__rn", row_number().over(w))
+        .withColumn(cm.name,
+          coalesce(col(cm.name), (col("__rn") + lit(tm.autoCounter - 1)).cast(cm.dataType)))
+        .drop("__rn")
+    }
+
+    out = out.localCheckpoint(true)
+    val n = out.count()
+
+    // NOT NULL (reference validate.rs)
+    tm.columns.filter(c => !c.nullable).foreach { cm =>
+      if (out.filter(col(cm.name).isNull).limit(1).count() > 0)
+        throw new EngineException(s"null value in NOT NULL column ${cm.name}")
+    }
+    // UNIQUE (reference validate_unique.rs:23-160): batch-internal
+    // duplicates, then overlap with existing rows via semi-join.
+    tm.columns.filter(c => c.unique || tm.indexes.exists(i => i.unique && i.column.equalsIgnoreCase(c.name))).foreach { cm =>
+      val c = col(cm.name)
+      val internal = out.filter(c.isNotNull).groupBy(c).count().filter(col("count") > 1)
+      if (internal.limit(1).count() > 0)
+        throw new EngineException(s"duplicate entry in unique column ${cm.name}")
+      val existing = spark.table(s"`$db`.`$tbl`")
+        .join(out.select(c.as("__v")).filter(col("__v").isNotNull), c === col("__v"), "left_semi")
+      if (existing.limit(1).count() > 0)
+        throw new EngineException(s"duplicate entry in unique column ${cm.name}")
+    }
+
+    tm.csvPath match {
+      case Some(path) =>
+        // CSV table = one local file (reference csv backend): append
+        // rendered lines directly and refresh the catalog's file cache.
+        val lines = out.collect().map(_.toSeq.map(v =>
+          csvQuote(if (v == null) "" else v.toString)).mkString(","))
+        val fw = new java.io.FileWriter(path, true)
+        try {
+          val raf = new java.io.File(path)
+          val needsNl = raf.length() > 0 && {
+            val in = new java.io.RandomAccessFile(raf, "r")
+            try { in.seek(raf.length() - 1); in.read() != '\n' } finally in.close()
+          }
+          if (needsNl) fw.write("\n")
+          lines.foreach(l => fw.write(l + "\n"))
+        } finally fw.close()
+        spark.catalog.refreshTable(s"`$db`.`$tbl`")
+      case None =>
+        out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
+    }
+    autoCol.foreach(_ => meta.update(db, tbl)(m => m.copy(autoCounter = m.autoCounter + n)))
+    Payload.Insert(n)
+  }
+
+  // ------------------------------------------------------------------
+  // UPDATE / DELETE (reference alter_row/{update,delete}.rs)
+  // ------------------------------------------------------------------
+
+  private def update(sql: String): Payload = {
+    val re = """(?is)UPDATE\s+([`"\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?""".r
+    sql match {
+      case re(rawName, setPart, wherePart) =>
+        val (db, tbl) = resolve(rawName)
+        val tm = requireMeta(db, tbl)
+        val cond = Option(wherePart).map(expr).getOrElse(lit(true))
+        val assigns: Map[String, Column] = splitTop(setPart, ',').map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0, s"bad assignment: $a")
+          val name = cleanIdent(a.substring(0, eq))
+          val cm = tm.column(name).getOrElse(throw new EngineException(s"unknown column $name"))
+          cm.name -> expr(a.substring(eq + 1)).cast(cm.dataType)
+        }.toMap
+        val t = spark.table(s"`$db`.`$tbl`")
+        val n = t.filter(cond).count()
+        val updated = t.select(tm.columns.map { cm =>
+          assigns.get(cm.name)
+            .map(a => when(cond, a).otherwise(col(cm.name)).as(cm.name))
+            .getOrElse(col(cm.name))
+        }: _*)
+        val out = updated.localCheckpoint(true)
+        tm.columns.filter(!_.nullable).filter(c => assigns.contains(c.name)).foreach { cm =>
+          if (out.filter(col(cm.name).isNull).limit(1).count() > 0)
+            throw new EngineException(s"null value in NOT NULL column ${cm.name}")
+        }
+        tm.columns.filter(_.unique).filter(c => assigns.contains(c.name)).foreach { cm =>
+          val dups = out.filter(col(cm.name).isNotNull)
+            .groupBy(col(cm.name)).count().filter(col("count") > 1)
+          if (dups.limit(1).count() > 0)
+            throw new EngineException(s"duplicate entry in unique column ${cm.name}")
+        }
+        overwriteTable(db, tbl, out)
+        Payload.Update(n)
+      case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+    }
+  }
+
+  private def delete(sql: String): Payload = {
+    val re = """(?is)DELETE\s+FROM\s+([`"\w.]+)(?:\s+WHERE\s+(.*))?""".r
+    sql match {
+      case re(rawName, wherePart) =>
+        val (db, tbl) = resolve(rawName)
+        requireMeta(db, tbl)
+        val t = spark.table(s"`$db`.`$tbl`")
+        val cond = Option(wherePart).map(expr).getOrElse(lit(true))
+        val n = t.filter(cond).count()
+        val kept = t.filter(!cond || cond.isNull).localCheckpoint(true)
+        overwriteTable(db, tbl, kept)
+        Payload.Delete(n)
+      case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+    }
+  }
+
+  private def overwriteTable(db: String, tbl: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).insertInto(s"`$db`.`$tbl`")
+
+  // ------------------------------------------------------------------
+  // ALTER TABLE (reference alter_table/alter_table.rs:8-77)
+  // ------------------------------------------------------------------
+
+  private def alterTable(sql: String): Payload = {
+    val renameTo = """(?is)ALTER\s+TABLE\s+([`"\w.]+)\s+RENAME\s+TO\s+([`"\w.]+)\s*""".r
+    val renameCol = """(?is)ALTER\s+TABLE\s+([`"\w.]+)\s+RENAME\s+COLUMN\s+([`"\w]+)\s+TO\s+([`"\w]+)\s*""".r
+    val addCol = """(?is)ALTER\s+TABLE\s+([`"\w.]+)\s+ADD\s+COLUMN\s+(.*)""".r
+    val dropCol = """(?is)ALTER\s+TABLE\s+([`"\w.]+)\s+DROP\s+COLUMN\s+([`"\w]+)\s*""".r
+    sql match {
+      case renameTo(rawFrom, rawTo) =>
+        val (db, from) = resolve(rawFrom)
+        val (_, to) = splitQualified(rawTo)
+        spark.sql(s"ALTER TABLE `$db`.`$from` RENAME TO `$db`.`$to`")
+        meta.rename(db, from, to)
+        Payload.AlterTable
+      case renameCol(rawName, rawFrom, rawTo) =>
+        // Parquet v1 tables can't rename columns in place → rewrite.
+        val (db, tbl) = resolve(rawName)
+        val tm = requireMeta(db, tbl)
+        val from = cleanIdent(rawFrom); val to = cleanIdent(rawTo)
+        if (tm.column(from).isEmpty) throw new EngineException(s"unknown column $from")
+        val newMeta = tm.copy(columns = tm.columns.map(c =>
+          if (c.name.equalsIgnoreCase(from)) c.copy(name = to) else c))
+        rewriteTable(db, tbl, newMeta, spark.table(s"`$db`.`$tbl`").withColumnRenamed(from, to))
+        Payload.AlterTable
+      case addCol(rawName, colDef) =>
+        val (db, tbl) = resolve(rawName)
+        val tm = requireMeta(db, tbl)
+        val cm = parseColumnDef(colDef.trim)
+        // Reference restricts ADD COLUMN types (alter_table/validate.rs:14-19)
+        // and fills existing rows with the DEFAULT value.
+        if (tm.column(cm.name).isDefined)
+          throw new EngineException(s"column ${cm.name} already exists")
+        val fill = cm.default.map(expr).getOrElse(lit(null)).cast(cm.dataType)
+        if (!cm.nullable && cm.default.isEmpty)
+          throw new EngineException(s"cannot add NOT NULL column ${cm.name} without DEFAULT")
+        val df = spark.table(s"`$db`.`$tbl`").withColumn(cm.name, fill)
+        rewriteTable(db, tbl, tm.copy(columns = tm.columns :+ cm), df)
+        Payload.AlterTable
+      case dropCol(rawName, rawCol) =>
+        val (db, tbl) = resolve(rawName)
+        val tm = requireMeta(db, tbl)
+        val c = cleanIdent(rawCol)
+        if (tm.column(c).isEmpty) throw new EngineException(s"unknown column $c")
+        val df = spark.table(s"`$db`.`$tbl`").drop(tm.column(c).get.name)
+        rewriteTable(db, tbl, tm.copy(columns = tm.columns.filterNot(_.name.equalsIgnoreCase(c))), df)
+        Payload.AlterTable
+      case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+    }
+  }
+
+  /** Drop + recreate + reload — the rewrite path for schema changes
+    * parquet can't do in place. */
+  private def rewriteTable(db: String, tbl: String, newMeta: TableMeta, data: DataFrame): Unit = {
+    val out = data.localCheckpoint(true)
+    spark.sql(s"DROP TABLE `$db`.`$tbl`")
+    val fields = newMeta.columns.map(c => s"`${c.name}` ${typeName(c.dataType)}").mkString(", ")
+    spark.sql(s"CREATE TABLE `$db`.`$tbl` ($fields) USING parquet")
+    out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
+    meta.put(db, tbl, newMeta)
+  }
+
+  // ------------------------------------------------------------------
+  // TRUNCATE / DROP (reference alter_table/{truncate,drop}.rs)
+  // ------------------------------------------------------------------
+
+  private def truncate(sql: String): Payload = {
+    val re = """(?is)TRUNCATE\s+(?:TABLE\s+)?([`"\w.]+)\s*""".r
+    sql match {
+      case re(rawName) =>
+        val (db, tbl) = resolve(rawName)
+        spark.sql(s"TRUNCATE TABLE `$db`.`$tbl`")
+        // Reference resets the auto-increment counter on truncate
+        // (alter_table/truncate.rs:8-40).
+        meta.update(db, tbl)(_.copy(autoCounter = 1L))
+        Payload.TruncateTable
+      case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+    }
+  }
+
+  private def dropTable(sql: String): Payload = {
+    val re = """(?is)DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([`"\w.]+)\s*""".r
+    sql match {
+      case re(ifExists, rawName) =>
+        val (db, tbl) = resolve(rawName)
+        if (!spark.catalog.tableExists(s"`$db`.`$tbl`") && ifExists == null)
+          throw new EngineException(s"table $db.$tbl does not exist")
+        spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tbl`")
+        meta.remove(db, tbl)
+        Payload.DropTable
+      case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // CREATE INDEX (reference create/index.rs:9-76) — metadata + layout
+  // ------------------------------------------------------------------
+
+  private def createIndex(sql: String): Payload = {
+    val re = """(?is)CREATE\s+(UNIQUE\s+)?INDEX\s+([`"\w]+)\s+ON\s+([`"\w.]+)\s*\(([^)]*)\)\s*""".r
+    sql match {
+      case re(uniq, rawIdx, rawTbl, colsPart) =>
+        val (db, tbl) = resolve(rawTbl)
+        val tm = requireMeta(db, tbl)
+        val idxCols = splitTop(colsPart, ',').map(cleanIdent).filter(_.nonEmpty)
+        if (idxCols.length != 1)
+          throw new EngineException("only single-column indexes are supported")
+        val cname = idxCols.head
+        val cm = tm.column(cname).getOrElse(throw new EngineException(s"unknown column $cname"))
+        val unique = uniq != null
+        if (unique) {
+          val t = spark.table(s"`$db`.`$tbl`")
+          val dups = t.filter(col(cm.name).isNotNull).groupBy(col(cm.name)).count().filter(col("count") > 1)
+          if (dups.limit(1).count() > 0)
+            throw new EngineException(s"duplicate entry in unique column ${cm.name}")
+        }
+        // Physical analogue of the sorted KV index: cluster the table
+        // by the indexed column so parquet min/max stats prune range
+        // scans. One-time job, like the reference's full index build.
+        val t = spark.table(s"`$db`.`$tbl`")
+        if (t.limit(1).count() > 0) {
+          val clustered = t.repartitionByRange(col(cm.name)).sortWithinPartitions(col(cm.name))
+            .localCheckpoint(true)
+          overwriteTable(db, tbl, clustered)
+        }
+        meta.update(db, tbl)(m => m.copy(indexes =
+          m.indexes.filterNot(_.name.equalsIgnoreCase(cleanIdent(rawIdx))) :+
+            IndexMeta(cleanIdent(rawIdx), cm.name, unique)))
+        Payload.Create
+      case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+    }
+  }
+
+  private def dropIndex(sql: String): Payload = {
+    val re = """(?is)DROP\s+INDEX\s+([`"\w]+)\s+ON\s+([`"\w.]+)\s*""".r
+    sql match {
+      case re(rawIdx, rawTbl) =>
+        val (db, tbl) = resolve(rawTbl)
+        meta.update(db, tbl)(m => m.copy(indexes =
+          m.indexes.filterNot(_.name.equalsIgnoreCase(cleanIdent(rawIdx)))))
+        Payload.Success
+      case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // EXPLAIN introspection (reference other/explain.rs:6-92)
+  // ------------------------------------------------------------------
+
+  private def explain(sql: String): Payload = {
+    val arg = sql.trim.drop("EXPLAIN".length).trim
+    val up = arg.toUpperCase
+    if (up == "ALL") {
+      val dbs = spark.catalog.listDatabases().collect().map(_.name).sorted
+      Payload.Select(Seq("database"), dbs.toSeq.map(Seq(_)))
+    } else if (up == "ALL_TABLE") {
+      val dbs = spark.catalog.listDatabases().collect().map(_.name).sorted
+      val rows = dbs.flatMap(d =>
+        spark.catalog.listTables(d).collect().map(t => Seq[Any](d, t.name)))
+      Payload.Select(Seq("database", "table"), rows.toSeq)
+    } else if (up.startsWith("SELECT") || up.startsWith("WITH")) {
+      // Query EXPLAIN: Catalyst's formatted plan, one line per row.
+      val plan = spark.sql(arg).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Payload.Select(Seq("plan"), plan.split("\n").toSeq.map(Seq(_)))
+    } else {
+      val name = cleanIdent(arg)
+      if (spark.catalog.databaseExists(name)) {
+        val ts = spark.catalog.listTables(name).collect().map(_.name).sorted
+        Payload.Select(Seq("table"), ts.toSeq.map(Seq(_)))
+      } else {
+        val (db, tbl) = resolve(name)
+        if (!spark.catalog.tableExists(s"`$db`.`$tbl`"))
+          throw new EngineException(s"no database or table named $name")
+        val tm = meta.get(db, tbl)
+        val fields = spark.table(s"`$db`.`$tbl`").schema
+        val rows = fields.map { f =>
+          val cm = tm.flatMap(_.column(f.name))
+          Seq[Any](f.name, typeName(f.dataType),
+            cm.forall(_.nullable), cm.exists(_.unique), cm.exists(_.autoIncrement))
+        }
+        Payload.Select(Seq("column", "type", "nullable", "unique", "auto_increment"), rows.toSeq)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // SET variables (reference set_variable.rs:6-20, recipe/new.rs:24-47)
+  // ------------------------------------------------------------------
+
+  private val setVarRe = """(?is)SET\s+@([A-Za-z_]\w*)\s*=\s*(.+)""".r
+
+  private def setVariable(sql: String): Payload = sql match {
+    case setVarRe(name, value) =>
+      vars(name) = value.trim
+      Payload.Success
+    case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+  }
+
+  /** Substitute `@name` tokens outside string literals with the stored
+    * literal text — the reference substitutes variables into the
+    * expression tree pre-planning (`simplify_by_tempdb`). */
+  private def substituteVars(sql: String): String = {
+    if (vars.isEmpty || !sql.contains("@")) return sql
+    val out = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (quote != 0) {
+        out += c
+        if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out += c; i += 1
+      } else if (c == '@' && i + 1 < sql.length && (sql(i + 1).isLetter || sql(i + 1) == '_')) {
+        var j = i + 1
+        while (j < sql.length && (sql(j).isLetterOrDigit || sql(j) == '_')) j += 1
+        val name = sql.substring(i + 1, j)
+        out ++= vars.getOrElse(name,
+          throw new EngineException(s"undefined session variable @$name"))
+        i = j
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  // ------------------------------------------------------------------
+  // EXECUTE FILE (reference procedure.rs:7-28)
+  // ------------------------------------------------------------------
+
+  private def executeFile(sql: String): Payload = {
+    val re = """(?is)EXECUTE\s+FILE\s+'([^']+)'\s*""".r
+    sql match {
+      case re(path) =>
+        val script = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+        executeMany(script)
+        Payload.Success
+      case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Helpers
+  // ------------------------------------------------------------------
+
+  private def stripTrailingSemi(sql: String): String =
+    sql.trim.stripSuffix(";").trim
+
+  private def resolve(rawName: String): (String, String) = {
+    val (dbOpt, tbl) = splitQualified(rawName)
+    (dbOpt.getOrElse(spark.catalog.currentDatabase), tbl)
+  }
+
+  /** Table metadata, deriving it from the Spark catalog for tables
+    * created outside the Engine (CTAS, mounted parquet). */
+  private def requireMeta(db: String, tbl: String): TableMeta =
+    meta.get(db, tbl).getOrElse {
+      if (!spark.catalog.tableExists(s"`$db`.`$tbl`"))
+        throw new EngineException(s"table $db.$tbl does not exist")
+      val cols = spark.table(s"`$db`.`$tbl`").schema.map(f =>
+        ColumnMeta(f.name, f.dataType, nullable = true))
+      val tm = TableMeta(cols)
+      meta.put(db, tbl, tm)
+      tm
+    }
+
+  private def csvQuote(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+}

@@ -1,0 +1,65 @@
+package graft.engine
+
+import org.apache.spark.sql.types._
+
+/** Column-level constraint metadata the Spark catalog does not carry:
+  * UNIQUE, AUTO_INCREMENT, DEFAULT expressions, and the declared
+  * nullability we enforce on the write path. Mirrors the reference's
+  * column options (/root/reference/src/data/column.rs:12-79) — Spark
+  * stores the shape, the Engine enforces the constraints.
+  */
+final case class ColumnMeta(
+    name: String,
+    dataType: DataType,
+    nullable: Boolean = true,
+    unique: Boolean = false,
+    autoIncrement: Boolean = false,
+    /** DEFAULT expression as SQL text, evaluated per inserted row when
+      * the column is absent from the INSERT column list. */
+    default: Option[String] = None) {
+  def sparkField: StructField = StructField(name, dataType, nullable = true)
+}
+
+/** Secondary-index metadata (reference src/data/index.rs:12-17). The
+  * physical analogue in a Spark/parquet world is clustered layout:
+  * [[Engine]] sorts the table by the indexed column on creation so
+  * parquet row-group min/max stats give the scan-range pruning an
+  * index would. */
+final case class IndexMeta(name: String, column: String, unique: Boolean)
+
+final case class TableMeta(
+    columns: Seq[ColumnMeta],
+    indexes: Seq[IndexMeta] = Seq.empty,
+    /** Single-file CSV storage path — set only for CSV-database tables
+      * (reference src/databases/csv): inserts append to this file
+      * driver-side, since a lone CSV file is not distributed storage. */
+    csvPath: Option[String] = None,
+    csvHasHeader: Boolean = true,
+    /** Next AUTO_INCREMENT value (reference
+      * src/database/auto_increment.rs:6-33 keeps per-column counters;
+      * single counter per table covers the reference's single
+      * auto-column usage). */
+    autoCounter: Long = 1L) {
+  def schema: StructType = StructType(columns.map(_.sparkField))
+  def column(name: String): Option[ColumnMeta] =
+    columns.find(_.name.equalsIgnoreCase(name))
+}
+
+/** Engine-side registry of constraint metadata, keyed by lowercase
+  * `db.table`. Session-scoped, like the Engine itself. */
+final class MetaStore {
+  private val tables = scala.collection.mutable.Map.empty[String, TableMeta]
+
+  private def key(db: String, table: String) = s"${db.toLowerCase}.${table.toLowerCase}"
+
+  def put(db: String, table: String, meta: TableMeta): Unit =
+    tables(key(db, table)) = meta
+  def get(db: String, table: String): Option[TableMeta] =
+    tables.get(key(db, table))
+  def remove(db: String, table: String): Unit =
+    tables.remove(key(db, table))
+  def rename(db: String, from: String, to: String): Unit =
+    tables.remove(key(db, from)).foreach(m => tables(key(db, to)) = m)
+  def update(db: String, table: String)(f: TableMeta => TableMeta): Unit =
+    tables.get(key(db, table)).foreach(m => tables(key(db, table)) = f(m))
+}

@@ -1,0 +1,281 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** The MultiSQL dialect function pack, registered into a session's
+  * function registry so `spark.sql` text can call them directly.
+  *
+  * Implementation preference (SURVEY.md §4): compose existing Catalyst
+  * expressions (stays in whole-stage codegen) > Scala UDF. Only the
+  * MONEY thousands-formatter and calendar-clamped DATEADD are UDFs.
+  *
+  * Reference semantics implemented here:
+  *  - CONVERT / TRY_CONVERT format-rule family
+  *    (/root/reference/src/data/value/cast.rs:146-303,
+  *    methods/function.rs:124-150): rule integers 020…101 are
+  *    datetime parse formats, 'DATETIME'/'MONEY'/'SEPARATED' rules
+  *    format numbers to text, named rules try format lists.
+  *  - Permissive CAST (cast.rs:24-134): bool→1/0, f64→i64 truncates,
+  *    NULL→'NULL' for text.
+  *  - DATEADD with month-end clamping (methods/timestamp.rs:147-278),
+  *    DATEFROMPARTS (timestamp.rs:279-314), NOW() as epoch seconds
+  *    (timestamp.rs:103-115) — MultiSQL timestamps are epoch-second
+  *    I64 values.
+  *  - LEN = byte length (utility.rs:75-78), IIF (utility.rs:25-31),
+  *    RAND(min,max) int range (function.rs:95-113), XOR
+  *    (methods/binary.rs:102-106).
+  * Documented divergences: Spark's string→bool accepts more spellings
+  * than true/false; named-rule CONVERT misses return NULL rather than
+  * erroring (TRY semantics); UUID() is correct here while the
+  * reference's dispatch bug makes its UUID return a random float
+  * (from/method.rs:45) — we implement the intent, not the bug.
+  */
+object Dialect {
+
+  private def fn(name: String, args: Expression*): Expression =
+    UnresolvedFunction(Seq(name), args.toSeq, isDistinct = false)
+
+  private def tryCast(e: Expression, dt: DataType): Expression =
+    Cast(e, dt, None, EvalMode.TRY)
+
+  /** chrono strftime → java.time pattern. Letters outside % codes are
+    * quoted so they stay literal in the java pattern. */
+  def strftimeToJava(fmt: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val code = fmt(i + 1)
+        out ++= (code match {
+          case 'Y' => "yyyy"
+          case 'y' => "yy"
+          case 'm' => "MM"
+          case 'd' => "dd"
+          case 'e' => "d"
+          case 'b' | 'h' => "MMM"
+          case 'B' => "MMMM"
+          case 'H' => "HH"
+          case 'I' => "hh"
+          case 'M' => "mm"
+          case 'S' => "ss"
+          case 'p' => "a"
+          case 'F' => "yyyy-MM-dd"
+          case 'T' => "HH:mm:ss"
+          case 'R' => "HH:mm"
+          case 'r' => "hh:mm:ss a"
+          case 'v' => "d-MMM-yyyy"
+          case '%' => "%"
+          case other => other.toString
+        })
+        i += 2
+      } else {
+        if (c.isLetter) { out += '\''; out += c; out += '\'' }
+        else out += c
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** Rule integer → (java format, dateOnly, timeOnly) — the reference's
+    * rule table (cast.rs:216-303). */
+  private val ruleFormats: Map[Long, (String, Boolean, Boolean)] = Map(
+    20L -> ("yyyy-MM-dd HH:mm:ss", false, false),
+    21L -> ("yyyy-MM-dd HH:mm", false, false),
+    22L -> ("yyyy-MM-dd", true, false),
+    30L -> ("yyyy-MM-dd hh:mm:ss a", false, false),
+    31L -> ("hh:mm a", false, false),
+    32L -> ("d-MMM-yyyy", true, false),
+    33L -> ("d-MMM-yy", true, false),
+    40L -> ("yyyyMMdd", true, false),
+    60L -> ("dd/MM/yyyy HH:mm", false, false),
+    61L -> ("dd/MM/yyyy", true, false),
+    62L -> ("dd/MM/yyyy HH:mm:ss", false, false),
+    63L -> ("ddMMyyyy HH:mm:ss", false, false),
+    64L -> ("ddMMyyyy", true, false),
+    100L -> ("HH:mm:ss", false, true),
+    101L -> ("HH:mm", false, true))
+
+  /** Try-lists per named rule (cast.rs:245-249). */
+  private val tryLists: Map[String, Seq[Long]] = Map(
+    "DATETIME" -> Seq(20L, 21L, 30L, 31L, 60L, 62L, 63L),
+    "DATE" -> Seq(22L, 33L, 32L, 61L, 64L, 40L),
+    "TIME" -> Seq(100L, 101L))
+
+  /** Parse expression for one rule id → epoch-seconds long (TRY mode:
+    * null on mismatch, so rules can be coalesced). */
+  private def parseByRule(v: Expression, rule: Long): Expression = {
+    val (fmt, _, timeOnly) = ruleFormats(rule)
+    val target =
+      if (timeOnly)
+        fn("concat", Literal("1970-01-01 "), Cast(v, StringType))
+      else Cast(v, StringType)
+    val fullFmt = if (timeOnly) s"yyyy-MM-dd $fmt" else fmt
+    Cast(fn("try_to_timestamp", target, Literal(fullFmt)), LongType)
+  }
+
+  private def litString(e: Expression): Option[String] = e match {
+    case Literal(s, StringType) if s != null => Some(s.toString)
+    case _ => None
+  }
+  private def litLong(e: Expression): Option[Long] = e match {
+    case Literal(v, _: IntegerType) => Some(v.asInstanceOf[Int].toLong)
+    case Literal(v, _: LongType) => Some(v.asInstanceOf[Long])
+    case _ => None
+  }
+  private def isDefaultRule(e: Expression): Boolean =
+    litLong(e).contains(0L) || (e match {
+      case Literal(true, BooleanType) => true
+      case _ => false
+    })
+
+  /** CONVERT('TYPE', value [, rule]) — type dispatch per
+    * function.rs:153-166, rules per cast.rs. `tryMode` returns NULL
+    * instead of erroring (TRY_CONVERT, function.rs:148-150). */
+  private def convertBuilder(tryMode: Boolean)(args: Seq[Expression]): Expression = {
+    require(args.length == 2 || args.length == 3,
+      s"CONVERT expects 2 or 3 arguments, got ${args.length}")
+    val dt = litString(args.head).map(_.toUpperCase).getOrElse(
+      throw new IllegalArgumentException("CONVERT: first argument must be a type name string"))
+    val v = args(1)
+    val rule = args.lift(2)
+    def cast(to: DataType): Expression =
+      if (tryMode) tryCast(v, to) else Cast(v, to)
+    dt match {
+      case "BOOLEAN" => cast(BooleanType)
+      case "INTEGER" => cast(LongType)
+      case "FLOAT" => cast(DoubleType)
+      case "TEXT" =>
+        rule match {
+          case None => textCast(v, tryMode)
+          case Some(r) if isDefaultRule(r) => textCast(v, tryMode)
+          case Some(r) =>
+            litString(r).map(_.toUpperCase) match {
+              case Some("DATETIME") =>
+                // epoch seconds → 'YYYY-MM-DD HH:MM:SS' (cast.rs:174-178)
+                fn("date_format",
+                  fn("timestamp_seconds", Cast(v, LongType)),
+                  Literal("yyyy-MM-dd HH:mm:ss"))
+              case Some("MONEY") =>
+                fn("graft_money", Cast(v, DoubleType), Literal(true))
+              case Some("SEPARATED") =>
+                fn("graft_money", Cast(v, DoubleType), Literal(false))
+              case Some(custom) =>
+                // custom strftime of an epoch-seconds value (cast.rs:191-196)
+                fn("date_format",
+                  fn("timestamp_seconds", Cast(v, LongType)),
+                  Literal(strftimeToJava(custom)))
+              case None =>
+                throw new IllegalArgumentException("CONVERT TEXT: rule must be a literal")
+            }
+        }
+      case "TIMESTAMP" =>
+        // → epoch-seconds I64 (function.rs:159-164)
+        rule match {
+          case None => Cast(v, LongType)
+          case Some(r) if isDefaultRule(r) => Cast(v, LongType)
+          case Some(r) =>
+            litLong(r) match {
+              case Some(id) if ruleFormats.contains(id) => parseByRule(v, id)
+              case Some(other) =>
+                throw new IllegalArgumentException(s"CONVERT TIMESTAMP: unknown rule $other")
+              case None =>
+                litString(r).map(_.toUpperCase) match {
+                  case Some("TIMESTAMP") => Cast(v, LongType)
+                  case Some(named) if tryLists.contains(named) =>
+                    Coalesce(tryLists(named).map(parseByRule(v, _)))
+                  case Some(custom) =>
+                    Cast(fn("try_to_timestamp", Cast(v, StringType),
+                      Literal(strftimeToJava(custom))), LongType)
+                  case None =>
+                    throw new IllegalArgumentException("CONVERT TIMESTAMP: rule must be a literal")
+                }
+            }
+        }
+      case other => throw new IllegalArgumentException(s"CONVERT: unimplemented type $other")
+    }
+  }
+
+  /** Permissive text cast: NULL renders as 'NULL' (cast.rs:130). */
+  private def textCast(v: Expression, tryMode: Boolean): Expression =
+    Coalesce(Seq(
+      if (tryMode) tryCast(v, StringType) else Cast(v, StringType),
+      Literal("NULL")))
+
+  @volatile private var registeredSessions = Set.empty[SparkSession]
+
+  /** Register the pack into `spark`'s function registry (idempotent). */
+  def register(spark: SparkSession): Unit = synchronized {
+    if (registeredSessions.contains(spark)) return
+    val reg = spark.sessionState.functionRegistry
+    def temp(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+
+    // IIF(c, t, f) (utility.rs:25-31)
+    temp("iif") { args => If(args(0), args(1), args(2)) }
+    // LEN = BYTE length (utility.rs:75-78; Spark's length() is chars)
+    temp("len") { args => OctetLength(args.head) }
+    // NOW() = epoch seconds as I64 (timestamp.rs:103-115)
+    temp("now") { _ => Cast(CurrentTimestamp(), LongType) }
+    // XOR(a, b) strict-bool (binary.rs:102-106)
+    temp("xor") { args => Not(EqualTo(args(0), args(1))) }
+    // DATEFROMPARTS(y[,m,d,h,mi,s]) → epoch seconds (timestamp.rs:279-314)
+    temp("datefromparts") { args =>
+      val defaults = Seq(Literal(1), Literal(1), Literal(0), Literal(0), Literal(0))
+      val padded = args ++ defaults.drop(args.length - 1)
+      Cast(fn("make_timestamp", padded.take(6): _*), LongType)
+    }
+    // CONVERT / TRY_CONVERT
+    temp("convert")(convertBuilder(tryMode = false))
+    temp("try_convert")(convertBuilder(tryMode = true))
+
+    // DATEADD(unit, n, epoch_s) with java.time month-end clamping —
+    // same clamping as the reference's hand-rolled calendar math
+    // (timestamp.rs:147-278: Jan 31 + 1 MONTH = Feb 28). Registered
+    // under graft_dateadd; [[graft.engine.Engine]] rewrites the
+    // DATEADD token pre-parse because Spark's grammar owns it.
+    spark.udf.register("graft_dateadd", (unit: String, n: Int, ts: Long) => {
+      import java.time.{LocalDateTime, ZoneOffset}
+      val ldt = LocalDateTime.ofEpochSecond(ts, 0, ZoneOffset.UTC)
+      val r = unit.toUpperCase match {
+        case "YEAR" => ldt.plusYears(n.toLong)
+        case "MONTH" => ldt.plusMonths(n.toLong)
+        case "DAY" => ldt.plusDays(n.toLong)
+        case "HOUR" => ldt.plusHours(n.toLong)
+        case "MINUTE" => ldt.plusMinutes(n.toLong)
+        case "SECOND" => ldt.plusSeconds(n.toLong)
+        case other => throw new IllegalArgumentException(s"DATEADD: bad unit $other")
+      }
+      r.toEpochSecond(ZoneOffset.UTC)
+    })
+
+    // RAND(min, max) → int in [min, max] (function.rs:95-113); named
+    // rand_range because Spark's rand(seed) owns the short name.
+    spark.udf.register("rand_range", (min: Long, max: Long) =>
+      min + (scala.util.Random.nextDouble() * (max - min + 1)).toLong)
+
+    // MONEY / SEPARATED text formatting (cast.rs:179-190): round to
+    // cents (half away from zero, like Rust f64::round), shortest
+    // decimal repr, thousands commas, optional '$'.
+    spark.udf.register("graft_money", (v: Double, dollar: Boolean) => {
+      val cents = math.round(math.abs(v) * 100.0)
+      val r = math.signum(v) * cents / 100.0
+      val repr = {
+        val bd = java.math.BigDecimal.valueOf(r).stripTrailingZeros()
+        if (bd.scale() <= 0) bd.setScale(0).toPlainString else bd.toPlainString
+      }
+      val (intPart, fracPart) = repr.span(_ != '.')
+      val neg = intPart.startsWith("-")
+      val digits = if (neg) intPart.drop(1) else intPart
+      val grouped = digits.reverse.grouped(3).mkString(",").reverse
+      val s = (if (neg) "-" else "") + grouped + fracPart
+      if (dollar) "$" + s else s
+    })
+
+    registeredSessions += spark
+  }
+}

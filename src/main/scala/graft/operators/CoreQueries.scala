@@ -46,14 +46,17 @@ object CoreQueries {
         col("l_extendedprice"))
 
   /** TPC-H Q3 shape: 3-way join + agg + top-k.
-    * customer is small → broadcast; orders⋈lineitem shuffles on the
-    * join key; TakeOrderedAndProject caps the sort at k. */
+    * Only the filtered *dimension* (customer) is broadcast — into the
+    * orders fact scan; orders⋈lineitem then shuffle-joins on the order
+    * key. (Round 1 broadcast the customer⋈orders OUTPUT — a fact-join
+    * result that doesn't shrink with scale and would OOM the driver at
+    * 100×.) TakeOrderedAndProject caps the sort at k. */
   def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = t(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
     val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > lit("1997-01-01"))
-    l.join(broadcast(c.join(o, c("c_custkey") === o("o_custkey"))
-        .select(col("o_orderkey"), col("o_orderdate"))),
+    l.join(o.join(broadcast(c), c("c_custkey") === o("o_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))

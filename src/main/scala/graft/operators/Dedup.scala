@@ -52,11 +52,29 @@ object Dedup {
       .filter(col("n_copies") >= 1)
       .select(col("fp"), col("keep_id"), col("n_copies"))
 
+  /** Document-frequency cap for n-gram Jaccard: shingles shared by
+    * more than this many docs are boilerplate — near-zero Jaccard
+    * signal, quadratic join cost (k docs sharing a shingle → k²/2
+    * candidate rows on ONE key). Dropping them before the self-join is
+    * the standard DF-cap and the thing that keeps this plan alive at
+    * 100 TB (a viral 3-gram can no longer produce 10¹² rows). */
+  val MaxShingleDf = 50
+
   /** N-gram Jaccard near-dup: candidate pairs via an equi-join on
     * shared shingles (inverted index — no cross product), then exact
-    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|). */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over the DF-capped shingle
+    * sets (both intersection and set sizes use capped sets, so the
+    * measure stays consistent). */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                   maxDf: Int = MaxShingleDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // One shuffle on shingle tags each row with its document frequency;
+    // the self-join below reuses that partitioning.
+    val sh = shingles(spark, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+      .cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -90,28 +108,30 @@ object Dedup {
     * similarity as the fraction of matching minhashes. The banding
     * join is the scale path: shuffle on (band_id, band_key), never n². */
   def minhashLsh(spark: SparkSession, dir: String, minEstSim: Double = 0.25): DataFrame = {
-    val sig = minhashSignatures(spark, dir).cache()
     val nBands = NumHashes / 2
-    val bands = sig.select(
-      col("doc_id"),
-      explode(array((0 until nBands).map { b =>
-        struct(lit(b).as("band_id"),
-          concat_ws(":", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band_id"), col("bk.band_key"))
-    val cand = bands.as("x").join(bands.as("y"),
+    // Carry the full signature (an array of 16 longs) on every band
+    // row: the band join then yields est-sim directly, instead of
+    // re-joining the signature table twice afterwards (round-1 plan
+    // spent two extra shuffles on that).
+    val bands = minhashSignatures(spark, dir)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band_id"),
+            concat_ws(":", col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1)).as("band_key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band_id"), col("bk.band_key"))
+    val estSim = aggregate(
+      zip_with(col("x.sig"), col("y.sig"), (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / NumHashes
+    bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    val estSim = (0 until NumHashes)
-      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / NumHashes
-    cand
-      .join(sig.as("a"), col("id_a") === col("a.doc_id"))
-      .join(sig.as("b"), col("id_b") === col("b.doc_id"))
-      .select(col("id_a"), col("id_b"), estSim.as("est_sim"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        estSim.as("est_sim"))
+      .distinct() // a pair matching in k bands appears k times, same est_sim
       .filter(col("est_sim") >= minEstSim)
   }
 
@@ -139,18 +159,25 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .filter(col("n_docs") > 1)
 
-  /** Embedding-cosine near-dup pairs. Brute-force candidate pairs here
-    * (correct baseline, oracle-checkable); the 100 TB path is the
-    * LSH-bucketed variant in [[Similarity.annLsh]] with the same
-    * verify stage. Norms are precomputed per vector; dot/norm products
-    * sum in index order so the oracle's arithmetic matches exactly. */
+  /** Embedding-cosine near-dup pairs via hyperplane-LSH candidate
+    * generation: bucket every vector by [[Similarity.bucketExpr]]
+    * (sign pattern of 8 deterministic hyperplanes), equi-join on the
+    * bucket id, exact cosine verify within buckets only. This is the
+    * 100 TB shape — the join shuffles on a small int key and the work
+    * is Σ n_b² over buckets instead of n² (round 1 did the outright
+    * all-pairs cross join). Near-identical vectors agree on nearly
+    * every hyperplane sign, so recall at cos ≥ 0.98 is high; the plane
+    * count scales up with corpus size to keep buckets bounded.
+    * Norms/dots sum in index order so the oracle matches exactly. */
   def embeddingDup(spark: SparkSession, dir: String, threshold: Double = 0.98): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", expr(
         "sqrt(aggregate(transform(v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))"))
+      .withColumn("bucket", Similarity.bucketExpr)
     val dot = expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         (dot / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
@@ -172,12 +199,16 @@ object Dedup {
       |      unnest([w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] FOR i IN range(len(w) - 2)]) AS shingle
       |    FROM tok3))""".stripMargin
 
-  def ngramJaccardOracleSql(threshold: Double): String =
+  def ngramJaccardOracleSql(threshold: Double, maxDf: Int = MaxShingleDf): String =
     s"""$shingleCte,
-       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |shf AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+       |  WHERE df <= $maxDf),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
        |  CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
@@ -225,9 +256,10 @@ object Dedup {
   def embeddingDupOracleSql(threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v,
-       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+       |  ${Similarity.bucketSql("v")} AS bucket FROM e)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |  list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos_sim
-       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $threshold""".stripMargin
 }

@@ -56,12 +56,20 @@ object Similarity {
       .limit(k)
   }
 
-  /** LSH bucket id: bit b set iff dot(v, plane_b) >= 0. */
+  /** LSH bucket id: bit b set iff dot(v, plane_b) >= 0.
+    *
+    * Each plane's dot product is one `aggregate(zip_with(...))` over an
+    * array literal — a compact expression tree that stays inside
+    * whole-stage codegen (the round-1 form unrolled 8×64 multiply-adds
+    * into 512 nodes and fell out of codegen). Left-fold from 0.0 adds
+    * in the same index order as the oracle's sum, so signs match
+    * bit-for-bit. */
   def bucketExpr: Column = {
     (0 until NumPlanes).map { p =>
-      val dot = (0 until Dim).map { d =>
-        col("v").getItem(d) * lit(planeComponent(p, d))
-      }.reduce(_ + _)
+      val plane = array((0 until Dim).map(d => lit(planeComponent(p, d))): _*)
+      val dot = aggregate(
+        zip_with(col("v"), plane, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -98,8 +106,9 @@ object Similarity {
       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
 
   /** SQL text of the bucket id for a vector column named `v`
-    * (1-based indexing in DuckDB vs getItem's 0-based). */
-  private def bucketSql(v: String): String =
+    * (1-based indexing in DuckDB vs getItem's 0-based). Shared with
+    * [[Dedup.embeddingDupOracleSql]]. */
+  private[operators] def bucketSql(v: String): String =
     (0 until NumPlanes).map { p =>
       val dot = (0 until Dim)
         .map(d => s"$v[${d + 1}] * ${planeComponent(p, d)}").mkString(" + ")

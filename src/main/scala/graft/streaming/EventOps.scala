@@ -42,7 +42,8 @@ object EventOps {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1).otherwise(0))
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+          .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
@@ -75,9 +76,10 @@ object EventOps {
     * the same parquet, 10-minute watermark, 1-hour tumbling window.
     * Used by the streaming spec via the memory sink. */
   def streamingTumbling(spark: SparkSession, dir: String): DataFrame = {
-    val schema = t(spark, dir, "events").schema
+    val schema = graft.Tables.rawEventsSchema(spark, dir)
     spark.readStream.schema(schema)
       .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
