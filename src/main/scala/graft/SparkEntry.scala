@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreQueries => C, Dedup, Similarity, TextOps}
+import graft.operators.{CoreQueries => C, Dedup, GlueQueries, Similarity, TextOps}
 import graft.streaming.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -65,6 +65,16 @@ object SparkEntry {
     // (max same-bucket cosine ≈ 0.49), and an empty result would make
     // this a vacuous check.
     "d5_embedding_dup" -> ((s: SparkSession, d: String) => Dedup.embeddingDup(s, d, 0.4)),
+    // ---- engine facade round trips (SURVEY.md §2.10–§2.11) ----
+    "g1_ddl_roundtrip" -> (GlueQueries.g1DdlRoundtrip _),
+    "g2_insert_select" -> (GlueQueries.g2InsertSelect _),
+    "g3_constraints" -> (GlueQueries.g3Constraints _),
+    "g4_update_delete" -> (GlueQueries.g4UpdateDelete _),
+    "g5_view_vars" -> (GlueQueries.g5ViewVars _),
+    "g6_csv_roundtrip" -> (GlueQueries.g6CsvRoundtrip _),
+    // ---- dialect function batteries (SURVEY.md §2.7) ----
+    "f1_convert_casts" -> (GlueQueries.f1ConvertCasts _),
+    "f2_datetime_funcs" -> (GlueQueries.f2DatetimeFuncs _),
     // ---- similarity search ----
     "s1_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "s2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -306,6 +316,14 @@ object SparkEntry {
     "d3_minhash_lsh" -> Dedup.minhashLshOracleSql(0.25),
     "d4_simhash" -> Dedup.simhashOracleSql,
     "d5_embedding_dup" -> Dedup.embeddingDupOracleSql(0.4),
+    "g1_ddl_roundtrip" -> GlueQueries.g1OracleSql,
+    "g2_insert_select" -> GlueQueries.g2OracleSql,
+    "g3_constraints" -> GlueQueries.g3OracleSql,
+    "g4_update_delete" -> GlueQueries.g4OracleSql,
+    "g5_view_vars" -> GlueQueries.g5OracleSql,
+    "g6_csv_roundtrip" -> GlueQueries.g6OracleSql,
+    "f1_convert_casts" -> GlueQueries.f1OracleSql,
+    "f2_datetime_funcs" -> GlueQueries.f2OracleSql,
     "s1_brute_topk" -> Similarity.bruteTopKOracleSql(0L, 10),
     "s2_ann_lsh" -> Similarity.annLshOracleSql(0L, 10),
     "s3_lsh_buckets" -> Similarity.lshBucketsOracleSql,

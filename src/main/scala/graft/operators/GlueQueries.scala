@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.Tables
+import graft.engine.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CORRECTNESS-gate queries that exercise the [[graft.engine.Engine]]
+  * facade end-to-end — DDL/DML round trips whose *final state* is
+  * expressible as DuckDB oracle SQL (a VALUES literal, or the
+  * equivalent pure-SELECT over the driver's testdata). Each query
+  * resets its own database (DROP IF EXISTS + fresh temp location) so
+  * reruns are deterministic.
+  *
+  * Reference shapes mirrored: tests/ability/base/basic.rs (create/
+  * insert/select round trip), tests/functionality/statement/
+  * simple_insert.rs, tests/ability/column_option/{auto_increment,
+  * default,unique}.rs, tests/ability/alter/view/create_view.rs,
+  * tests/api/csv.rs.
+  */
+object GlueQueries {
+
+  private def freshDb(g: Engine, name: String): Unit = {
+    g.execute(s"DROP DATABASE IF EXISTS $name")
+    val loc = java.nio.file.Files.createTempDirectory(s"graft_$name").toFile.getAbsolutePath
+    g.execute(s"CREATE DATABASE $name LOCATION '$loc'")
+  }
+
+  /** CREATE → INSERT VALUES → UPDATE → DELETE → SELECT round trip. */
+  def g1DdlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val g = new Engine(spark)
+    freshDb(g, "g1db")
+    g.execute("CREATE TABLE g1db.t (k INTEGER, v TEXT)")
+    g.execute("INSERT INTO g1db.t VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    g.execute("UPDATE g1db.t SET v = 'z' WHERE k >= 3")
+    g.execute("DELETE FROM g1db.t WHERE k = 2")
+    g.query("SELECT k, v FROM g1db.t")
+  }
+
+  def g1OracleSql: String =
+    """SELECT CAST(k AS BIGINT) AS k, v
+      |FROM (VALUES (1, 'a'), (3, 'z'), (4, 'z')) t(k, v)""".stripMargin
+
+  /** INSERT … SELECT from the testdata star schema into a managed
+    * table (reference: insert source is a full query,
+    * alter_row/insert.rs:27). */
+  def g2InsertSelect(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val g = new Engine(spark)
+    freshDb(g, "g2db")
+    g.execute("CREATE TABLE g2db.nat_count (r_name TEXT, n_nations INTEGER)")
+    g.execute(
+      """INSERT INTO g2db.nat_count
+        |SELECT r_name, COUNT(*) FROM region
+        |JOIN nation ON n_regionkey = r_regionkey GROUP BY r_name""".stripMargin)
+    g.query("SELECT r_name, n_nations FROM g2db.nat_count")
+  }
+
+  def g2OracleSql: String =
+    """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations
+      |FROM region JOIN nation ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** AUTO_INCREMENT + DEFAULT + NOT NULL/UNIQUE rejection: two bad
+    * inserts must fail without side effects, the good rows come back
+    * with generated ids and defaulted scores. */
+  def g3Constraints(spark: SparkSession, dir: String): DataFrame = {
+    val g = new Engine(spark)
+    freshDb(g, "g3db")
+    g.execute(
+      """CREATE TABLE g3db.u (id INTEGER AUTO_INCREMENT,
+        |name TEXT NOT NULL UNIQUE, score FLOAT DEFAULT 2.5)""".stripMargin)
+    g.execute("INSERT INTO g3db.u (name) VALUES ('a'), ('b')")
+    def mustFail(sql: String): Unit =
+      try { g.execute(sql); throw new IllegalStateException(s"expected failure: $sql") }
+      catch { case _: graft.engine.EngineException => }
+    mustFail("INSERT INTO g3db.u (name) VALUES (NULL)")   // NOT NULL
+    mustFail("INSERT INTO g3db.u (name) VALUES ('a')")    // UNIQUE vs existing
+    mustFail("INSERT INTO g3db.u (name) VALUES ('c'), ('c')") // UNIQUE in batch
+    g.execute("INSERT INTO g3db.u (name, score) VALUES ('d', 9.0)")
+    g.query("SELECT id, name, score FROM g3db.u")
+  }
+
+  def g3OracleSql: String =
+    """SELECT CAST(id AS BIGINT) AS id, name, CAST(score AS DOUBLE) AS score
+      |FROM (VALUES (1, 'a', 2.5), (2, 'b', 2.5), (3, 'd', 9.0)) u(id, name, score)""".stripMargin
+
+  /** UPDATE with expressions + DELETE over data loaded from testdata:
+    * final state equals a pure SELECT the oracle can state. */
+  def g4UpdateDelete(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val g = new Engine(spark)
+    freshDb(g, "g4db")
+    g.execute("CREATE TABLE g4db.c (custkey INTEGER, bal FLOAT)")
+    g.execute(
+      "INSERT INTO g4db.c SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 100")
+    g.execute("UPDATE g4db.c SET bal = bal * 2 WHERE custkey <= 50")
+    g.execute("DELETE FROM g4db.c WHERE bal < 0")
+    g.query("SELECT custkey, bal FROM g4db.c")
+  }
+
+  def g4OracleSql: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS custkey, new_bal AS bal FROM (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey <= 50 THEN c_acctbal * 2 ELSE c_acctbal END AS new_bal
+      |  FROM customer WHERE c_custkey <= 100)
+      |WHERE new_bal >= 0""".stripMargin
+
+  /** Views + session variables: the view body references @minbal at
+    * creation time (reference substitutes pre-planning). */
+  def g5ViewVars(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val g = new Engine(spark)
+    freshDb(g, "g5db")
+    g.execute("CREATE TABLE g5db.cust (nationkey INTEGER, acctbal FLOAT)")
+    g.execute("INSERT INTO g5db.cust SELECT c_nationkey, c_acctbal FROM customer")
+    g.execute("SET @minbal = 5000")
+    g.execute(
+      """CREATE OR REPLACE VIEW g5db.rich AS
+        |SELECT nationkey, acctbal FROM g5db.cust WHERE acctbal > @minbal""".stripMargin)
+    g.query(
+      """SELECT nationkey, COUNT(*) AS n_rich, SUM(acctbal) AS total
+        |FROM g5db.rich GROUP BY nationkey""".stripMargin)
+  }
+
+  def g5OracleSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  CAST(count(*) AS BIGINT) AS n_rich, sum(c_acctbal) AS total
+      |FROM customer WHERE c_acctbal > 5000 GROUP BY 1""".stripMargin
+
+  /** CSV database: mount a file, engine-insert into it, read it back
+    * (reference tests/api/csv.rs round trip + csv/discern.rs
+    * inference — age infers BIGINT, height DOUBLE). */
+  def g6CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val g = new Engine(spark)
+    g.execute("DROP DATABASE IF EXISTS g6db")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_g6").toFile
+    val csv = new java.io.File(tmp, "people.csv")
+    java.nio.file.Files.writeString(csv.toPath,
+      "name,age,height\nalice,30,1.5\nbob,25,1.75\n")
+    g.execute(s"CREATE DATABASE g6db LOCATION '${csv.getAbsolutePath}'")
+    g.execute("INSERT INTO g6db.people VALUES ('carol', 41, 2.0)")
+    g.query("SELECT name, age, height FROM g6db.people")
+  }
+
+  def g6OracleSql: String =
+    """SELECT name, CAST(age AS BIGINT) AS age, CAST(height AS DOUBLE) AS height
+      |FROM (VALUES ('alice', 30, 1.5), ('bob', 25, 1.75), ('carol', 41, 2.0))
+      |  p(name, age, height)""".stripMargin
+
+  /** Dialect scalar battery 1: CONVERT/TRY_CONVERT core casts, IIF,
+    * byte-LEN (reference function.rs:124-166, utility.rs). */
+  def f1ConvertCasts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    new Engine(spark).query(
+      """SELECT o_orderkey,
+        |  CONVERT('TEXT', o_orderkey) AS okey_s,
+        |  CONVERT('INTEGER', CONVERT('TEXT', o_orderkey)) AS okey_rt,
+        |  CONVERT('FLOAT', o_orderkey) AS okey_f,
+        |  TRY_CONVERT('INTEGER', o_orderstatus) AS bad_int,
+        |  CONVERT('INTEGER', o_totalprice) AS price_trunc,
+        |  IIF(o_totalprice > 200000, 'big', 'small') AS sz,
+        |  LEN(o_orderpriority) AS pr_len
+        |FROM orders WHERE o_orderkey <= 200""".stripMargin)
+  }
+
+  def f1OracleSql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey AS VARCHAR) AS okey_s,
+      |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS okey_rt,
+      |  CAST(o_orderkey AS DOUBLE) AS okey_f,
+      |  TRY_CAST(o_orderstatus AS BIGINT) AS bad_int,
+      |  CAST(trunc(o_totalprice) AS BIGINT) AS price_trunc,
+      |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS sz,
+      |  CAST(length(o_orderpriority) AS INTEGER) AS pr_len
+      |FROM orders WHERE o_orderkey <= 200""".stripMargin
+
+  /** Dialect scalar battery 2: the datetime family on epoch-seconds
+    * values — DATETIME render, rule-22 parse, DATEADD month clamping,
+    * DATEFROMPARTS, MONEY formatting (reference cast.rs:146-303,
+    * timestamp.rs:147-314). */
+  def f2DatetimeFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    new Engine(spark).query(
+      """SELECT o_orderkey,
+        |  CONVERT('TEXT', unix_timestamp(o_orderdate), 'DATETIME') AS dt_s,
+        |  CONVERT('TIMESTAMP', date_format(o_orderdate, 'yyyy-MM-dd'), 22) AS day_epoch,
+        |  DATEADD('MONTH', 1, unix_timestamp(o_orderdate)) AS plus_month,
+        |  DATEADD('DAY', 40, unix_timestamp(o_orderdate)) AS plus_days,
+        |  DATEFROMPARTS(year(o_orderdate), month(o_orderdate), 1) AS month_start,
+        |  CONVERT('TEXT', CAST(o_orderkey AS FLOAT) * 1000 + 0.5, 'MONEY') AS money_s
+        |FROM orders WHERE o_orderkey <= 200""".stripMargin)
+  }
+
+  def f2OracleSql: String =
+    """SELECT o_orderkey,
+      |  strftime(to_timestamp(epoch(o_orderdate)), '%Y-%m-%d %H:%M:%S') AS dt_s,
+      |  CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day_epoch,
+      |  CAST(epoch(o_orderdate + INTERVAL 1 MONTH) AS BIGINT) AS plus_month,
+      |  CAST(epoch(o_orderdate + INTERVAL 40 DAY) AS BIGINT) AS plus_days,
+      |  CAST(epoch(make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+      |    CAST(month(o_orderdate) AS BIGINT), 1, 0, 0, 0.0)) AS BIGINT) AS month_start,
+      |  '$' || format('{:,}', CAST(o_orderkey * 1000 AS BIGINT)) || '.5' AS money_s
+      |FROM orders WHERE o_orderkey <= 200""".stripMargin
+}
