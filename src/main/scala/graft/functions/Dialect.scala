@@ -154,7 +154,10 @@ object Dialect {
           case None => textCast(v, tryMode)
           case Some(r) if isDefaultRule(r) => textCast(v, tryMode)
           case Some(r) =>
-            litString(r).map(_.toUpperCase) match {
+            // Named rules match case-sensitively like the reference
+            // (cast.rs:172-190); anything else is a strftime format and
+            // must keep its original case (%m month vs %M minute).
+            litString(r) match {
               case Some("DATETIME") =>
                 // epoch seconds → 'YYYY-MM-DD HH:MM:SS' (cast.rs:174-178)
                 fn("date_format",
@@ -184,11 +187,11 @@ object Dialect {
               case Some(other) =>
                 throw new IllegalArgumentException(s"CONVERT TIMESTAMP: unknown rule $other")
               case None =>
-                litString(r).map(_.toUpperCase) match {
+                litString(r) match {
                   case Some("TIMESTAMP") => Cast(v, LongType)
                   case Some(named) if tryLists.contains(named) =>
                     Coalesce(tryLists(named).map(parseByRule(v, _)))
-                  case Some(custom) =>
+                  case Some(custom) => // keep case: %m month vs %M minute
                     Cast(fn("try_to_timestamp", Cast(v, StringType),
                       Literal(strftimeToJava(custom))), LongType)
                   case None =>

@@ -77,8 +77,11 @@ object EventOps {
     * Used by the streaming spec via the memory sink. */
   def streamingTumbling(spark: SparkSession, dir: String): DataFrame = {
     val schema = graft.Tables.rawEventsSchema(spark, dir)
+    // The file source needs a directory; glob-filter to the events
+    // file inside the testdata dir.
     spark.readStream.schema(schema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
