@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreQueries => C, Dedup, GlueQueries, Similarity, TextOps}
+import graft.operators.{CoreQueries => C, Dedup, GlueQueries, Multimodal, Similarity, TextOps}
 import graft.streaming.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -75,6 +75,10 @@ object SparkEntry {
     // ---- dialect function batteries (SURVEY.md §2.7) ----
     "f1_convert_casts" -> (GlueQueries.f1ConvertCasts _),
     "f2_datetime_funcs" -> (GlueQueries.f2DatetimeFuncs _),
+    // ---- multimodal columns (binary + typed metadata; decode stubbed) ----
+    "m1_media_meta" -> (Multimodal.m1MediaMeta _),
+    "m2_frame_sample" -> (Multimodal.m2FrameSample _),
+    "m3_feature_summary" -> (Multimodal.m3FeatureSummary _),
     // ---- similarity search ----
     "s1_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "s2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -316,6 +320,12 @@ object SparkEntry {
     "d3_minhash_lsh" -> Dedup.minhashLshOracleSql(0.25),
     "d4_simhash" -> Dedup.simhashOracleSql,
     "d5_embedding_dup" -> Dedup.embeddingDupOracleSql(0.4),
+    // m3 has no oracle entry on purpose: its features come from the
+    // typed mapPartitions codec path (not SQL-expressible) → the
+    // driver records the weaker rows-only check; the ScalaTest spec
+    // pins the exact values.
+    "m1_media_meta" -> Multimodal.m1OracleSql,
+    "m2_frame_sample" -> Multimodal.m2OracleSql,
     "g1_ddl_roundtrip" -> GlueQueries.g1OracleSql,
     "g2_insert_select" -> GlueQueries.g2OracleSql,
     "g3_constraints" -> GlueQueries.g3OracleSql,

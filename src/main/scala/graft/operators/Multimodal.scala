@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators: image/audio/video content carried as
+  * opaque `binary` columns with a typed metadata struct, plus the
+  * decode / feature-extract / resize / frame-sample stages a
+  * training-data pipeline runs over them. The reference has no media
+  * support (north-star extension surface).
+  *
+  * Codec reality: this container has no image/audio libraries, so the
+  * *codec* step is a clearly-marked deterministic stand-in
+  * ([[decodeStub]] — byte histogram instead of pixel decode). What IS
+  * real, and what this module is for, is the Spark-side plumbing that
+  * survives 100 TB:
+  *  - content stays an opaque `BinaryType` column end-to-end — never
+  *    stringified, never collected;
+  *  - metadata is a typed struct column, so pruning works (a query on
+  *    `meta.width` must not fetch `content` — the struct lives in its
+  *    own parquet column chunk);
+  *  - per-partition batch processing via typed `mapPartitions` — the
+  *    same iterator shape a real decoder (or GPU batch) plugs into,
+  *    with batch size bounded by partition size, not dataset size;
+  *  - frame sampling is a narrow transform (no shuffle): each row
+  *    yields its k-sampled frames via `posexplode`.
+  *
+  * The synthetic media corpus derives deterministically from the
+  * `documents` table (UTF-8 bytes as content), so every stage is
+  * reproducible and the DuckDB oracle can verify the structural
+  * outputs (lengths, frame counts, checksums).
+  */
+object Multimodal {
+
+  /** Bytes per synthetic video "frame". */
+  val FrameSize = 256
+  /** Keep every k-th frame when sampling. */
+  val SampleEvery = 4
+
+  /** Typed row for the batch-processing path. */
+  final case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, media_type: String,
+      n_bytes: Long, entropy_q: Long, histogram: Array[Double])
+
+  /** Synthetic media table from `documents`: content = UTF-8 bytes,
+    * media_type assigned round-robin by doc_id, metadata struct
+    * derived from the content (the shape a real ingest would parse
+    * from codec headers). */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .withColumn("media_type",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      .withColumn("meta", struct(
+        octet_length(col("content")).as("n_bytes"),
+        when(col("media_type") === "image",
+          struct(lit(64).as("width"), lit(48).as("height")))
+          .otherwise(struct(lit(0).as("width"), lit(0).as("height"))).as("image"),
+        when(col("media_type") === "audio", lit(16000)).otherwise(lit(0)).as("sample_rate"),
+        when(col("media_type") === "video",
+          floor(octet_length(col("content")) / FrameSize)).otherwise(lit(0L)).as("n_frames")))
+
+  /** Structural summary — the oracle-checkable stage: metadata fields
+    * and frame-sampling arithmetic, content untouched (and pruned away
+    * by Catalyst: only `meta`/`doc_id` are read). */
+  def m1MediaMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).select(
+      col("doc_id"),
+      col("media_type"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.sample_rate").as("sample_rate"),
+      col("meta.n_frames").as("n_frames"),
+      // frames kept when sampling every SampleEvery-th frame
+      when(col("media_type") === "video",
+        ceil(col("meta.n_frames") / lit(SampleEvery.toDouble)))
+        .otherwise(lit(0L)).cast("long").as("n_sampled"))
+
+  def m1OracleSql: String =
+    s"""SELECT doc_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate,
+       |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) // $FrameSize ELSE 0 END AS BIGINT) AS n_frames,
+       |  CAST(CASE WHEN doc_id % 3 = 2
+       |    THEN CAST(ceil((octet_length(encode(text)) // $FrameSize) / $SampleEvery.0) AS BIGINT)
+       |    ELSE 0 END AS BIGINT) AS n_sampled
+       |FROM documents""".stripMargin
+
+  /** Frame sampling as a narrow transform: split video content into
+    * FrameSize-byte frames, keep every SampleEvery-th, emit one row
+    * per kept frame with its checksum. Zero shuffle — `posexplode` of
+    * a per-row computed array; at 100 TB this is map-only work. */
+  def m2FrameSample(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      // n_frames >= 1 guard matters: sequence(0, -1) in Spark yields a
+      // DESCENDING [0, -1], not empty — zero-frame docs would emit
+      // phantom frames.
+      .filter(col("media_type") === "video" && col("meta.n_frames") >= 1)
+      .select(col("doc_id"), col("meta.n_frames").as("n_frames"),
+        posexplode(expr(
+          s"""transform(
+             |  filter(sequence(0, int(meta.n_frames) - 1), i -> i % $SampleEvery = 0),
+             |  i -> substring(content, i * $FrameSize + 1, $FrameSize))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("sample_idx"),
+        // checksum over the hex encoding: DuckDB's md5 only accepts
+        // VARCHAR, and hex is identical on both sides (uppercase)
+        md5(hex(col("col"))).as("frame_md5"),
+        octet_length(col("col")).as("frame_bytes"))
+
+  def m2OracleSql: String =
+    s"""WITH v AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) // $FrameSize AS n_frames
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |idx AS (
+       |  SELECT doc_id, hx, i, CAST(i // $SampleEvery AS INTEGER) AS sample_idx
+       |  FROM (SELECT doc_id, hx, unnest(range(0, n_frames)) AS i FROM v WHERE n_frames >= 1)
+       |  WHERE i % $SampleEvery = 0)
+       |SELECT doc_id, sample_idx,
+       |  md5(substring(hx, CAST(i * ${2 * FrameSize} + 1 AS INTEGER), ${2 * FrameSize})) AS frame_md5,
+       |  CAST($FrameSize AS INTEGER) AS frame_bytes
+       |FROM idx""".stripMargin
+
+  /** STUB CODEC — deterministic stand-in for image/audio decode (no
+    * media libraries in this container). Produces a normalized
+    * 16-bin byte histogram; a real deployment swaps this body for
+    * e.g. a JNI decoder, keeping the signature Array[Byte] →
+    * Array[Double]. */
+  def decodeStub(content: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < content.length) {
+      hist((content(i) & 0xFF) >> 4) += 1.0
+      i += 1
+    }
+    val n = math.max(1, content.length).toDouble
+    hist.map(_ / n)
+  }
+
+  /** Shannon entropy of the histogram, quantized to integer
+    * millibits — stable across platforms for oracle-free checks. */
+  private def entropyQ(hist: Array[Double]): Long = {
+    val h = -hist.filter(_ > 0).map(p => p * math.log(p) / math.log(2)).sum
+    math.round(h * 1000)
+  }
+
+  /** Batch feature extraction through the typed `mapPartitions` path:
+    * one iterator per partition (the real-decoder batch shape —
+    * partition size bounds memory, a GPU codec would consume the same
+    * iterator). Returns a typed Dataset so downstream ops keep the
+    * schema. */
+  def m3Features(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("media_type"), col("content"))
+      .as[MediaRow]
+      .mapPartitions { batch =>
+        batch.map { r =>
+          val hist = decodeStub(r.content)
+          MediaFeatures(r.doc_id, r.media_type, r.content.length.toLong,
+            entropyQ(hist), hist)
+        }
+      }
+  }
+
+  /** m3 as a DataFrame battery entry (histogram dropped: entropy is
+    * the scalar summary; the full vector is exercised in the spec). */
+  def m3FeatureSummary(spark: SparkSession, dir: String): DataFrame =
+    m3Features(spark, dir).toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"), col("entropy_q"))
+
+  /** "Resize" stub for image content through the typed batch path
+    * (where a real resampler runs): cycle bytes to the exact target
+    * size, metadata rebuilt in lockstep — content AND meta must
+    * change together. */
+  def resizeStub(spark: SparkSession, dir: String, targetBytes: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val resized = mediaTable(spark, dir)
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), col("media_type"), col("content"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val out = new Array[Byte](targetBytes)
+        var i = 0
+        while (i < targetBytes) {
+          out(i) = if (r.content.isEmpty) 0 else r.content(i % r.content.length)
+          i += 1
+        }
+        r.copy(content = out)
+      })
+    resized.toDF().withColumn("meta", struct(
+      lit(targetBytes).as("n_bytes"),
+      struct(lit(32).as("width"), lit(32).as("height")).as("image"),
+      lit(0).as("sample_rate"), lit(0L).as("n_frames")))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing: binary columns stay binary, metadata structs
+  * stay consistent with content, the typed mapPartitions codec path
+  * produces the documented features, and frame sampling is exact. */
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.session
+  private val dir = SparkFixture.Sf0001
+
+  test("media table carries binary content + typed metadata struct") {
+    val df = Multimodal.mediaTable(spark, dir)
+    val schema = df.schema
+    assert(schema("content").dataType.typeName == "binary")
+    val meta = schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSet == Set("n_bytes", "image", "sample_rate", "n_frames"))
+    val r = df.filter(col("media_type") === "video").limit(1)
+      .select(col("meta.n_bytes"), octet_length(col("content"))).collect()(0)
+    assert(r.get(0) == r.get(1)) // meta agrees with content
+  }
+
+  test("decode stub: normalized histogram, 16 bins") {
+    val h = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    assert(h.length == 16)
+    assert(math.abs(h.sum - 1.0) < 1e-9)
+    // 'h'(0x68),'e'(0x65),'l','l','o'… all in bin 6 or 7 except space (0x20 → bin 2)
+    assert(h(2) > 0 && h(6) > 0)
+  }
+
+  test("typed mapPartitions features match a direct computation") {
+    val row = Multimodal.m3Features(spark, dir)
+      .filter(col("doc_id") === 0).collect()(0)
+    val content = Multimodal.mediaTable(spark, dir)
+      .filter(col("doc_id") === 0).select(col("content"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val expect = Multimodal.decodeStub(content)
+    assert(row.n_bytes == content.length.toLong)
+    assert(row.histogram.toSeq == expect.toSeq)
+    assert(row.entropy_q > 0 && row.entropy_q <= 4000) // ≤ log2(16) bits
+  }
+
+  test("frame sampling keeps every k-th frame with exact checksums") {
+    // longest video in the corpus (sf0.001 docs are short — none may
+    // reach a second sampled frame, so assert on what exists)
+    val probe = Multimodal.mediaTable(spark, dir)
+      .filter(col("media_type") === "video" && col("meta.n_frames") >= 1)
+      .orderBy(col("meta.n_frames").desc, col("doc_id")).limit(1)
+      .select(col("doc_id"), col("content"), col("meta.n_frames")).collect()(0)
+    val docId = probe.getLong(0)
+    val bytes = probe.getAs[Array[Byte]](1)
+    val nFrames = probe.getLong(2)
+    val rows = Multimodal.m2FrameSample(spark, dir)
+      .filter(col("doc_id") === docId)
+      .orderBy(col("sample_idx")).collect()
+    val expectCount = math.ceil(nFrames.toDouble / Multimodal.SampleEvery).toLong
+    assert(rows.length.toLong == expectCount)
+    // frame_md5 = md5 over the uppercase-hex rendering of the frame
+    def md5OfHex(b: Array[Byte]): String = {
+      val hx = b.map("%02X".format(_)).mkString
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(hx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val frame = bytes.slice(i * Multimodal.SampleEvery * Multimodal.FrameSize,
+        i * Multimodal.SampleEvery * Multimodal.FrameSize + Multimodal.FrameSize)
+      assert(r.getAs[String]("frame_md5") == md5OfHex(frame),
+        s"frame $i checksum mismatch")
+    }
+  }
+
+  test("resize stub updates content and metadata in lockstep") {
+    val r = Multimodal.resizeStub(spark, dir, targetBytes = 512)
+      .select(octet_length(col("content")), col("meta.n_bytes")).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(row => row.getInt(0) == 512 && row.getInt(1) == 512))
+  }
+
+  test("stored media table prunes content for metadata-only queries") {
+    // The at-scale claim: once media lives in parquet, a query on
+    // meta/doc_id must not read the (huge) content column chunks.
+    val tmp = java.nio.file.Files.createTempDirectory("media_prune").toFile
+    Multimodal.mediaTable(spark, dir).write.mode("overwrite")
+      .parquet(s"$tmp/media")
+    val scan = spark.read.parquet(s"$tmp/media")
+      .select(col("doc_id"), col("media_type"), col("meta.n_bytes"))
+    val physical = scan.queryExecution.executedPlan.toString
+    val readSchema = physical.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse(physical)
+    assert(!readSchema.contains("content"), s"content not pruned: $readSchema")
+  }
+}
