@@ -20,16 +20,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Measured WITHOUT table caching, deliberately: a controlled
+    // experiment showed blanket .cache() of all tables makes later
+    // string-heavy queries up to 40× slower once the storage pool has
+    // churned (e2: 51 s cached vs 1.1 s after clearCache), a net loss
+    // for the battery. Parquet scans of these sizes are already fast
+    // and measure the same path a 100 TB run uses. Session warm-up
+    // (JIT/codegen) comes from the first queries themselves.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // Two samples per query, report the min — the same idea as the
+    // reference's criterion harness (multiple samples + reduction,
+    // benches/bench.rs:211-216): one transient host stall (observed
+    // 30 s+ cgroup throttles) otherwise lands on whichever query is
+    // running and dominates its number.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> samples.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

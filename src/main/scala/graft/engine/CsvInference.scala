@@ -28,9 +28,16 @@ object CsvInference {
       .option("inferSchema", "false")
       .csv(path)
     val sample = raw.limit(sampleRows + 1).collect()
+      .map(_.toSeq.map(v => Option(v).map(_.toString).getOrElse("")))
     if (sample.isEmpty)
       throw new EngineException(s"empty CSV: $path")
-    val first = sample.head.toSeq.map(v => Option(v).map(_.toString).getOrElse(""))
+    inferFromRows(sample.toIndexedSeq, sampleRows)
+  }
+
+  /** Shared policy core, also used by the XLSX mount: header detect on
+    * the first row, unanimous type per column over the sample. */
+  def inferFromRows(sample: Seq[Seq[String]], sampleRows: Int = 100): Inferred = {
+    val first = sample.head
     val hasHeader = !first.exists(c => isBool(c) || isLong(c) || isDouble(c))
     val names =
       if (hasHeader) first.map(_.trim)
@@ -38,9 +45,7 @@ object CsvInference {
     val dataRows = (if (hasHeader) sample.tail else sample).take(sampleRows)
 
     val columns = names.zipWithIndex.map { case (name, i) =>
-      val cells = dataRows.toSeq
-        .map(r => Option(r.get(i)).map(_.toString).getOrElse(""))
-        .filter(_.nonEmpty)
+      val cells = dataRows.map(r => if (i < r.length) r(i) else "").filter(_.nonEmpty)
       val dt: DataType =
         if (cells.isEmpty) StringType
         else if (cells.forall(isBool)) BooleanType
@@ -49,6 +54,6 @@ object CsvInference {
         else StringType
       ColumnMeta(name, dt)
     }
-    Inferred(hasHeader, columns)
+    Inferred(hasHeader, columns.toSeq)
   }
 }

@@ -195,6 +195,9 @@ class Engine(val spark: SparkSession) {
         case Some(path) if path.toLowerCase.endsWith(".csv") =>
           spark.sql(s"CREATE DATABASE `$name`")
           mountCsv(name, path)
+        case Some(path) if path.toLowerCase.endsWith(".xlsx") =>
+          spark.sql(s"CREATE DATABASE `$name`")
+          mountXlsx(name, path)
         case Some(path) =>
           val dir = new java.io.File(path)
           dir.mkdirs()
@@ -220,6 +223,53 @@ class Engine(val spark: SparkSession) {
          |OPTIONS (path '$path', header '${inf.hasHeader}')""".stripMargin)
     meta.put(db, tableName, TableMeta(inf.columns,
       csvPath = Some(path), csvHasHeader = inf.hasHeader))
+  }
+
+  /** XLSX (Sheet) database: one table per worksheet (reference
+    * src/databases/sheet/mod.rs:26-51). Sheet rows are imported into a
+    * managed parquet mirror (queries scan parquet, distributed); any
+    * mutation rewrites the whole workbook, like the reference's
+    * save-on-mutation. */
+  private def mountXlsx(db: String, path: String): Unit = {
+    val sheets = Xlsx.read(path)
+    if (sheets.isEmpty) throw new EngineException(s"workbook has no sheets: $path")
+    sheets.foreach { sheet =>
+      if (sheet.rows.isEmpty)
+        throw new EngineException(s"empty worksheet ${sheet.name} in $path")
+      val inf = CsvInference.inferFromRows(sheet.rows)
+      val tbl = sheet.name
+      val fields = inf.columns.map(c => s"`${c.name}` ${typeName(c.dataType)}").mkString(", ")
+      spark.sql(s"CREATE TABLE `$db`.`$tbl` ($fields) USING parquet")
+      meta.put(db, tbl, TableMeta(inf.columns,
+        xlsxPath = Some(path), sheetName = sheet.name))
+      val dataRows = if (inf.hasHeader) sheet.rows.tail else sheet.rows
+      if (dataRows.nonEmpty) {
+        val strSchema = StructType(inf.columns.map(c => StructField(c.name, StringType)))
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            dataRows.map(r => Row.fromSeq(r.map(v => if (v.isEmpty) null else v))), 1),
+          strSchema)
+        df.select(inf.columns.map(c => col(c.name).cast(c.dataType)): _*)
+          .write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
+      }
+    }
+  }
+
+  /** Re-render every table backed by `path` from its parquet mirror
+    * and rewrite the workbook (save whole book on mutation, reference
+    * sheet/mutable.rs). */
+  private def syncXlsx(path: String): Unit = {
+    val sheets = meta.entries.collect {
+      case (key, tm) if tm.xlsxPath.contains(path) =>
+        val Array(db, tbl) = key.split("\\.", 2)
+        val header = tm.columns.map(_.name)
+        val rows = spark.table(s"`$db`.`$tbl`").collect().toSeq.map(_.toSeq.map {
+          case null => ""
+          case v => v.toString
+        })
+        Xlsx.Sheet(tm.sheetName, header +: rows)
+    }
+    Xlsx.write(path, sheets)
   }
 
   private def mountExistingParquet(db: String, dir: java.io.File): Unit = {
@@ -349,23 +399,29 @@ class Engine(val spark: SparkSession) {
     }
 
     out = out.localCheckpoint(true)
-    val n = out.count()
 
-    // NOT NULL (reference validate.rs)
-    tm.columns.filter(c => !c.nullable).foreach { cm =>
-      if (out.filter(col(cm.name).isNull).limit(1).count() > 0)
+    // NOT NULL (reference validate.rs): all columns checked in ONE
+    // aggregate job together with the row count, not one job each.
+    val notNullCols = tm.columns.filter(c => !c.nullable)
+    val checkAggs = count(lit(1)).as("__n") +:
+      notNullCols.map(cm => sum(when(col(cm.name).isNull, 1).otherwise(0)).as(s"__nn_${cm.name}"))
+    val checkRow = out.agg(checkAggs.head, checkAggs.tail: _*).collect()(0)
+    val n = checkRow.getLong(0)
+    notNullCols.zipWithIndex.foreach { case (cm, i) =>
+      if (checkRow.getLong(i + 1) > 0)
         throw new EngineException(s"null value in NOT NULL column ${cm.name}")
     }
     // UNIQUE (reference validate_unique.rs:23-160): batch-internal
-    // duplicates, then overlap with existing rows via semi-join.
+    // duplicates and overlap with stored rows in one job per column —
+    // stored values are already unique, so any key appearing twice in
+    // stored ∪ batch is a violation.
     tm.columns.filter(c => c.unique || tm.indexes.exists(i => i.unique && i.column.equalsIgnoreCase(c.name))).foreach { cm =>
       val c = col(cm.name)
-      val internal = out.filter(c.isNotNull).groupBy(c).count().filter(col("count") > 1)
-      if (internal.limit(1).count() > 0)
-        throw new EngineException(s"duplicate entry in unique column ${cm.name}")
-      val existing = spark.table(s"`$db`.`$tbl`")
-        .join(out.select(c.as("__v")).filter(col("__v").isNotNull), c === col("__v"), "left_semi")
-      if (existing.limit(1).count() > 0)
+      val dupes = spark.table(s"`$db`.`$tbl`").select(c)
+        .unionAll(out.select(c))
+        .filter(c.isNotNull)
+        .groupBy(c).count().filter(col("count") > 1)
+      if (dupes.limit(1).count() > 0)
         throw new EngineException(s"duplicate entry in unique column ${cm.name}")
     }
 
@@ -388,6 +444,7 @@ class Engine(val spark: SparkSession) {
         spark.catalog.refreshTable(s"`$db`.`$tbl`")
       case None =>
         out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
+        tm.xlsxPath.foreach(syncXlsx)
     }
     autoCol.foreach(_ => meta.update(db, tbl)(m => m.copy(autoCounter = m.autoCounter + n)))
     Payload.Insert(n)
@@ -451,8 +508,10 @@ class Engine(val spark: SparkSession) {
     }
   }
 
-  private def overwriteTable(db: String, tbl: String, df: DataFrame): Unit =
+  private def overwriteTable(db: String, tbl: String, df: DataFrame): Unit = {
     df.write.mode(SaveMode.Overwrite).insertInto(s"`$db`.`$tbl`")
+    meta.get(db, tbl).flatMap(_.xlsxPath).foreach(syncXlsx)
+  }
 
   // ------------------------------------------------------------------
   // ALTER TABLE (reference alter_table/alter_table.rs:8-77)
@@ -530,6 +589,7 @@ class Engine(val spark: SparkSession) {
         // Reference resets the auto-increment counter on truncate
         // (alter_table/truncate.rs:8-40).
         meta.update(db, tbl)(_.copy(autoCounter = 1L))
+        meta.get(db, tbl).flatMap(_.xlsxPath).foreach(syncXlsx)
         Payload.TruncateTable
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
     }

@@ -35,6 +35,11 @@ final case class TableMeta(
       * driver-side, since a lone CSV file is not distributed storage. */
     csvPath: Option[String] = None,
     csvHasHeader: Boolean = true,
+    /** XLSX workbook path + worksheet name — set for Sheet-database
+      * tables (reference src/databases/sheet): mutations rewrite the
+      * whole book, queries scan the parquet mirror. */
+    xlsxPath: Option[String] = None,
+    sheetName: String = "",
     /** Next AUTO_INCREMENT value (reference
       * src/database/auto_increment.rs:6-33 keeps per-column counters;
       * single counter per table covers the reference's single
@@ -62,4 +67,7 @@ final class MetaStore {
     tables.remove(key(db, from)).foreach(m => tables(key(db, to)) = m)
   def update(db: String, table: String)(f: TableMeta => TableMeta): Unit =
     tables.get(key(db, table)).foreach(m => tables(key(db, table)) = f(m))
+  /** All (dbKey.tableKey, meta) entries — used to find sibling tables
+    * of a shared XLSX workbook. */
+  def entries: Seq[(String, TableMeta)] = tables.toSeq
 }

@@ -69,12 +69,15 @@ object Dedup {
                    maxDf: Int = MaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // One shuffle on shingle tags each row with its document frequency;
-    // the self-join below reuses that partitioning.
+    // the self-join below reuses that partitioning. NOT cached: the
+    // recompute (split+explode over a small scan) is cheaper than
+    // pinning millions of shingle rows in the storage pool for the
+    // rest of the session — a leaked cache here degraded every later
+    // string-heavy query in the benchmark battery.
     val sh = shingles(spark, dir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") <= maxDf)
       .drop("df")
-      .cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -109,10 +112,16 @@ object Dedup {
     * join is the scale path: shuffle on (band_id, band_key), never n². */
   def minhashLsh(spark: SparkSession, dir: String, minEstSim: Double = 0.25): DataFrame = {
     val nBands = NumHashes / 2
-    // Carry the full signature (an array of 16 longs) on every band
-    // row: the band join then yields est-sim directly, instead of
-    // re-joining the signature table twice afterwards (round-1 plan
-    // spent two extra shuffles on that).
+    // Signature pipeline (shingle explode + 16-way min agg over
+    // millions of rows) is the expensive stage — a band SELF-JOIN
+    // computes it twice (no exchange reuse fires, verified on the
+    // executed plan). Instead: compute once, ONE shuffle grouping
+    // band rows into buckets, generate candidate pairs inside each
+    // bucket locally. Signatures ride along, so est-sim needs no
+    // further join. Bucket pair-blowup is inherently quadratic in
+    // bucket size for ANY LSH formulation; near-dup buckets are
+    // small, and a df-cap (like d2's) is the standard guard if a
+    // degenerate corpus produces mega-buckets.
     val bands = minhashSignatures(spark, dir)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
@@ -122,34 +131,47 @@ object Dedup {
             concat_ws(":", col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1)).as("band_key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band_id"), col("bk.band_key"))
-    val estSim = aggregate(
-      zip_with(col("x.sig"), col("y.sig"), (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / NumHashes
-    bands.as("x").join(bands.as("y"),
-        col("x.band_id") === col("y.band_id") &&
-        col("x.band_key") === col("y.band_key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        estSim.as("est_sim"))
+    bands
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      // all (i < j) pairs within the bucket; ms sorted by doc_id so
+      // id_a < id_b holds by construction
+      .select(explode(expr(
+        s"""flatten(transform(ms, (a, i) ->
+           |  transform(slice(ms, i + 2, size(ms) - i - 1), b ->
+           |    named_struct(
+           |      'id_a', a.doc_id, 'id_b', b.doc_id,
+           |      'n_eq', aggregate(zip_with(a.sig, b.sig,
+           |        (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        (col("p.n_eq").cast("double") / NumHashes).as("est_sim"))
       .distinct() // a pair matching in k bands appears k times, same est_sim
       .filter(col("est_sim") >= minEstSim)
   }
 
   /** SimHash (32-bit): per-token portable hashes vote bit-by-bit;
-    * docs with identical simhash are near-dup candidates. */
+    * docs with identical simhash are near-dup candidates.
+    *
+    * Computed as a narrow per-row pass: token hashes via `transform`
+    * over the split array, each bit's ±1 vote via `aggregate` — no
+    * explode, so the ~200×-larger token stream never hits a shuffle
+    * (the round-1 explode+groupBy shuffled every token). The only
+    * shuffle left is the final groupBy on one long per doc. Bit sums
+    * are order-independent integer adds, so values are unchanged. */
   val SimHashBits = 32
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .select(col("doc_id"), portableHash(col("tok")).as("h"))
+    val hashes =
+      "transform(split(trim(text), '\\\\s+'), t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
     val bitSums = (0 until SimHashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+      s"aggregate(hs, 0L, (acc, h) -> acc + (CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END))"
     }
-    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until SimHashBits).map { b =>
-          when(col(s"s$b") > 0, lit(1L) * (1L << b)).otherwise(0L)
-        }.reduce(_ + _).as("simhash"))
+    val simhash = (0 until SimHashBits)
+      .map(b => s"(CASE WHEN ${bitSums(b)} > 0 THEN ${1L << b}L ELSE 0L END)")
+      .mkString(" + ")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), expr(hashes).as("hs"))
+      .select(col("doc_id"), expr(simhash).as("simhash"))
   }
 
   /** SimHash bucket dup groups: simhash values shared by >1 doc. */
