@@ -117,7 +117,7 @@ class Engine(val spark: SparkSession) {
     val schema = StructType(provided.map(_.sparkField))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1), schema)
-    insertDataFrame(db, tbl, tm, columns, df)
+    insertDataFrame(db, tbl, tm, columns, df)._1
   }
 
   // ------------------------------------------------------------------
@@ -167,8 +167,33 @@ class Engine(val spark: SparkSession) {
   }
 
   private def runSelect(sql: String): Payload = {
-    val df = spark.sql(sql)
+    val df = selectDf(sql)
     Payload.Select(df.columns.toSeq, df.collect().toSeq.map(_.toSeq))
+  }
+
+  private val insertCteRe = """(?is)WITH\s+([`"\w]+)\s+AS\s*\(.*""".r
+
+  /** SELECT evaluation, including the reference's INSERT-as-CTE-source
+    * (`WITH x AS (INSERT …) SELECT … FROM x` — set_expr.rs:83-97,
+    * tests/query/with.rs): the INSERT runs, and the rows it wrote
+    * become the CTE's table. */
+  private def selectDf(sql: String): DataFrame = sql match {
+    case insertCteRe(rawName) =>
+      val (body, end) = parenBlock(sql, sql.toUpperCase.indexOf("AS") + 2)
+      if (!body.trim.toUpperCase.startsWith("INSERT")) spark.sql(sql)
+      else {
+        val cteName = cleanIdent(rawName)
+        val (_, inserted) = insertReturning(body.trim)
+        inserted.createOrReplaceTempView(cteName)
+        try {
+          val rest = sql.substring(end).trim
+          val restSql = if (rest.startsWith(",")) "WITH " + rest.drop(1) else rest
+          // materialize before the temp view goes away
+          val out = spark.sql(restSql).localCheckpoint(true)
+          out
+        } finally spark.catalog.dropTempView(cteName)
+      }
+    case _ => spark.sql(sql)
   }
 
   // ------------------------------------------------------------------
@@ -198,6 +223,9 @@ class Engine(val spark: SparkSession) {
         case Some(path) if path.toLowerCase.endsWith(".xlsx") =>
           spark.sql(s"CREATE DATABASE `$name`")
           mountXlsx(name, path)
+        case Some(url) if url.toLowerCase.startsWith("jdbc:") =>
+          spark.sql(s"CREATE DATABASE `$name`")
+          mountJdbc(name, url)
         case Some(path) =>
           val dir = new java.io.File(path)
           dir.mkdirs()
@@ -272,6 +300,36 @@ class Engine(val spark: SparkSession) {
     Xlsx.write(path, sheets)
   }
 
+  /** JDBC database — the reference's ODBC backend analogue
+    * (src/databases/odbc/base.rs: external DBMS tables surfaced
+    * read-mostly). Every user table discovered through JDBC metadata
+    * is registered as a Spark `USING JDBC` table, so reads go through
+    * Spark's JDBC source (predicate pushdown included) and inserts
+    * through its InsertableRelation. The driver class must be on the
+    * classpath (Derby ships with Spark; others need their jar). */
+  private def mountJdbc(db: String, url: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val systemSchemas = Set("SYS", "SYSIBM", "INFORMATION_SCHEMA", "PG_CATALOG")
+      while (rs.next()) {
+        val schema = Option(rs.getString("TABLE_SCHEM")).getOrElse("")
+        val tname = rs.getString("TABLE_NAME")
+        if (!systemSchemas.contains(schema.toUpperCase)) {
+          val dbtable =
+            if (schema.nonEmpty) s""""$schema"."$tname"""" else s""""$tname""""
+          val local = tname.toLowerCase
+          spark.sql(
+            s"""CREATE TABLE `$db`.`$local` USING JDBC
+               |OPTIONS (url '$url', dbtable '$dbtable')""".stripMargin)
+          val cols = spark.table(s"`$db`.`$local`").schema.map(f =>
+            ColumnMeta(f.name, f.dataType))
+          meta.put(db, local, TableMeta(cols))
+        }
+      }
+    } finally conn.close()
+  }
+
   private def mountExistingParquet(db: String, dir: java.io.File): Unit = {
     val children = Option(dir.listFiles()).getOrElse(Array.empty)
     children.filter(f => f.getName.endsWith(".parquet") ||
@@ -332,7 +390,11 @@ class Engine(val spark: SparkSession) {
   // INSERT + constraint pipeline (reference alter_row/insert.rs:10-98)
   // ------------------------------------------------------------------
 
-  private def insert(sql: String): Payload = {
+  private def insert(sql: String): Payload = insertReturning(sql)._1
+
+  /** INSERT that also returns the written rows as a DataFrame (the
+    * `expect_data` path of reference alter_row/insert.rs:66-74). */
+  private def insertReturning(sql: String): (Payload, DataFrame) = {
     val re = """(?is)INSERT\s+INTO\s+([`"\w.]+)\s*(.*)""".r
     sql match {
       case re(rawName, rest0) =>
@@ -368,7 +430,7 @@ class Engine(val spark: SparkSession) {
     * AUTO_INCREMENT → NOT NULL check → UNIQUE check → append.
     * All checks are distributed aggregates, not driver loops. */
   private def insertDataFrame(db: String, tbl: String, tm: TableMeta,
-                              cols: Seq[String], src: DataFrame): Payload = {
+                              cols: Seq[String], src: DataFrame): (Payload, DataFrame) = {
     cols.foreach(c => if (tm.column(c).isEmpty)
       throw new EngineException(s"unknown column $c in $db.$tbl"))
     val positioned = src.toDF(cols: _*)
@@ -447,7 +509,7 @@ class Engine(val spark: SparkSession) {
         tm.xlsxPath.foreach(syncXlsx)
     }
     autoCol.foreach(_ => meta.update(db, tbl)(m => m.copy(autoCounter = m.autoCounter + n)))
-    Payload.Insert(n)
+    (Payload.Insert(n), out)
   }
 
   // ------------------------------------------------------------------
