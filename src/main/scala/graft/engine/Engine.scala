@@ -91,6 +91,21 @@ class Engine(val spark: SparkSession) {
   def query(sql: String): DataFrame =
     spark.sql(preprocess(stripTrailingSemi(sql)))
 
+  /** A prepared query: parsed once, re-analyzed and re-executed per
+    * run (so it always sees current table state). The reference's
+    * `pre_parse`/`execute_parsed` (glue/mod.rs:182-187). */
+  final class Prepared private[Engine] (
+      private[Engine] val plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+
+  def prepare(sql: String): Prepared =
+    new Prepared(org.apache.spark.sql.graft.Shims.parse(
+      spark, preprocess(stripTrailingSemi(sql))))
+
+  def executePrepared(p: Prepared): Payload = {
+    val df = org.apache.spark.sql.graft.Shims.ofRows(spark, p.plan)
+    Payload.Select(df.columns.toSeq, df.collect().toSeq.map(_.toSeq))
+  }
+
   /** Reference `select_as_string`: rows rendered as display strings. */
   def selectAsString(sql: String): Seq[Seq[String]] = {
     val df = query(sql)

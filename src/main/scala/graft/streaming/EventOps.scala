@@ -72,21 +72,65 @@ object EventOps {
         sum(when(col("purchased_after_click"), 1).otherwise(0)).as("n_purchased"))
   }
 
-  /** Structured Streaming form of [[tumblingCounts]]: file source over
-    * the same parquet, 10-minute watermark, 1-hour tumbling window.
-    * Used by the streaming spec via the memory sink. */
-  def streamingTumbling(spark: SparkSession, dir: String): DataFrame = {
+  /** Streaming source over the events parquet: file source (the
+    * directory is glob-filtered to the events file), nanos→µs ts. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = graft.Tables.rawEventsSchema(spark, dir)
-    // The file source needs a directory; glob-filter to the events
-    // file inside the testdata dir.
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Structured Streaming form of [[tumblingCounts]]: 10-minute
+    * watermark, 1-hour tumbling window. Verified against the batch
+    * result in the streaming spec via the memory sink. */
+  def streamingTumbling(spark: SparkSession, dir: String): DataFrame =
+    eventStream(spark, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /** Sliding-window variant: 1-hour windows every 15 minutes — each
+    * event lands in 4 windows; same state-store mechanics at scale. */
+  def streamingSliding(spark: SparkSession, dir: String): DataFrame =
+    eventStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n_events"))
+
+  /** Watermarked streaming dedup on event_id — the streaming form of
+    * exact dedup: state keeps ids inside the watermark horizon only,
+    * so state size is bounded by event-time skew, not stream length. */
+  def streamingDedup(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+
+  /** Custom keyed state via mapGroupsWithState: running per-user
+    * event count + latest event time (the KeyValueGroupedDataset
+    * state path a gap-sessionizer builds on; update-mode emission
+    * keeps it deterministic under any batch split). */
+  def streamingUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val typed = eventStream(spark, dir)
+      .select(col("user_id").as("user"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (user, events, state) =>
+          var (n, maxTs) = state.getOption.getOrElse((0L, Long.MinValue))
+          events.foreach { e =>
+            n += 1
+            if (e._2 > maxTs) maxTs = e._2
+          }
+          state.update((n, maxTs))
+          (user, n, maxTs)
+      }
+      .toDF("user_id", "n_events", "last_ts_us")
   }
 }

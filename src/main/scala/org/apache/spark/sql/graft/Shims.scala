@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Package-private escape hatch into Spark internals, for the one
+  * capability the public API doesn't expose: building a DataFrame
+  * from an already-parsed logical plan (prepared statements — the
+  * reference's `pre_parse`/`execute_parsed`, glue/mod.rs:182-187,
+  * caches parsed statements the same way). */
+object Shims {
+  def parse(spark: SparkSession, sql: String): LogicalPlan =
+    spark.sessionState.sqlParser.parsePlan(sql)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

@@ -66,6 +66,19 @@ class ConnectorsSpec extends AnyFunSuite {
       == Seq(Seq(3L), Seq(4L)))
   }
 
+  test("prepared statements re-execute against current table state") {
+    g.execute("DROP DATABASE IF EXISTS prep")
+    val loc = java.nio.file.Files.createTempDirectory("prep").toFile.getAbsolutePath
+    g.execute(s"CREATE DATABASE prep LOCATION '$loc'")
+    g.execute("CREATE TABLE prep.t (x INTEGER)")
+    g.execute("INSERT INTO prep.t VALUES (1), (2)")
+    val p = g.prepare("SELECT SUM(x) AS s FROM prep.t")
+    assert(g.executePrepared(p) == Payload.Select(Seq("s"), Seq(Seq(3L))))
+    g.execute("INSERT INTO prep.t VALUES (10)")
+    // parsed once, but execution sees the new row
+    assert(g.executePrepared(p) == Payload.Select(Seq("s"), Seq(Seq(13L))))
+  }
+
   test("explain of a query returns the physical plan") {
     val Payload.Select(labels, rows) =
       g.execute("EXPLAIN SELECT 1 AS one"): @unchecked

@@ -114,6 +114,14 @@ class DialectSpec extends AnyFunSuite {
     assert(one("SELECT XOR(true, true)") == false)
   }
 
+  test("YEAR through SECOND extract from timestamps") {
+    val r = g.query(
+      """SELECT year(t), month(t), day(t), hour(t), minute(t), second(t)
+        |FROM (SELECT TIMESTAMP '2022-03-05 10:30:15' AS t)""".stripMargin)
+      .collect()(0).toSeq
+    assert(r == Seq(2022, 3, 5, 10, 30, 15))
+  }
+
   test("NOW returns epoch seconds as integer") {
     val v = one("SELECT NOW()").asInstanceOf[Long]
     assert(v > 1700000000L && v < 4102444800L) // sane range: 2023..2100

@@ -35,4 +35,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.isStreaming)
     assert(df.queryExecution.logical.toString.contains("EventTimeWatermark"))
   }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  test("sliding windows: each event contributes to 4 windows") {
+    val dir = SparkFixture.Sf0001
+    runToMemory(EventOps.streamingSliding(spark, dir), "stream_sliding", "complete")
+    val streamed = spark.table("stream_sliding")
+    val total = streamed.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .collect()(0).getLong(0)
+    val nEvents = graft.Tables.t(spark, dir, "events").count()
+    assert(total == nEvents * 4)
+  }
+
+  test("watermarked dedup collapses a doubled stream to distinct ids") {
+    val dir = SparkFixture.Sf0001
+    val doubled = EventOps.eventStream(spark, dir).union(EventOps.eventStream(spark, dir))
+    runToMemory(EventOps.streamingDedup(doubled), "stream_dedup", "append")
+    val streamed = spark.table("stream_dedup").count()
+    val distinctIds = graft.Tables.t(spark, dir, "events")
+      .select("event_id").distinct().count()
+    assert(streamed == distinctIds)
+  }
+
+  test("mapGroupsWithState keeps running per-user counts") {
+    val dir = SparkFixture.Sf0001
+    runToMemory(EventOps.streamingUserCounts(spark, dir), "stream_ucount", "update")
+    import org.apache.spark.sql.functions._
+    // last update per user equals the batch per-user count
+    val streamed = spark.table("stream_ucount")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+    val batch = graft.Tables.t(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val mismatches = streamed.join(batch, Seq("user_id"))
+      .filter(streamed("n") =!= batch("n")).count()
+    assert(mismatches == 0)
+    assert(streamed.count() == batch.count())
+  }
 }
