@@ -46,6 +46,8 @@ object SparkEntry {
     "q25_string_funcs" -> (C.q25StringFuncs _),
     "q26_date_funcs" -> (C.q26DateFuncs _),
     "q27_case_cast" -> (C.q27CaseCast _),
+    "q28_cube" -> (C.q28Cube _),
+    "q29_point_find" -> (C.q29PointFind _),
     // ---- events / streaming-shaped (batch forms) ----
     "e1_tumbling_counts" -> (EventOps.tumblingCounts _),
     "e2_json_props" -> (EventOps.jsonProps _),
@@ -255,6 +257,14 @@ object SparkEntry {
         |  CAST(trunc(o_totalprice) AS BIGINT) AS price_long,
         |  o_orderstatus
         |FROM orders WHERE o_orderkey <= 500""".stripMargin,
+    "q28_cube" ->
+      """SELECT o_orderstatus, substring(o_orderpriority, 1, 1) AS prio,
+        |  CAST(count(*) AS BIGINT) AS n, sum(o_totalprice) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, prio)""".stripMargin,
+    "q29_point_find" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)""".stripMargin,
     "e1_tumbling_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events, sum(value) AS total_value

@@ -241,6 +241,13 @@ class Engine(val spark: SparkSession) {
         case Some(url) if url.toLowerCase.startsWith("jdbc:") =>
           spark.sql(s"CREATE DATABASE `$name`")
           mountJdbc(name, url)
+        case Some(":memory:") | Some("memory") =>
+          // Memory backend analogue (reference src/databases/memory):
+          // session-lifetime tables under a temp location — Spark has
+          // no mutable in-memory table, so "memory" means
+          // tmp-dir-backed + session-scoped, with identical semantics.
+          val tmp = java.nio.file.Files.createTempDirectory(s"graft_mem_$name").toFile
+          spark.sql(s"CREATE DATABASE `$name` LOCATION '${tmp.getAbsolutePath}'")
         case Some(path) =>
           val dir = new java.io.File(path)
           dir.mkdirs()
@@ -586,8 +593,27 @@ class Engine(val spark: SparkSession) {
   }
 
   private def overwriteTable(db: String, tbl: String, df: DataFrame): Unit = {
-    df.write.mode(SaveMode.Overwrite).insertInto(s"`$db`.`$tbl`")
-    meta.get(db, tbl).flatMap(_.xlsxPath).foreach(syncXlsx)
+    meta.get(db, tbl).flatMap(_.csvPath) match {
+      case Some(path) =>
+        // CSV storage is one local file — rewrite it whole (like the
+        // reference CSV backend), then refresh the scan cache.
+        rewriteCsvFile(db, tbl, path, df)
+      case None =>
+        df.write.mode(SaveMode.Overwrite).insertInto(s"`$db`.`$tbl`")
+        meta.get(db, tbl).flatMap(_.xlsxPath).foreach(syncXlsx)
+    }
+  }
+
+  private def rewriteCsvFile(db: String, tbl: String, path: String, df: DataFrame): Unit = {
+    val tm = meta.get(db, tbl).get
+    val lines = df.collect().map(_.toSeq.map(v =>
+      csvQuote(if (v == null) "" else v.toString)).mkString(","))
+    val header =
+      if (tm.csvHasHeader) Seq(tm.columns.map(c => csvQuote(c.name)).mkString(","))
+      else Seq.empty
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      (header ++ lines).mkString("", "\n", "\n"))
+    spark.catalog.refreshTable(s"`$db`.`$tbl`")
   }
 
   // ------------------------------------------------------------------
@@ -643,14 +669,20 @@ class Engine(val spark: SparkSession) {
   }
 
   /** Drop + recreate + reload — the rewrite path for schema changes
-    * parquet can't do in place. */
+    * parquet can't do in place. CSV tables reject ALTER like the
+    * reference's per-backend exception list (tests/databases/csv.rs:30-35). */
   private def rewriteTable(db: String, tbl: String, newMeta: TableMeta, data: DataFrame): Unit = {
+    meta.get(db, tbl).foreach { tm =>
+      if (tm.csvPath.isDefined)
+        throw new EngineException("ALTER TABLE is not supported for CSV tables")
+    }
     val out = data.localCheckpoint(true)
     spark.sql(s"DROP TABLE `$db`.`$tbl`")
     val fields = newMeta.columns.map(c => s"`${c.name}` ${typeName(c.dataType)}").mkString(", ")
     spark.sql(s"CREATE TABLE `$db`.`$tbl` ($fields) USING parquet")
     out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
     meta.put(db, tbl, newMeta)
+    newMeta.xlsxPath.foreach(syncXlsx)
   }
 
   // ------------------------------------------------------------------
@@ -662,11 +694,16 @@ class Engine(val spark: SparkSession) {
     sql match {
       case re(rawName) =>
         val (db, tbl) = resolve(rawName)
-        spark.sql(s"TRUNCATE TABLE `$db`.`$tbl`")
+        meta.get(db, tbl).flatMap(_.csvPath) match {
+          case Some(path) =>
+            rewriteCsvFile(db, tbl, path, spark.table(s"`$db`.`$tbl`").limit(0))
+          case None =>
+            spark.sql(s"TRUNCATE TABLE `$db`.`$tbl`")
+            meta.get(db, tbl).flatMap(_.xlsxPath).foreach(syncXlsx)
+        }
         // Reference resets the auto-increment counter on truncate
         // (alter_table/truncate.rs:8-40).
         meta.update(db, tbl)(_.copy(autoCounter = 1L))
-        meta.get(db, tbl).flatMap(_.xlsxPath).foreach(syncXlsx)
         Payload.TruncateTable
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
     }

@@ -323,6 +323,29 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice")).as("month_total"))
 
+  /** CUBE: all grouping combinations over (status, priority-class)
+    * with grouping-id disambiguation — completes the grouping-sets
+    * family next to q22's ROLLUP (extension surface; the reference
+    * has no grouping sets, SURVEY.md §2.4). */
+  def q28Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+      .cube(col("o_orderstatus"), col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+      .select(col("o_orderstatus"), col("prio"), col("n"), col("total"))
+
+  /** Point find (BASELINE.md's `find` shape): key-equality lookup on
+    * the smallest order key (scale-factor independent), pushed to the
+    * scan — at scale this is partition/row-group pruning, not a full
+    * pass. */
+  def q29PointFind(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val minKey = l.agg(min(col("l_orderkey")).as("mk"))
+    l.join(broadcast(minKey), col("l_orderkey") === col("mk"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+  }
+
   /** CASE + CAST + BETWEEN battery (reference recipe/new.rs:218-270). */
   def q27CaseCast(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

@@ -291,6 +291,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterEach {
       == Seq(Seq(1L), Seq(2L)))
   }
 
+  test("csv database: update, delete and truncate rewrite the file") {
+    val tmp = java.nio.file.Files.createTempDirectory("csvmut").toFile
+    val f = new java.io.File(tmp, "inv.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "item,qty\nbolt,10\nnut,20\ngear,30\n")
+    g.execute("DROP DATABASE IF EXISTS cm")
+    g.execute(s"CREATE DATABASE cm LOCATION '${f.getAbsolutePath}'")
+    assert(g.execute("UPDATE cm.inv SET qty = qty + 1 WHERE item = 'nut'") == Payload.Update(1))
+    assert(g.execute("DELETE FROM cm.inv WHERE item = 'gear'") == Payload.Delete(1))
+    // the FILE was rewritten, not just the catalog view
+    val content = java.nio.file.Files.readString(f.toPath)
+    assert(content.contains("nut,21") && !content.contains("gear"))
+    assert(selectRows("SELECT COUNT(*) AS n FROM cm.inv") == Seq(Seq(2L)))
+    val e = intercept[EngineException](g.execute("ALTER TABLE cm.inv DROP COLUMN qty"))
+    assert(e.getMessage.contains("not supported for CSV"))
+    assert(g.execute("TRUNCATE TABLE cm.inv") == Payload.TruncateTable)
+    assert(java.nio.file.Files.readString(f.toPath).trim == "item,qty")
+    assert(selectRows("SELECT COUNT(*) AS n FROM cm.inv") == Seq(Seq(0L)))
+  }
+
+  test("memory database location") {
+    g.execute("DROP DATABASE IF EXISTS memdb")
+    g.execute("CREATE DATABASE memdb LOCATION ':memory:'")
+    g.execute("CREATE TABLE memdb.t (x INTEGER)")
+    g.execute("INSERT INTO memdb.t VALUES (1), (2)")
+    assert(selectRows("SELECT SUM(x) AS s FROM memdb.t") == Seq(Seq(3L)))
+    g.execute("DROP DATABASE memdb")
+  }
+
   // ---- execute file ----
 
   test("execute file runs a script") {
