@@ -56,9 +56,28 @@ class Engine(val spark: SparkSession) {
     * renamed before parsing: Spark 4's grammar special-cases
     * `DATEADD(unit, …)` with an unquoted unit keyword and throws on
     * the MultiSQL string-literal form before function resolution ever
-    * runs, so the registered implementation would be unreachable. */
-  private def preprocess(sql: String): String =
-    rewriteOutsideQuotes(substituteVars(sql), "DATEADD(", "graft_dateadd(")
+    * runs, so the registered implementation would be unreachable.
+    * CAST type names map to the dialect (TEXT = string, FLOAT = f64). */
+  private def preprocess(sql: String): String = {
+    var s = rewriteOutsideQuotes(substituteVars(sql), "DATEADD(", "graft_dateadd(")
+    s = rewriteOutsideQuotes(s, "AS TEXT)", "AS STRING)")
+    s = rewriteOutsideQuotes(s, "AS FLOAT)", "AS DOUBLE)")
+    s
+  }
+
+  /** Top-level `VALUES (…), (…)` → `SELECT … UNION ALL SELECT …`.
+    * Spark's inline-table node only accepts foldable expressions, so
+    * the reference's `VALUES (CONVERT(…))`-style probes (and any
+    * VALUES row using a registered function) would fail analysis. */
+  private def rewriteValues(values: String): String = {
+    val rest = values.trim.drop("VALUES".length)
+    splitTop(rest, ',').map(_.trim).filter(_.nonEmpty).map { tuple =>
+      val (inner, _) = parenBlock(tuple, 0)
+      val cols = splitTop(inner, ',').zipWithIndex
+        .map { case (e, i) => s"(${e.trim}) AS col${i + 1}" }
+      "SELECT " + cols.mkString(", ")
+    }.mkString(" UNION ALL ")
+  }
 
   private def rewriteOutsideQuotes(sql: String, from: String, to: String): String = {
     val out = new StringBuilder
@@ -193,6 +212,8 @@ class Engine(val spark: SparkSession) {
     * tests/query/with.rs): the INSERT runs, and the rows it wrote
     * become the CTE's table. */
   private def selectDf(sql: String): DataFrame = sql match {
+    case _ if sql.trim.toUpperCase.startsWith("VALUES") =>
+      spark.sql(rewriteValues(sql))
     case insertCteRe(rawName) =>
       val (body, end) = parenBlock(sql, sql.toUpperCase.indexOf("AS") + 2)
       if (!body.trim.toUpperCase.startsWith("INSERT")) spark.sql(sql)
@@ -436,7 +457,7 @@ class Engine(val spark: SparkSession) {
           } else Seq.empty
         val cols = if (explicitCols.nonEmpty) explicitCols else tm.columns.map(_.name)
         val srcSql =
-          if (rest.toUpperCase.startsWith("VALUES")) s"SELECT * FROM ($rest)"
+          if (rest.toUpperCase.startsWith("VALUES")) rewriteValues(rest)
           else rest
         val src = spark.sql(srcSql)
         if (src.columns.length != cols.length)

@@ -236,6 +236,32 @@ object Dialect {
     temp("convert")(convertBuilder(tryMode = false))
     temp("try_convert")(convertBuilder(tryMode = true))
 
+    // YEAR/MONTH/DAY/HOUR/MINUTE/SECOND accept BOTH native
+    // timestamps and MultiSQL's epoch-second I64 carrier
+    // (timestamp.rs:57-80: the reference extracts from I64). The
+    // argument is stringified then re-read either as a datetime
+    // string or as epoch seconds — type dispatch without a custom
+    // Expression, at the cost of a string round trip (these are
+    // compat functions, not the scan hot path).
+    def epochOrTs(e: Expression): Expression = {
+      val s = Cast(e, StringType)
+      Coalesce(Seq(
+        fn("try_to_timestamp", s),
+        fn("timestamp_seconds", tryCast(s, LongType))))
+    }
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    Seq("year", "month", "day", "hour", "minute", "second").foreach { p =>
+      // Re-register the builtin under an internal name and dispatch to
+      // it via UnresolvedFunction: time-zone-aware expressions (HOUR,
+      // MINUTE, SECOND) need the analyzer's own resolution path —
+      // invoking their builder directly dies with an internal error.
+      val builtin = FunctionRegistry.builtin
+        .lookupFunctionBuilder(FunctionIdentifier(p)).get
+      reg.createOrReplaceTempFunction(s"graft_builtin_$p", builtin, "built-in")
+      temp(p)(args => fn(s"graft_builtin_$p", epochOrTs(args.head)))
+    }
+
     // DATEADD(unit, n, epoch_s) with java.time month-end clamping —
     // same clamping as the reference's hand-rolled calendar math
     // (timestamp.rs:147-278: Jan 31 + 1 MONTH = Feb 28). Registered
