@@ -246,6 +246,38 @@ object EngineSmoke {
         })
     })
 
+    // --- xlsx (Sheet) database ---
+    val xlsx = new java.io.File(tmp, "book.xlsx")
+    Xlsx.write(xlsx.getAbsolutePath, Seq(
+      Xlsx.Sheet("sheet_a", Seq(Seq("k", "v"), Seq("1", "one"), Seq("2", "two")))))
+    check("xlsx database mount")(g.execute(
+      s"CREATE DATABASE xsmoke LOCATION '${xlsx.getAbsolutePath}'") == Payload.Success)
+    check("xlsx query + insert syncs book")({
+      g.execute("INSERT INTO xsmoke.sheet_a VALUES (3, 'three')")
+      val rows = Xlsx.read(xlsx.getAbsolutePath).head.rows
+      rows.length == 4 && (g.execute("SELECT SUM(k) AS s FROM xsmoke.sheet_a") match {
+        case Payload.Select(_, Seq(Seq(s))) => s == 6L
+        case _ => false
+      })
+    })
+
+    // --- jdbc database (Derby embedded) ---
+    check("jdbc database mount")({
+      val url = s"jdbc:derby:$tmp/smokedb;create=true"
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE jt (id INT, s VARCHAR(10))")
+        st.execute("INSERT INTO jt VALUES (1, 'x'), (2, 'y')")
+        st.close()
+      } finally c.close()
+      g.execute(s"CREATE DATABASE jsmoke LOCATION '$url'")
+      g.execute("SELECT COUNT(*) AS n FROM jsmoke.jt") match {
+        case Payload.Select(_, Seq(Seq(n))) => n == 2L
+        case _ => false
+      }
+    })
+
     // --- execute file (procedure.rs) ---
     val script = new java.io.File(tmp, "script.sql")
     java.nio.file.Files.writeString(script.toPath,
