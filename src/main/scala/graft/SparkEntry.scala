@@ -85,6 +85,7 @@ object SparkEntry {
     "s1_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "s2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "s3_lsh_buckets" -> (Similarity.lshBucketStats _),
+    "s4_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -347,5 +348,6 @@ object SparkEntry {
     "s1_brute_topk" -> Similarity.bruteTopKOracleSql(0L, 10),
     "s2_ann_lsh" -> Similarity.annLshOracleSql(0L, 10),
     "s3_lsh_buckets" -> Similarity.lshBucketsOracleSql,
+    "s4_ivf_topk" -> Similarity.ivfTopKOracleSql(0L, 10),
   )
 }

@@ -88,6 +88,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF parameters: centroid count and probe width. Centroid
+    * "training" is a deterministic stand-in (the first NCentroids
+    * vectors by id) — real IVF runs k-means, but the index mechanics
+    * (assign → probe nearest lists → exact re-rank) are identical and
+    * that is what this operator exercises. */
+  val NCentroids = 16
+  val NProbe = 4
+
+  /** Vector→centroid assignment: argmax cosine against the broadcast
+    * centroid set; ties break toward the lower centroid id. At scale
+    * this is a broadcast join (centroid sets are small by design) +
+    * one window per vector — no all-pairs work. */
+  private def ivfAssignments(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = e.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val dotc = expr("aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cid").asc)
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), (dotc / (col("nrm") * col("cnrm"))).as("cos_c"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** ANN via IVF: probe the query's NProbe nearest centroid lists,
+    * exact cosine re-rank within them only. The second ANN tier next
+    * to [[annLsh]] — inverted lists bound candidate count by
+    * NProbe/NCentroids of the corpus. */
+  def ivfTopK(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val e = vectors(spark, dir)
+    val assign = ivfAssignments(e)
+    val vecAssign = assign.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val probes = assign.filter(col("vec_id") === qid && col("rn") <= NProbe)
+      .select(col("cid"))
+    val q = e.filter(col("vec_id") === qid)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    e.join(vecAssign, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cid"), "left_semi")
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), (dot / (col("nrm") * col("qn"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Bucket histogram — sanity view of LSH spread (skew check). */
   def lshBucketStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
@@ -131,6 +178,23 @@ object Similarity {
        |  list_sum(list_transform(range(1, ${Dim + 1}), i -> b.v[i] * q.qv[i])) / (b.nrm * q.qn) AS cos_sim
        |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> $qid
        |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
+
+  def ivfTopKOracleSql(qid: Long, k: Int): String =
+    s"""$vectorsCte,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCentroids),
+       |a AS (SELECT n.vec_id, c.cid,
+       |  list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS cos_c
+       |  FROM n, c),
+       |r AS (SELECT vec_id, cid,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn FROM a),
+       |va AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+       |probes AS (SELECT cid FROM r WHERE vec_id = $qid AND rn <= $NProbe),
+       |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = $qid)
+       |SELECT n.vec_id,
+       |  list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn) AS cos_sim
+       |FROM n JOIN va ON n.vec_id = va.vec_id JOIN probes p ON va.cid = p.cid, q
+       |WHERE n.vec_id <> $qid
+       |ORDER BY cos_sim DESC, n.vec_id LIMIT $k""".stripMargin
 
   def lshBucketsOracleSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
