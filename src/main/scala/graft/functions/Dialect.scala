@@ -287,6 +287,21 @@ object Dialect {
     spark.udf.register("rand_range", (min: Long, max: Long) =>
       min + (scala.util.Random.nextDouble() * (max - min + 1)).toLong)
 
+    // RAND() and RAND(min, max) both work through the short name too:
+    // 2 args → reference int-range semantics; 0/1 args → Spark's
+    // builtin (1-arg keeps Spark's seed meaning — the reference
+    // errors there, a documented divergence).
+    locally {
+      val builtinRand = FunctionRegistry.builtin
+        .lookupFunctionBuilder(FunctionIdentifier("rand")).get
+      reg.createOrReplaceTempFunction("graft_builtin_rand", builtinRand, "built-in")
+      temp("rand") { args =>
+        if (args.length == 2)
+          fn("rand_range", Cast(args(0), LongType), Cast(args(1), LongType))
+        else fn("graft_builtin_rand", args: _*)
+      }
+    }
+
     // MONEY / SEPARATED text formatting (cast.rs:179-190): round to
     // cents (half away from zero, like Rust f64::round), shortest
     // decimal repr, thousands commas, optional '$'.

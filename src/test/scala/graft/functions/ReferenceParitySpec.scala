@@ -95,6 +95,59 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(row("SELECT CAST(flag AS TEXT) AS cast FROM paritydb.Item") == Seq("true"))
   }
 
+  // ---- tests/query/function/func_cast.rs ----
+
+  test("func_cast.rs assertions") {
+    assert(row("VALUES (CAST('true' AS BOOLEAN))") == Seq(true))
+    assert(row("VALUES (CAST(1 AS BOOLEAN))") == Seq(true))
+    assert(row("VALUES (CAST('1' AS INTEGER))") == Seq(1))
+    assert(row("VALUES (CAST(1.1 AS INTEGER))") == Seq(1))
+    assert(row("VALUES (CAST(TRUE AS INTEGER))") == Seq(1))
+    assert(row("VALUES (CAST('1.1' AS FLOAT))") == Seq(1.1d)) // dialect FLOAT = f64
+    assert(row("VALUES (CAST(1 AS FLOAT))") == Seq(1.0d))
+  }
+
+  // ---- tests/query/function/func_other.rs ----
+
+  test("func_other.rs assertions") {
+    assert(row("VALUES (IFNULL(NULL, 1))") == Seq(1))
+    assert(row("VALUES (IFNULL(0, 1))") == Seq(0))
+    assert(row("VALUES (NULLIF(0, 1))") == Seq(0))
+    assert(row("VALUES (NULLIF(1, 0))") == Seq(1))
+    assert(row("VALUES (NULLIF(1, 1))") == Seq(null))
+    assert(row("VALUES (NULLIF(1, NULL))") == Seq(1))
+    assert(row("VALUES (IIF(TRUE, 0, 1))") == Seq(0))
+    assert(row("VALUES (IIF(FALSE, 0, 1))") == Seq(1))
+    assert(row("VALUES (IIF(1=1, 0, 1))") == Seq(0))
+    assert(row("VALUES (IIF(1=0, 0, 1))") == Seq(1))
+    assert(row("VALUES (IIF(NULL=0, 0, 1))") == Seq(1)) // NULL predicate → else branch
+    assert(row("VALUES (LEN('Test'))") == Seq(4))
+    assert(row("VALUES (LEN('Test test'))") == Seq(9))
+    // Spark's decimal literals make ROUND return decimal; compare numerically
+    assert(row("VALUES (ROUND(1.7), ROUND(1.2), ROUND(0.9), ROUND(10000.7))")
+      .map(_.toString.toDouble) == Seq(2.0d, 1.0d, 1.0d, 10001.0d))
+    // divergence: reference POW asserts I64; ours is Spark's double
+    assert(row("VALUES (POW(2, 2), POW(10, 3))") == Seq(4.0d, 1000.0d))
+    assert(row("VALUES ('Hello!', REPLACE('Hello!', '!', '?'), REPLACE('Hello!!!', '!', '?'))")
+      == Seq("Hello!", "Hello?", "Hello???"))
+    assert(row("VALUES (CONCAT('Aee', 'Bee'), CONCAT('Aee', 'Bee', 'Cee'))")
+      == Seq("AeeBee", "AeeBeeCee"))
+    assert(row("VALUES (CONCAT('Aee', 'Bee', 'Cee', NULL))") == Seq(null))
+    assert(row("VALUES (UUID())").head.toString.length == 36)
+    val Seq(r0, r1, r2) = row("VALUES (RAND(), RAND(2, 300), RAND(-10, 10))")
+    assert(r0.asInstanceOf[Double] >= 0.0 && r0.asInstanceOf[Double] < 1.0)
+    assert(r1.asInstanceOf[Long] >= 2L && r1.asInstanceOf[Long] <= 300L)
+    assert(r2.asInstanceOf[Long] >= -10L && r2.asInstanceOf[Long] <= 10L)
+  }
+
+  // ---- tests/query/function/case.rs ----
+
+  test("case.rs assertions") {
+    assert(row("VALUES (CASE WHEN 1=0 THEN 1 WHEN 1=1 THEN 2 ELSE 3 END)") == Seq(2))
+    assert(row("VALUES (CASE WHEN 1=0 THEN 1 WHEN 0=1 THEN 2 ELSE 3 END)") == Seq(3))
+    assert(row("VALUES (CASE WHEN 1=1 THEN 1 WHEN 0=1 THEN 2 ELSE 3 END)") == Seq(1))
+  }
+
   // ---- tests/query/function/upper_lower.rs / left_right.rs shapes ----
 
   test("upper/lower/left/right assertions") {
