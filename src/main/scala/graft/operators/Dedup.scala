@@ -60,29 +60,30 @@ object Dedup {
     * 100 TB (a viral 3-gram can no longer produce 10¹² rows). */
   val MaxShingleDf = 50
 
-  /** N-gram Jaccard near-dup: candidate pairs via an equi-join on
-    * shared shingles (inverted index — no cross product), then exact
-    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over the DF-capped shingle
-    * sets (both intersection and set sizes use capped sets, so the
-    * measure stays consistent). */
+  /** N-gram Jaccard near-dup via the inverted index: group the
+    * shingle stream ONCE per branch — `groupBy(shingle)` collects
+    * each shingle's (sorted) posting list AND applies the DF cap in
+    * the same aggregation (`size(ds) <= maxDf`, no separate window
+    * pass); candidate pairs are generated locally inside each capped
+    * posting list (≤ maxDf²/2 per shingle, bounded by construction),
+    * never through a self-join — this build reuses no exchanges, so a
+    * self-join would recompute the tokenize+explode stage four times.
+    * Exact Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over the capped sets. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
                    maxDf: Int = MaxShingleDf): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // One shuffle on shingle tags each row with its document frequency;
-    // the self-join below reuses that partitioning. NOT cached: the
-    // recompute (split+explode over a small scan) is cheaper than
-    // pinning millions of shingle rows in the storage pool for the
-    // rest of the session — a leaked cache here degraded every later
-    // string-heavy query in the benchmark battery.
-    val sh = shingles(spark, dir)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxDf)
-      .drop("df")
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val buckets = shingles(spark, dir)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+      .select(col("ds"))
+    val counts = buckets.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = buckets
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
+          |    named_struct('id_a', a, 'id_b', b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(counts.select(col("doc_id"), col("n_sh").as("na")), col("id_a") === col("doc_id"))
