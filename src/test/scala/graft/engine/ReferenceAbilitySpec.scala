@@ -81,6 +81,121 @@ class ReferenceAbilitySpec extends AnyFunSuite {
     assert(count("SELECT a FROM setdb.basic WHERE @variable = 0") == 0)
   }
 
+  test("join_basic.rs: the reference's full join battery") {
+    g.execute("DROP DATABASE IF EXISTS joindb")
+    val loc = java.nio.file.Files.createTempDirectory("joindb").toFile.getAbsolutePath
+    g.execute(s"CREATE DATABASE joindb LOCATION '$loc'")
+    g.execute("USE joindb")
+    g.execute("CREATE TABLE Player (id INTEGER, name TEXT)")
+    g.execute("CREATE TABLE Item (id INTEGER, quantity INTEGER, player_id INTEGER)")
+    g.execute(
+      """INSERT INTO Player (id, name) VALUES (1, 'Taehoon'), (2, 'Mike'),
+        |(3, 'Jorno'), (4, 'Berry'), (5, 'Hwan')""".stripMargin)
+    g.execute(
+      """INSERT INTO Item (id, quantity, player_id) VALUES
+        |(101, 1, 1), (102, 4, 2), (103, 9, 3), (104, 2, 3), (105, 1, 3),
+        |(106, 5, 1), (107, 2, 1), (108, 1, 5), (109, 1, 5), (110, 3, 3),
+        |(111, 4, 2), (112, 8, 1), (113, 7, 1), (114, 1, 1), (115, 2, 1)""".stripMargin)
+    val cases = Seq(
+      15 -> "SELECT * FROM Item LEFT JOIN Player ON Player.id = Item.player_id",
+      16 -> "SELECT * FROM Item RIGHT JOIN Player ON Player.id = Item.player_id",
+      5 -> "SELECT * FROM Item LEFT JOIN Player ON Player.id = Item.player_id WHERE quantity = 1",
+      7 -> "SELECT * FROM Item LEFT JOIN Player ON Player.id = Item.player_id WHERE Player.id = 1",
+      7 -> "SELECT * FROM Item INNER JOIN Player ON Player.id = Item.player_id WHERE Player.id = 1",
+      7 -> """SELECT * FROM Item
+             |LEFT JOIN Player p0 ON p0.id = Item.player_id
+             |LEFT JOIN Player p1 ON p1.id = Item.player_id
+             |LEFT JOIN Player p2 ON p2.id = Item.player_id
+             |LEFT JOIN Player p3 ON p3.id = Item.player_id
+             |LEFT JOIN Player p4 ON p4.id = Item.player_id
+             |LEFT JOIN Player p5 ON p5.id = Item.player_id
+             |LEFT JOIN Player p6 ON p6.id = Item.player_id
+             |LEFT JOIN Player p7 ON p7.id = Item.player_id
+             |LEFT JOIN Player p8 ON p8.id = Item.player_id
+             |LEFT JOIN Player p9 ON p9.id = Item.player_id
+             |WHERE p0.id = 1""".stripMargin,
+      6 -> """SELECT * FROM Item
+             |LEFT JOIN Player p0 ON p0.id = Item.player_id
+             |LEFT JOIN Player p1 ON p1.id = Item.player_id
+             |LEFT JOIN Player p2 ON p2.id = Item.player_id
+             |LEFT JOIN Player p3 ON p3.id = Item.player_id
+             |LEFT JOIN Player p4 ON p4.id = Item.player_id
+             |LEFT JOIN Player p5 ON p5.id = Item.player_id
+             |LEFT JOIN Player p6 ON p6.id = Item.player_id
+             |LEFT JOIN Player p7 ON p7.id = Item.player_id
+             |LEFT JOIN Player p8 ON p8.id = Item.player_id
+             |INNER JOIN Player p9 ON p9.id = Item.player_id AND Item.id > 101
+             |WHERE p0.id = 1""".stripMargin,
+      5 -> "SELECT * FROM Item LEFT JOIN Player ON Player.id = Item.player_id WHERE Item.quantity = 1",
+      5 -> "SELECT * FROM Item i LEFT JOIN Player p ON p.id = i.player_id WHERE i.quantity = 1",
+      15 -> "SELECT * FROM Item i LEFT JOIN Player p ON p.id = i.player_id AND p.id = 1",
+      15 -> "SELECT * FROM Item i LEFT JOIN Player p ON p.id = i.player_id AND i.quantity = 1",
+      15 -> "SELECT * FROM Item LEFT JOIN Player ON Player.id = Item.player_id AND Item.quantity = 1",
+      7 -> "SELECT * FROM Item i JOIN Player p ON p.id = i.player_id AND p.id = 1",
+      7 -> "SELECT * FROM Item i INNER JOIN Player p ON p.id = i.player_id AND p.id = 1",
+      5 -> "SELECT * FROM Item i JOIN Player p ON p.id = i.player_id AND i.quantity = 1",
+      0 -> "SELECT * FROM Player INNER JOIN Item ON 1 = 2 INNER JOIN Item i2 ON 1 = 2")
+    cases.foreach { case (expected, sql) =>
+      assert(count(sql) == expected, s"wrong count for: $sql")
+    }
+    // cross product via comma syntax (the reference's bare JOIN)
+    assert(count("SELECT * FROM Item, Player") == 75)
+    g.execute("USE `default`")
+  }
+
+  test("filter/gt_lt.rs: comparison battery incl. string ordering") {
+    g.execute("DROP DATABASE IF EXISTS fdb")
+    val loc = java.nio.file.Files.createTempDirectory("fdb").toFile.getAbsolutePath
+    g.execute(s"CREATE DATABASE fdb LOCATION '$loc'")
+    g.execute("USE fdb")
+    g.execute("CREATE TABLE Operator (id INTEGER, name TEXT)")
+    g.execute(
+      """INSERT INTO Operator (id, name) VALUES (1, 'Abstract'), (2, 'Azzzz'),
+        |(3, 'July'), (4, 'Romeo'), (5, 'Trade')""".stripMargin)
+    val cases = Seq(
+      1 -> "SELECT * FROM Operator WHERE id < 2",
+      2 -> "SELECT * FROM Operator WHERE id <= 2",
+      3 -> "SELECT * FROM Operator WHERE id > 2",
+      4 -> "SELECT * FROM Operator WHERE id >= 2",
+      1 -> "SELECT * FROM Operator WHERE 2 > id",
+      2 -> "SELECT * FROM Operator WHERE 2 >= id",
+      3 -> "SELECT * FROM Operator WHERE 2 < id",
+      4 -> "SELECT * FROM Operator WHERE 2 <= id",
+      5 -> "SELECT * FROM Operator WHERE 1 < 3",
+      5 -> "SELECT * FROM Operator WHERE 3 >= 3",
+      0 -> "SELECT * FROM Operator WHERE 3 > 3",
+      2 -> "SELECT * FROM Operator WHERE name < 'Azzzzzzzzzz'",
+      1 -> "SELECT * FROM Operator WHERE name < 'Az'")
+    cases.foreach { case (expected, sql) =>
+      assert(count(sql) == expected, s"wrong count for: $sql")
+    }
+    g.execute("USE `default`")
+  }
+
+  test("aggregate/general.rs and with.rs over the basic table") {
+    g.execute("DROP DATABASE IF EXISTS aggdb")
+    val loc = java.nio.file.Files.createTempDirectory("aggdb").toFile.getAbsolutePath
+    g.execute(s"CREATE DATABASE aggdb LOCATION '$loc'")
+    g.execute("USE aggdb")
+    g.execute("CREATE TABLE basic (a INTEGER)")
+    g.execute("INSERT INTO basic (a) VALUES (1)")
+    def one(sql: String): Any = g.execute(sql) match {
+      case Payload.Select(_, Seq(Seq(v))) => v
+      case other => fail(s"expected 1 row, got $other")
+    }
+    assert(one("SELECT SUM(a) AS agg FROM basic") == 1L)
+    assert(one("SELECT COUNT(a) AS agg FROM basic") == 1L)
+    assert(one("SELECT COUNT(1) AS agg FROM basic") == 1L)
+    assert(one("SELECT COUNT(1) AS agg FROM basic GROUP BY a") == 1L)
+    // with.rs: chained CTEs
+    assert(one("WITH cte AS (SELECT a FROM basic) SELECT a FROM cte") == 1L)
+    assert(one(
+      """WITH cte_0 AS (SELECT a FROM basic),
+        |cte_1 AS (SELECT a FROM cte_0)
+        |SELECT a FROM cte_1""".stripMargin) == 1L)
+    g.execute("USE `default`")
+  }
+
   test("statement/truncate.rs") {
     g.execute("DROP DATABASE IF EXISTS trdb")
     val loc = java.nio.file.Files.createTempDirectory("trdb").toFile.getAbsolutePath
