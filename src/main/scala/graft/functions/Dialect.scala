@@ -209,117 +209,95 @@ object Dialect {
       if (tryMode) tryCast(v, StringType) else Cast(v, StringType),
       Literal("NULL")))
 
+  /** Epoch-or-timestamp coercion: YEAR/…/SECOND accept BOTH native
+    * timestamps and MultiSQL's epoch-second I64 carrier
+    * (timestamp.rs:57-80: the reference extracts from I64). The
+    * argument is stringified then re-read either as a datetime string
+    * or as epoch seconds — type dispatch without a custom Expression,
+    * at the cost of a string round trip (compat path, not the scan
+    * hot path). */
+  private def epochOrTs(e: Expression): Expression = {
+    val s = Cast(e, StringType)
+    Coalesce(Seq(
+      fn("try_to_timestamp", s),
+      fn("timestamp_seconds", tryCast(s, LongType))))
+  }
+
+  /** Every dialect function as a pure (name, expression-builder) pair
+    * — the single source for both [[register]] (temp functions on a
+    * live session) and [[graft.GraftExtensions]] (injectFunction at
+    * session build). No UDFs: everything is a Catalyst expression, so
+    * the whole pack codegens. */
+  lazy val functionBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+
+    // Builtins re-registered under internal names so wrappers can
+    // dispatch through the analyzer's resolution path (time-zone-aware
+    // HOUR/MINUTE/SECOND die when their builders are invoked directly).
+    val builtinRenames: Seq[(String, Seq[Expression] => Expression)] =
+      (Seq("rand") ++ Seq("year", "month", "day", "hour", "minute", "second")).map { p =>
+        s"graft_builtin_$p" -> FunctionRegistry.builtin
+          .lookupFunctionBuilder(FunctionIdentifier(p)).get
+      }
+    // Epoch-capable datetime part extraction shadowing the builtins.
+    val parts: Seq[(String, Seq[Expression] => Expression)] =
+      Seq("year", "month", "day", "hour", "minute", "second").map { p =>
+        p -> ((args: Seq[Expression]) => fn(s"graft_builtin_$p", epochOrTs(args.head)))
+      }
+
+    builtinRenames ++ parts ++ Seq[(String, Seq[Expression] => Expression)](
+      // IIF(c, t, f) (utility.rs:25-31)
+      "iif" -> (args => If(args(0), args(1), args(2))),
+      // LEN = BYTE length (utility.rs:75-78; Spark's length() is chars)
+      "len" -> (args => OctetLength(args.head)),
+      // NOW() = epoch seconds as I64 (timestamp.rs:103-115)
+      "now" -> (_ => Cast(CurrentTimestamp(), LongType)),
+      // XOR(a, b) strict-bool (binary.rs:102-106)
+      "xor" -> (args => Not(EqualTo(args(0), args(1)))),
+      // DATEFROMPARTS(y[,m,d,h,mi,s]) → epoch seconds (timestamp.rs:279-314)
+      "datefromparts" -> { args =>
+        val defaults = Seq(Literal(1), Literal(1), Literal(0), Literal(0), Literal(0))
+        val padded = args ++ defaults.drop(args.length - 1)
+        Cast(fn("make_timestamp", padded.take(6): _*), LongType)
+      },
+      // CONVERT / TRY_CONVERT rule family
+      "convert" -> convertBuilder(tryMode = false),
+      "try_convert" -> convertBuilder(tryMode = true),
+      // DATEADD with month-end clamping — native codegen expression
+      // ([[DateAddClamped]]); the Engine rewrites the DATEADD token
+      // pre-parse because Spark's grammar owns it.
+      "graft_dateadd" -> (args =>
+        DateAddClamped(args(0), Cast(args(1), IntegerType), Cast(args(2), LongType))),
+      // MONEY/SEPARATED formatting — native codegen expression.
+      "graft_money" -> (args => MoneyFormat(Cast(args(0), DoubleType), args(1))),
+      // RAND(min, max) → int in [min, max] (function.rs:95-113)
+      "rand_range" -> { args =>
+        val min = Cast(args(0), LongType)
+        val max = Cast(args(1), LongType)
+        val width = Cast(Add(Subtract(max, min), Literal(1L)), DoubleType)
+        Cast(Add(Cast(fn("floor",
+          Multiply(fn("graft_builtin_rand"), width)), LongType), min), LongType)
+      },
+      // RAND() / RAND(seed) keep Spark's builtin; RAND(min, max) is
+      // the reference's int-range form (which errors on 1 arg — the
+      // seed meaning is a documented divergence).
+      "rand" -> { args =>
+        if (args.length == 2)
+          fn("rand_range", Cast(args(0), LongType), Cast(args(1), LongType))
+        else fn("graft_builtin_rand", args: _*)
+      })
+  }
+
   @volatile private var registeredSessions = Set.empty[SparkSession]
 
   /** Register the pack into `spark`'s function registry (idempotent). */
   def register(spark: SparkSession): Unit = synchronized {
     if (registeredSessions.contains(spark)) return
     val reg = spark.sessionState.functionRegistry
-    def temp(name: String)(builder: Seq[Expression] => Expression): Unit =
+    functionBuilders.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
-
-    // IIF(c, t, f) (utility.rs:25-31)
-    temp("iif") { args => If(args(0), args(1), args(2)) }
-    // LEN = BYTE length (utility.rs:75-78; Spark's length() is chars)
-    temp("len") { args => OctetLength(args.head) }
-    // NOW() = epoch seconds as I64 (timestamp.rs:103-115)
-    temp("now") { _ => Cast(CurrentTimestamp(), LongType) }
-    // XOR(a, b) strict-bool (binary.rs:102-106)
-    temp("xor") { args => Not(EqualTo(args(0), args(1))) }
-    // DATEFROMPARTS(y[,m,d,h,mi,s]) → epoch seconds (timestamp.rs:279-314)
-    temp("datefromparts") { args =>
-      val defaults = Seq(Literal(1), Literal(1), Literal(0), Literal(0), Literal(0))
-      val padded = args ++ defaults.drop(args.length - 1)
-      Cast(fn("make_timestamp", padded.take(6): _*), LongType)
     }
-    // CONVERT / TRY_CONVERT
-    temp("convert")(convertBuilder(tryMode = false))
-    temp("try_convert")(convertBuilder(tryMode = true))
-
-    // YEAR/MONTH/DAY/HOUR/MINUTE/SECOND accept BOTH native
-    // timestamps and MultiSQL's epoch-second I64 carrier
-    // (timestamp.rs:57-80: the reference extracts from I64). The
-    // argument is stringified then re-read either as a datetime
-    // string or as epoch seconds — type dispatch without a custom
-    // Expression, at the cost of a string round trip (these are
-    // compat functions, not the scan hot path).
-    def epochOrTs(e: Expression): Expression = {
-      val s = Cast(e, StringType)
-      Coalesce(Seq(
-        fn("try_to_timestamp", s),
-        fn("timestamp_seconds", tryCast(s, LongType))))
-    }
-    import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-    Seq("year", "month", "day", "hour", "minute", "second").foreach { p =>
-      // Re-register the builtin under an internal name and dispatch to
-      // it via UnresolvedFunction: time-zone-aware expressions (HOUR,
-      // MINUTE, SECOND) need the analyzer's own resolution path —
-      // invoking their builder directly dies with an internal error.
-      val builtin = FunctionRegistry.builtin
-        .lookupFunctionBuilder(FunctionIdentifier(p)).get
-      reg.createOrReplaceTempFunction(s"graft_builtin_$p", builtin, "built-in")
-      temp(p)(args => fn(s"graft_builtin_$p", epochOrTs(args.head)))
-    }
-
-    // DATEADD(unit, n, epoch_s) with java.time month-end clamping —
-    // same clamping as the reference's hand-rolled calendar math
-    // (timestamp.rs:147-278: Jan 31 + 1 MONTH = Feb 28). Registered
-    // under graft_dateadd; [[graft.engine.Engine]] rewrites the
-    // DATEADD token pre-parse because Spark's grammar owns it.
-    spark.udf.register("graft_dateadd", (unit: String, n: Int, ts: Long) => {
-      import java.time.{LocalDateTime, ZoneOffset}
-      val ldt = LocalDateTime.ofEpochSecond(ts, 0, ZoneOffset.UTC)
-      val r = unit.toUpperCase match {
-        case "YEAR" => ldt.plusYears(n.toLong)
-        case "MONTH" => ldt.plusMonths(n.toLong)
-        case "DAY" => ldt.plusDays(n.toLong)
-        case "HOUR" => ldt.plusHours(n.toLong)
-        case "MINUTE" => ldt.plusMinutes(n.toLong)
-        case "SECOND" => ldt.plusSeconds(n.toLong)
-        case other => throw new IllegalArgumentException(s"DATEADD: bad unit $other")
-      }
-      r.toEpochSecond(ZoneOffset.UTC)
-    })
-
-    // RAND(min, max) → int in [min, max] (function.rs:95-113); named
-    // rand_range because Spark's rand(seed) owns the short name.
-    spark.udf.register("rand_range", (min: Long, max: Long) =>
-      min + (scala.util.Random.nextDouble() * (max - min + 1)).toLong)
-
-    // RAND() and RAND(min, max) both work through the short name too:
-    // 2 args → reference int-range semantics; 0/1 args → Spark's
-    // builtin (1-arg keeps Spark's seed meaning — the reference
-    // errors there, a documented divergence).
-    locally {
-      val builtinRand = FunctionRegistry.builtin
-        .lookupFunctionBuilder(FunctionIdentifier("rand")).get
-      reg.createOrReplaceTempFunction("graft_builtin_rand", builtinRand, "built-in")
-      temp("rand") { args =>
-        if (args.length == 2)
-          fn("rand_range", Cast(args(0), LongType), Cast(args(1), LongType))
-        else fn("graft_builtin_rand", args: _*)
-      }
-    }
-
-    // MONEY / SEPARATED text formatting (cast.rs:179-190): round to
-    // cents (half away from zero, like Rust f64::round), shortest
-    // decimal repr, thousands commas, optional '$'.
-    spark.udf.register("graft_money", (v: Double, dollar: Boolean) => {
-      val cents = math.round(math.abs(v) * 100.0)
-      val r = math.signum(v) * cents / 100.0
-      val repr = {
-        val bd = java.math.BigDecimal.valueOf(r).stripTrailingZeros()
-        if (bd.scale() <= 0) bd.setScale(0).toPlainString else bd.toPlainString
-      }
-      val (intPart, fracPart) = repr.span(_ != '.')
-      val neg = intPart.startsWith("-")
-      val digits = if (neg) intPart.drop(1) else intPart
-      val grouped = digits.reverse.grouped(3).mkString(",").reverse
-      val s = (if (neg) "-" else "") + grouped + fracPart
-      if (dollar) "$" + s else s
-    })
-
     registeredSessions += spark
   }
 }
