@@ -48,6 +48,7 @@ object SparkEntry {
     "q27_case_cast" -> (C.q27CaseCast _),
     "q28_cube" -> (C.q28Cube _),
     "q29_point_find" -> (C.q29PointFind _),
+    "q30_percentiles" -> (C.q30Percentiles _),
     // ---- events / streaming-shaped (batch forms) ----
     "e1_tumbling_counts" -> (EventOps.tumblingCounts _),
     "e2_json_props" -> (EventOps.jsonProps _),
@@ -266,6 +267,14 @@ object SparkEntry {
     "q29_point_find" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)""".stripMargin,
+    "q30_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99,
+        |  min(l_extendedprice) AS lo,
+        |  max(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "e1_tumbling_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events, sum(value) AS total_value

@@ -346,6 +346,22 @@ object CoreQueries {
         col("l_quantity"), col("l_extendedprice"))
   }
 
+  /** Exact percentiles (linear interpolation) + spread stats per
+    * group — the percentile family from the extension surface
+    * (SURVEY.md §2.7 "absent whole categories"). Exact `percentile`
+    * is a full-sort-per-group aggregate; the approx_percentile sketch
+    * is the 100 TB default (not oracle-matchable across engines, so
+    * the exact form carries the correctness check). */
+  def q30Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+
   /** CASE + CAST + BETWEEN battery (reference recipe/new.rs:218-270). */
   def q27CaseCast(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
