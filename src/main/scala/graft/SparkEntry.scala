@@ -87,6 +87,7 @@ object SparkEntry {
     "s2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "s3_lsh_buckets" -> (Similarity.lshBucketStats _),
     "s4_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "s5_ann_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annMultiProbe(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -358,5 +359,6 @@ object SparkEntry {
     "s2_ann_lsh" -> Similarity.annLshOracleSql(0L, 10),
     "s3_lsh_buckets" -> Similarity.lshBucketsOracleSql,
     "s4_ivf_topk" -> Similarity.ivfTopKOracleSql(0L, 10),
+    "s5_ann_multiprobe" -> Similarity.annMultiProbeOracleSql(0L, 10),
   )
 }

@@ -88,6 +88,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe ANN: probe the query's bucket AND every bucket at
+    * Hamming distance 1 (one hyperplane sign flipped) — the standard
+    * fix for the single-probe recall cliff when the query sits near a
+    * hyperplane. Candidates grow ~(NumPlanes+1)× but stay an
+    * equi-match on a small int key; exact cosine re-ranks. */
+  def annMultiProbe(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val e = vectors(spark, dir).withColumn("bucket", bucketExpr)
+    val q = e.filter(col("vec_id") === qid)
+      .select(col("v").as("qv"), col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val probeSet = array(
+      col("qbucket") +: (0 until NumPlanes).map(p =>
+        col("qbucket").bitwiseXOR(lit(1L << p))): _*)
+    val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    e.crossJoin(broadcast(q))
+      .filter(array_contains(probeSet, col("bucket")) && col("vec_id") =!= qid)
+      .select(col("vec_id"), (dot / (col("nrm") * col("qn"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** IVF parameters: centroid count and probe width. Centroid
     * "training" is a deterministic stand-in (the first NCentroids
     * vectors by id) — real IVF runs k-means, but the index mechanics
@@ -178,6 +198,19 @@ object Similarity {
        |  list_sum(list_transform(range(1, ${Dim + 1}), i -> b.v[i] * q.qv[i])) / (b.nrm * q.qn) AS cos_sim
        |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id <> $qid
        |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
+
+  def annMultiProbeOracleSql(qid: Long, k: Int): String = {
+    val flips = (0 until NumPlanes)
+      .map(p => s"xor(q.qbucket, ${1L << p})").mkString(", ")
+    s"""$vectorsCte,
+       |b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM n),
+       |q AS (SELECT v AS qv, nrm AS qn, bucket AS qbucket FROM b WHERE vec_id = $qid)
+       |SELECT b.vec_id,
+       |  list_sum(list_transform(range(1, ${Dim + 1}), i -> b.v[i] * q.qv[i])) / (b.nrm * q.qn) AS cos_sim
+       |FROM b, q
+       |WHERE list_contains([q.qbucket, $flips], b.bucket) AND b.vec_id <> $qid
+       |ORDER BY cos_sim DESC, b.vec_id LIMIT $k""".stripMargin
+  }
 
   def ivfTopKOracleSql(qid: Long, k: Int): String =
     s"""$vectorsCte,
