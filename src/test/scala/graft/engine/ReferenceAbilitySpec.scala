@@ -196,6 +196,60 @@ class ReferenceAbilitySpec extends AnyFunSuite {
     g.execute("USE `default`")
   }
 
+  test("index/filter/general.rs: same answers before and after CREATE INDEX") {
+    g.execute("DROP DATABASE IF EXISTS ixdb")
+    val loc = java.nio.file.Files.createTempDirectory("ixdb").toFile.getAbsolutePath
+    g.execute(s"CREATE DATABASE ixdb LOCATION '$loc'")
+    g.execute("USE ixdb")
+    g.execute("CREATE TABLE indexed (a INTEGER)")
+    g.execute("INSERT INTO indexed (a) VALUES (1), (2), (3), (3), (4), (100)")
+    def vals(sql: String): Seq[Any] = g.execute(sql) match {
+      case Payload.Select(_, rows) => rows.map(_.head)
+      case other => fail(s"expected Select, got $other")
+    }
+    val all = Seq(1L, 2L, 3L, 3L, 4L, 100L)
+    assert(vals("SELECT a FROM indexed ORDER BY a") == all)
+    assert(vals("SELECT a FROM indexed WHERE a > 2 ORDER BY a") == Seq(3L, 3L, 4L, 100L))
+    assert(vals("SELECT a FROM indexed WHERE a < 4 ORDER BY a") == Seq(1L, 2L, 3L, 3L))
+    g.execute("CREATE INDEX index ON indexed (a)")
+    assert(vals("SELECT a FROM indexed ORDER BY a") == all)
+    assert(vals("SELECT a FROM indexed WHERE a >= 3 ORDER BY a") == Seq(3L, 3L, 4L, 100L))
+    assert(vals("SELECT a FROM indexed WHERE a > 2 ORDER BY a") == Seq(3L, 3L, 4L, 100L))
+    assert(vals("SELECT a FROM indexed WHERE a <= 3 ORDER BY a") == Seq(1L, 2L, 3L, 3L))
+    assert(vals("SELECT a FROM indexed WHERE a < 4 ORDER BY a") == Seq(1L, 2L, 3L, 3L))
+    assert(vals("SELECT a FROM indexed WHERE a > 1 + 1 ORDER BY a") == Seq(3L, 3L, 4L, 100L))
+    g.execute("USE `default`")
+  }
+
+  test("misc/cast.rs: the cast matrix through SQL") {
+    def one(sql: String): Any = g.execute(sql) match {
+      case Payload.Select(_, Seq(Seq(v))) => v
+      case other => fail(s"expected 1 row, got $other")
+    }
+    // Boolean
+    assert(one("VALUES (CAST('true' AS BOOLEAN))") == true)
+    assert(one("VALUES (CAST('false' AS BOOLEAN))") == false)
+    assert(one("VALUES (CAST(1 AS BOOLEAN))") == true)
+    assert(one("VALUES (CAST(0 AS BOOLEAN))") == false)
+    // divergence: reference errors on CAST(NULL AS BOOLEAN) in
+    // expressions but its cast matrix says Null → Null; Spark gives NULL
+    assert(one("VALUES (CAST(NULL AS BOOLEAN))") == null)
+    // Integer
+    assert(one("VALUES (CAST(true AS INTEGER))") == 1)
+    assert(one("VALUES (CAST(false AS INTEGER))") == 0)
+    assert(one("VALUES (CAST(1.1 AS INTEGER))") == 1)
+    assert(one("VALUES (CAST('11' AS INTEGER))") == 11)
+    assert(one("VALUES (CAST(NULL AS INTEGER))") == null)
+    // Float (dialect FLOAT = f64)
+    assert(one("VALUES (CAST(true AS FLOAT))") == 1.0d)
+    assert(one("VALUES (CAST(false AS FLOAT))") == 0.0d)
+    assert(one("VALUES (CAST(1 AS FLOAT))") == 1.0d)
+    assert(one("VALUES (CAST('11' AS FLOAT))") == 11.0d)
+    // Text
+    assert(one("VALUES (CAST(true AS TEXT))") == "true")
+    assert(one("VALUES (CAST(1 AS TEXT))") == "1")
+  }
+
   test("statement/truncate.rs") {
     g.execute("DROP DATABASE IF EXISTS trdb")
     val loc = java.nio.file.Files.createTempDirectory("trdb").toFile.getAbsolutePath
