@@ -54,6 +54,32 @@ class SkewAndPruningSpec extends AnyFunSuite {
     assert(rowsRead < 200000, s"scan read $rowsRead rows — no pruning")
   }
 
+  test("bucketed tables co-locate joins: no shuffle exchange in the plan") {
+    // The pre-shuffle strategy for repeated big-big joins at scale:
+    // both sides bucketed+sorted on the join key join with zero
+    // exchanges (sort-merge directly over bucket files).
+    spark.sql("DROP TABLE IF EXISTS bleft")
+    spark.sql("DROP TABLE IF EXISTS bright")
+    spark.range(100000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("bleft")
+    spark.range(50000).select(col("id").as("k"), (col("id") + 7).as("w"))
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("bright")
+    // force the shuffle-join path (small test tables would otherwise
+    // auto-broadcast, which hides what bucketing buys)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bleft").join(spark.table("bright"), "k")
+        .withColumn("s", col("v") + col("w"))
+      assert(joined.count() == 50000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"not a sort-merge join: $plan")
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles: $plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    spark.sql("DROP TABLE bleft")
+    spark.sql("DROP TABLE bright")
+  }
+
   test("uuid() produces RFC-4122-shaped distinct values") {
     val ids = spark.sql("SELECT uuid() AS u FROM range(100)")
       .collect().map(_.getString(0))
