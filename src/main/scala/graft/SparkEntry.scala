@@ -75,6 +75,7 @@ object SparkEntry {
     "g4_update_delete" -> (GlueQueries.g4UpdateDelete _),
     "g5_view_vars" -> (GlueQueries.g5ViewVars _),
     "g6_csv_roundtrip" -> (GlueQueries.g6CsvRoundtrip _),
+    "g7_bulk_autoinc" -> (GlueQueries.g7BulkAutoInc _),
     // ---- dialect function batteries (SURVEY.md §2.7) ----
     "f1_convert_casts" -> (GlueQueries.f1ConvertCasts _),
     "f2_datetime_funcs" -> (GlueQueries.f2DatetimeFuncs _),
@@ -350,6 +351,7 @@ object SparkEntry {
     "g1_ddl_roundtrip" -> GlueQueries.g1OracleSql,
     "g2_insert_select" -> GlueQueries.g2OracleSql,
     "g3_constraints" -> GlueQueries.g3OracleSql,
+    "g7_bulk_autoinc" -> GlueQueries.g7OracleSql,
     "g4_update_delete" -> GlueQueries.g4OracleSql,
     "g5_view_vars" -> GlueQueries.g5OracleSql,
     "g6_csv_roundtrip" -> GlueQueries.g6OracleSql,

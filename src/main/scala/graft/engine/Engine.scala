@@ -1,7 +1,6 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import SqlText._
@@ -489,21 +488,24 @@ class Engine(val spark: SparkSession) {
     }
     var out = positioned.select(full: _*)
 
-    // AUTO_INCREMENT fill (reference auto_increment.rs:4-44): nulls in
-    // the auto column get counter, counter+1, … . Sequential semantics
-    // need a global row numbering — correct here because validated
-    // inserts are small batches; bulk loads go through plain writes.
+    // AUTO_INCREMENT fill (reference auto_increment.rs:6-33): nulls in
+    // the auto column get counter, counter+1, … in batch order. A
+    // dense global sequence does NOT need a single-partition window:
+    // checkpoint the validated batch, then number it with
+    // RDD.zipWithIndex — one small per-partition count job, a driver
+    // prefix-sum, and each partition fills from its own offset. No
+    // shuffle; a bulk INSERT … SELECT keeps all its partitions.
+    out = out.localCheckpoint(true)
     val autoCol = tm.columns.find(_.autoIncrement)
     autoCol.foreach { cm =>
-      val w = Window.orderBy(monotonically_increasing_id())
-      out = out
-        .withColumn("__rn", row_number().over(w))
-        .withColumn(cm.name,
-          coalesce(col(cm.name), (col("__rn") + lit(tm.autoCounter - 1)).cast(cm.dataType)))
+      val start = tm.autoCounter
+      val indexed = spark.createDataFrame(
+        out.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+        out.schema.add("__rn", LongType, nullable = false))
+      out = indexed.withColumn(cm.name,
+          coalesce(col(cm.name), (col("__rn") + lit(start)).cast(cm.dataType)))
         .drop("__rn")
     }
-
-    out = out.localCheckpoint(true)
 
     // NOT NULL (reference validate.rs): all columns checked in ONE
     // aggregate job together with the row count, not one job each.

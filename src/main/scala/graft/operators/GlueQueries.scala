@@ -147,6 +147,36 @@ object GlueQueries {
       |FROM (VALUES ('alice', 30, 1.5), ('bob', 25, 1.75), ('carol', 41, 2.0))
       |  p(name, age, height)""".stripMargin
 
+  /** Bulk AUTO_INCREMENT: two `INSERT … SELECT` loads (~2× lineitem,
+    * ≥10⁵ rows at sf0.01) through the validated insert path. Proves
+    * the parallel zipWithIndex fill assigns a dense 1..2n id sequence
+    * across batches — COUNT(DISTINCT id) = n, min 1, max n, and
+    * SUM(id) = n(n+1)/2 pin density exactly — without funnelling the
+    * batch through a single partition (Engine.insertDataFrame).
+    * Reference semantics: src/database/auto_increment.rs:6-33. */
+  def g7BulkAutoInc(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val g = new Engine(spark)
+    freshDb(g, "g7db")
+    g.execute(
+      "CREATE TABLE g7db.li (id INTEGER AUTO_INCREMENT, okey INTEGER, qty FLOAT)")
+    g.execute("INSERT INTO g7db.li (okey, qty) SELECT l_orderkey, l_quantity FROM lineitem")
+    g.execute("INSERT INTO g7db.li (okey, qty) SELECT l_orderkey, l_quantity FROM lineitem")
+    g.query(
+      """SELECT COUNT(*) AS n, CAST(MIN(id) AS BIGINT) AS min_id,
+        |  CAST(MAX(id) AS BIGINT) AS max_id,
+        |  COUNT(DISTINCT id) AS n_ids, SUM(id) AS sum_ids
+        |FROM g7db.li""".stripMargin)
+  }
+
+  def g7OracleSql: String =
+    """SELECT CAST(2 * count(*) AS BIGINT) AS n,
+      |  CAST(1 AS BIGINT) AS min_id,
+      |  CAST(2 * count(*) AS BIGINT) AS max_id,
+      |  CAST(2 * count(*) AS BIGINT) AS n_ids,
+      |  CAST(count(*) * (2 * count(*) + 1) AS BIGINT) AS sum_ids
+      |FROM lineitem""".stripMargin
+
   /** Dialect scalar battery 1: CONVERT/TRY_CONVERT core casts, IIF,
     * byte-LEN (reference function.rs:124-166, utility.rs). */
   def f1ConvertCasts(spark: SparkSession, dir: String): DataFrame = {

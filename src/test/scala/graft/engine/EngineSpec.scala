@@ -103,6 +103,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(selectRows("SELECT id FROM ai") == Seq(Seq(1L)))
   }
 
+  test("auto_increment bulk INSERT..SELECT stays parallel and assigns dense ids") {
+    g.execute("CREATE TABLE bai (id INTEGER AUTO_INCREMENT, v INTEGER)")
+    spark.range(10000).selectExpr("CAST(id AS INT) AS v")
+      .repartition(8).createOrReplaceTempView("bai_src")
+    g.execute("INSERT INTO bai (v) SELECT v FROM bai_src")
+    g.execute("INSERT INTO bai (v) SELECT v FROM bai_src")
+    // Dense 1..20000 across both batches: distinct = count, min 1,
+    // max n, and the exact Gauss sum pins every id.
+    assert(selectRows(
+      "SELECT COUNT(*), MIN(id), MAX(id), COUNT(DISTINCT id), SUM(id) FROM bai").head
+      == Seq(20000L, 1L, 20000L, 20000L, 20000L * 20001L / 2))
+    // The fill must not have funnelled the batch through one partition:
+    // each 8-partition insert writes multiple files.
+    val nFiles = g.query("SELECT v FROM bai")
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
+    assert(nFiles > 2, s"bulk insert collapsed to $nFiles file(s)")
+  }
+
   test("default expressions evaluated when column omitted") {
     g.execute("CREATE TABLE d (a INTEGER, b INTEGER DEFAULT 7 * 2, c TEXT DEFAULT 'x')")
     g.execute("INSERT INTO d (a) VALUES (1)")
