@@ -107,7 +107,26 @@ class Engine(val spark: SparkSession) {
   /** SELECT as a distributed DataFrame (the form to use when the
     * result doesn't fit on the driver — `execute` collects). */
   def query(sql: String): DataFrame =
-    spark.sql(preprocess(stripTrailingSemi(sql)))
+    sqlDf(preprocess(stripTrailingSemi(sql)))
+
+  /** `spark.sql` with the dialect's arithmetic semantics: the parsed
+    * plan is rewritten pre-analysis (`/` → type-dispatching integer
+    * division, AVG → SUM/COUNT — reference binary.rs:66-100,
+    * recipe/new.rs:117-130) and then handed to the analyzer.
+    * Statement text that Spark analyzes on its own later (a CREATE
+    * VIEW body re-read from the catalog) keeps Spark's float `/`
+    * — documented divergence (README). */
+  private def sqlDf(sql: String): DataFrame =
+    org.apache.spark.sql.graft.Shims.ofRows(spark,
+      graft.functions.Dialect.rewriteArithmetic(
+        org.apache.spark.sql.graft.Shims.parse(spark, sql)))
+
+  /** Parse an expression fragment (UPDATE SET / WHERE) with the same
+    * arithmetic dispatch as [[sqlDf]]. */
+  private def dialectExpr(s: String): Column =
+    org.apache.spark.sql.graft.Shims.column(
+      graft.functions.Dialect.rewriteArithmeticExpr(
+        org.apache.spark.sql.graft.Shims.parseExpression(spark, s)))
 
   /** A prepared query: parsed once, re-analyzed and re-executed per
     * run (so it always sees current table state). The reference's
@@ -116,8 +135,9 @@ class Engine(val spark: SparkSession) {
       private[Engine] val plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
 
   def prepare(sql: String): Prepared =
-    new Prepared(org.apache.spark.sql.graft.Shims.parse(
-      spark, preprocess(stripTrailingSemi(sql))))
+    new Prepared(graft.functions.Dialect.rewriteArithmetic(
+      org.apache.spark.sql.graft.Shims.parse(
+        spark, preprocess(stripTrailingSemi(sql)))))
 
   def executePrepared(p: Prepared): Payload = {
     val df = org.apache.spark.sql.graft.Shims.ofRows(spark, p.plan)
@@ -212,10 +232,10 @@ class Engine(val spark: SparkSession) {
     * become the CTE's table. */
   private def selectDf(sql: String): DataFrame = sql match {
     case _ if sql.trim.toUpperCase.startsWith("VALUES") =>
-      spark.sql(rewriteValues(sql))
+      sqlDf(rewriteValues(sql))
     case insertCteRe(rawName) =>
       val (body, end) = parenBlock(sql, sql.toUpperCase.indexOf("AS") + 2)
-      if (!body.trim.toUpperCase.startsWith("INSERT")) spark.sql(sql)
+      if (!body.trim.toUpperCase.startsWith("INSERT")) sqlDf(sql)
       else {
         val cteName = cleanIdent(rawName)
         val (_, inserted) = insertReturning(body.trim)
@@ -224,11 +244,11 @@ class Engine(val spark: SparkSession) {
           val rest = sql.substring(end).trim
           val restSql = if (rest.startsWith(",")) "WITH " + rest.drop(1) else rest
           // materialize before the temp view goes away
-          val out = spark.sql(restSql).localCheckpoint(true)
+          val out = sqlDf(restSql).localCheckpoint(true)
           out
         } finally spark.catalog.dropTempView(cteName)
       }
-    case _ => spark.sql(sql)
+    case _ => sqlDf(sql)
   }
 
   // ------------------------------------------------------------------
@@ -458,7 +478,7 @@ class Engine(val spark: SparkSession) {
         val srcSql =
           if (rest.toUpperCase.startsWith("VALUES")) rewriteValues(rest)
           else rest
-        val src = spark.sql(srcSql)
+        val src = sqlDf(srcSql)
         if (src.columns.length != cols.length)
           throw new EngineException(
             s"wrong number of values: ${src.columns.length} given, ${cols.length} expected")
@@ -567,13 +587,13 @@ class Engine(val spark: SparkSession) {
       case re(rawName, setPart, wherePart) =>
         val (db, tbl) = resolve(rawName)
         val tm = requireMeta(db, tbl)
-        val cond = Option(wherePart).map(expr).getOrElse(lit(true))
+        val cond = Option(wherePart).map(dialectExpr).getOrElse(lit(true))
         val assigns: Map[String, Column] = splitTop(setPart, ',').map { a =>
           val eq = a.indexOf('=')
           require(eq > 0, s"bad assignment: $a")
           val name = cleanIdent(a.substring(0, eq))
           val cm = tm.column(name).getOrElse(throw new EngineException(s"unknown column $name"))
-          cm.name -> expr(a.substring(eq + 1)).cast(cm.dataType)
+          cm.name -> dialectExpr(a.substring(eq + 1)).cast(cm.dataType)
         }.toMap
         val t = spark.table(s"`$db`.`$tbl`")
         val n = t.filter(cond).count()
@@ -606,7 +626,7 @@ class Engine(val spark: SparkSession) {
         val (db, tbl) = resolve(rawName)
         requireMeta(db, tbl)
         val t = spark.table(s"`$db`.`$tbl`")
-        val cond = Option(wherePart).map(expr).getOrElse(lit(true))
+        val cond = Option(wherePart).map(dialectExpr).getOrElse(lit(true))
         val n = t.filter(cond).count()
         val kept = t.filter(!cond || cond.isNull).localCheckpoint(true)
         overwriteTable(db, tbl, kept)

@@ -289,6 +289,48 @@ object Dialect {
       })
   }
 
+  // ------------------------------------------------------------------
+  // Statement-level arithmetic dispatch (binary.rs:66-100,
+  // recipe/new.rs:117-130)
+  // ------------------------------------------------------------------
+
+  private def isAvg(f: UnresolvedFunction): Boolean =
+    f.nameParts.length == 1 && f.nameParts.head.equalsIgnoreCase("avg") &&
+      f.arguments.length == 1
+
+  private def renamed(f: UnresolvedFunction, to: String): UnresolvedFunction =
+    f.copy(nameParts = Seq(to))
+
+  /** `/` → [[DialectDivide]]; AVG(x) → SUM(x)/COUNT(x) through the
+    * same dispatch, so AVG over I64 is integer math like the
+    * reference (recipe/new.rs:117-130) and stays a true float mean
+    * otherwise. A window AVG splits into sum/count window aggregates
+    * over the same spec (DISTINCT and FILTER clauses ride along on
+    * the copied UnresolvedFunction). */
+  val arithmeticRule: PartialFunction[Expression, Expression] = {
+    case WindowExpression(f: UnresolvedFunction, spec) if isAvg(f) =>
+      DialectDivide(
+        WindowExpression(renamed(f, "sum"), spec),
+        WindowExpression(renamed(f, "count"), spec))
+    case f: UnresolvedFunction if isAvg(f) =>
+      DialectDivide(renamed(f, "sum"), renamed(f, "count"))
+    case d: Divide => DialectDivide(d.left, d.right)
+  }
+
+  /** Apply [[arithmeticRule]] to a freshly-parsed (pre-analysis) plan
+    * — before type coercion, so the tree is exactly what the user
+    * wrote and explicit CASTs keep Spark semantics. Subquery plans
+    * nested inside expressions are rewritten too. */
+  def rewriteArithmetic(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries(arithmeticRule)
+
+  /** The same dispatch for a bare parsed expression (UPDATE SET /
+    * WHERE fragments). */
+  def rewriteArithmeticExpr(e: Expression): Expression =
+    e.transformDown(arithmeticRule)
+
   @volatile private var registeredSessions = Set.empty[SparkSession]
 
   /** Register the pack into `spark`'s function registry (idempotent). */

@@ -204,6 +204,37 @@ object GlueQueries {
       |  CAST(length(o_orderpriority) AS INTEGER) AS pr_len
       |FROM orders WHERE o_orderkey <= 200""".stripMargin
 
+  /** Integer arithmetic through the SQL facade (Engine.query/execute):
+    * `/` on two I64 is integer division and AVG(I64) is SUM/COUNT in
+    * integer math (reference value/methods/binary.rs:66-100,
+    * recipe/new.rs:117-130). q8 pins the same semantics for the
+    * DataFrame battery; this entry pins the statement path, arbitrated
+    * by DuckDB `//`. Operands stay non-negative — Rust (and Spark div)
+    * truncate toward zero while DuckDB floors, a divergence only
+    * visible below zero. sum_half stays hash-exact because n/2.0
+    * values are dyadic rationals (exact doubles, order-independent
+    * sums). */
+  def f3IntArith(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    new Engine(spark).query(
+      """SELECT o_orderstatus,
+        |  AVG(o_orderkey) AS avg_key,
+        |  SUM(o_orderkey / 7) AS sum_div7,
+        |  SUM(o_orderkey / 2.0) AS sum_half,
+        |  MIN(5 / 2) AS five_half,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  def f3OracleSql: String =
+    """SELECT o_orderstatus,
+      |  CAST(sum(o_orderkey) // count(o_orderkey) AS BIGINT) AS avg_key,
+      |  CAST(sum(o_orderkey // 7) AS BIGINT) AS sum_div7,
+      |  sum(o_orderkey / 2.0) AS sum_half,
+      |  CAST(2 AS BIGINT) AS five_half,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   /** Dialect scalar battery 2: the datetime family on epoch-seconds
     * values — DATETIME render, rule-22 parse, DATEADD month clamping,
     * DATEFROMPARTS, MONEY formatting (reference cast.rs:146-303,

@@ -16,4 +16,14 @@ object Shims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def parseExpression(
+      spark: SparkSession,
+      s: String): org.apache.spark.sql.catalyst.expressions.Expression =
+    spark.sessionState.sqlParser.parseExpression(s)
+
+  def column(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

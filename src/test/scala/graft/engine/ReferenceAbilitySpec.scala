@@ -62,6 +62,52 @@ class ReferenceAbilitySpec extends AnyFunSuite {
     g.execute("USE `default`")
   }
 
+  test("filter/arithmetic.rs: +,-,*,/ in WHERE and UPDATE, integer division") {
+    g.execute("DROP DATABASE IF EXISTS arith")
+    val loc = java.nio.file.Files.createTempDirectory("arith").toFile.getAbsolutePath
+    g.execute(s"CREATE DATABASE arith LOCATION '$loc'")
+    g.execute("USE arith")
+    g.execute("CREATE TABLE Arith (id INTEGER, num INTEGER, name TEXT)")
+    g.execute(
+      """INSERT INTO Arith (id, num, name) VALUES
+        |  (1, 6, 'A'), (2, 8, 'B'), (3, 4, 'C'), (4, 2, 'D'), (5, 3, 'E');""".stripMargin)
+    def one(sql: String): Any = g.execute(sql) match {
+      case Payload.Select(_, Seq(Seq(v))) => v
+      case other => fail(s"expected one row/col, got $other")
+    }
+    // add/subtract/multiply on WHERE
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE id = 1 + 1;") == 1L)
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE id < id + 1;") == 5L)
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE id < num + id;") == 5L)
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE id + 1 < 5;") == 3L)
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE id = 2 - 1;") == 1L)
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE 2 - 1 = id;") == 1L)
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE id > id - 1;") == 5L)
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE id > id - num;") == 5L)
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE 5 - id < 3;") == 3L)
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE id = 2 * 2;") == 1L)
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE 3 * id < 4;") == 1L)
+    // divide on WHERE — the int-division assertions: 5/2 = 2, 10/4 = 2
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE id = 5 / 2;") == 1L)
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE id > id / 2;") == 5L)
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE id > num / id;") == 3L)
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE 10 / id = 2;") == 2L)
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE 1 + 1 = id;") == 1L)
+    // integer AVG = SUM/COUNT in integer math: (6+8+4+2+3)/5 = 23/5 = 4
+    assert(one("SELECT AVG(num) a FROM Arith") == 4L)
+    assert(one("SELECT DISTINCT AVG(num) OVER () a FROM Arith") == 4L)
+    // a float operand promotes to F64 division
+    assert(one("SELECT num / 4.0 r FROM Arith WHERE id = 1") == 1.5d)
+    // UPDATE round trip: *2 then /2 restores every id exactly
+    g.execute("UPDATE Arith SET id = id + 1;")
+    g.execute("UPDATE Arith SET id = id - 1 WHERE id != 6;")
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE id <= 2;") == 2L)
+    g.execute("UPDATE Arith SET id = id * 2;")
+    g.execute("UPDATE Arith SET id = id / 2;")
+    assert(one("SELECT COUNT(1) count FROM Arith WHERE id <= 2;") == 2L)
+    g.execute("USE `default`")
+  }
+
   test("statement/set.rs: variables in projection, predicate, both branches") {
     g.execute("DROP DATABASE IF EXISTS setdb")
     val loc = java.nio.file.Files.createTempDirectory("setdb").toFile.getAbsolutePath
