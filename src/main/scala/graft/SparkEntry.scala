@@ -80,6 +80,7 @@ object SparkEntry {
     "f1_convert_casts" -> (GlueQueries.f1ConvertCasts _),
     "f2_datetime_funcs" -> (GlueQueries.f2DatetimeFuncs _),
     "f3_int_arith" -> (GlueQueries.f3IntArith _),
+    "f4_null_compat" -> (GlueQueries.f4NullCompat _),
     // ---- multimodal columns (binary + typed metadata; decode stubbed) ----
     "m1_media_meta" -> (Multimodal.m1MediaMeta _),
     "m2_frame_sample" -> (Multimodal.m2FrameSample _),
@@ -359,6 +360,7 @@ object SparkEntry {
     "f1_convert_casts" -> GlueQueries.f1OracleSql,
     "f2_datetime_funcs" -> GlueQueries.f2OracleSql,
     "f3_int_arith" -> GlueQueries.f3OracleSql,
+    "f4_null_compat" -> GlueQueries.f4OracleSql,
     "s1_brute_topk" -> Similarity.bruteTopKOracleSql(0L, 10),
     "s2_ann_lsh" -> Similarity.annLshOracleSql(0L, 10),
     "s3_lsh_buckets" -> Similarity.lshBucketsOracleSql,

@@ -39,6 +39,16 @@ class Engine(val spark: SparkSession) {
   val meta = new MetaStore
   private val vars = scala.collection.mutable.Map.empty[String, String]
 
+  /** Opt-in reference NULL-comparison semantics: comparisons yield
+    * `false` (and `!=` `true`), never NULL, on NULL operands —
+    * reference binary.rs:51-64 + value/mod.rs:145-188 (PartialEq has
+    * no Null arm). Off by default: the standard three-valued logic is
+    * what the DuckDB oracle and SQL users expect; a porting user
+    * flips this on to keep `WHERE NOT (x = y)` behavior on nullable
+    * columns. Applies to every statement path (query/execute/
+    * prepare/UPDATE/DELETE fragments). */
+  @volatile var nullComparisonFalse: Boolean = false
+
   graft.functions.Dialect.register(spark)
 
   // ------------------------------------------------------------------
@@ -118,15 +128,23 @@ class Engine(val spark: SparkSession) {
     * — documented divergence (README). */
   private def sqlDf(sql: String): DataFrame =
     org.apache.spark.sql.graft.Shims.ofRows(spark,
-      graft.functions.Dialect.rewriteArithmetic(
-        org.apache.spark.sql.graft.Shims.parse(spark, sql)))
+      rewritePlan(org.apache.spark.sql.graft.Shims.parse(spark, sql)))
+
+  private def rewritePlan(
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val p = graft.functions.Dialect.rewriteArithmetic(parsed)
+    if (nullComparisonFalse) graft.functions.Dialect.rewriteNullCompare(p) else p
+  }
 
   /** Parse an expression fragment (UPDATE SET / WHERE) with the same
     * arithmetic dispatch as [[sqlDf]]. */
-  private def dialectExpr(s: String): Column =
-    org.apache.spark.sql.graft.Shims.column(
-      graft.functions.Dialect.rewriteArithmeticExpr(
-        org.apache.spark.sql.graft.Shims.parseExpression(spark, s)))
+  private def dialectExpr(s: String): Column = {
+    var e = graft.functions.Dialect.rewriteArithmeticExpr(
+      org.apache.spark.sql.graft.Shims.parseExpression(spark, s))
+    if (nullComparisonFalse) e = graft.functions.Dialect.rewriteNullCompareExpr(e)
+    org.apache.spark.sql.graft.Shims.column(e)
+  }
 
   /** A prepared query: parsed once, re-analyzed and re-executed per
     * run (so it always sees current table state). The reference's
@@ -135,9 +153,8 @@ class Engine(val spark: SparkSession) {
       private[Engine] val plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
 
   def prepare(sql: String): Prepared =
-    new Prepared(graft.functions.Dialect.rewriteArithmetic(
-      org.apache.spark.sql.graft.Shims.parse(
-        spark, preprocess(stripTrailingSemi(sql)))))
+    new Prepared(rewritePlan(org.apache.spark.sql.graft.Shims.parse(
+      spark, preprocess(stripTrailingSemi(sql)))))
 
   def executePrepared(p: Prepared): Payload = {
     val df = org.apache.spark.sql.graft.Shims.ofRows(spark, p.plan)

@@ -331,6 +331,38 @@ object Dialect {
   def rewriteArithmeticExpr(e: Expression): Expression =
     e.transformDown(arithmeticRule)
 
+  // ------------------------------------------------------------------
+  // NULL-comparison compat mode (binary.rs:51-64, value/mod.rs:145-188)
+  // ------------------------------------------------------------------
+
+  /** Reference comparisons never return NULL: `comparative_binary_op`
+    * wraps the host `==`/`<`/… (binary.rs:51-64) whose
+    * PartialEq/PartialOrd have no Null arm (value/mod.rs:145-188), so
+    * `NULL = x` is `false` and — because Rust's `!=` is the negation
+    * of `eq` — `NULL != x` is `true`. Spark's three-valued logic
+    * yields NULL for both, which flips `WHERE NOT (x = y)` on
+    * nullable columns. Wrapping each comparison in
+    * `coalesce(_, false)` reproduces the reference exactly, including
+    * the `!=` asymmetry (Spark parses `a != b` as `NOT (a = b)`, and
+    * the NOT lands *outside* the wrap). `<=>` is already null-total
+    * and `IS [NOT] NULL` are not comparisons — untouched; arithmetic
+    * keeps propagating NULL (generic! macro, binary.rs:66-92), which
+    * Spark matches natively. */
+  val nullCompareRule: PartialFunction[Expression, Expression] = {
+    case c: BinaryComparison if !c.isInstanceOf[EqualNullSafe] =>
+      Coalesce(Seq(c, Literal(false)))
+  }
+
+  /** Bottom-up so the freshly-built Coalesce wrapper is not re-visited
+    * (a top-down transform would re-match the inner comparison forever). */
+  def rewriteNullCompare(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformUpWithSubqueries { case p => p.transformExpressionsUp(nullCompareRule) }
+
+  def rewriteNullCompareExpr(e: Expression): Expression =
+    e.transformUp(nullCompareRule)
+
   @volatile private var registeredSessions = Set.empty[SparkSession]
 
   /** Register the pack into `spark`'s function registry (idempotent). */

@@ -235,6 +235,39 @@ object GlueQueries {
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** NULL-comparison compat mode (Engine.nullComparisonFalse):
+    * comparisons yield `false` — and `!=` `true` — on NULL operands
+    * like the reference (binary.rs:51-64; PartialEq/PartialOrd have
+    * no Null arm, value/mod.rs:145-188), so `WHERE NOT (x = y)`
+    * keeps NULL rows. The oracle states the identical semantics
+    * explicitly with coalesce, so DuckDB arbitrates the whole truth
+    * table: =, != (negation-of-eq), an ordering, in both WHERE and
+    * the projection. */
+  def f4NullCompat(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val g = new Engine(spark)
+    g.nullComparisonFalse = true
+    g.query(
+      """SELECT c_custkey, seg,
+        |  seg = 'MACHINERY' AS eq_mach,
+        |  NOT (seg = 'MACHINERY') AS not_eq_mach,
+        |  seg != 'FURNITURE' AS ne_furn,
+        |  seg < 'F' AS lt_f
+        |FROM (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+        |      FROM customer) t
+        |WHERE NOT (seg = 'AUTOMOBILE') AND c_custkey <= 500""".stripMargin)
+  }
+
+  def f4OracleSql: String =
+    """SELECT c_custkey, seg,
+      |  coalesce(seg = 'MACHINERY', false) AS eq_mach,
+      |  NOT coalesce(seg = 'MACHINERY', false) AS not_eq_mach,
+      |  NOT coalesce(seg = 'FURNITURE', false) AS ne_furn,
+      |  coalesce(seg < 'F', false) AS lt_f
+      |FROM (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+      |      FROM customer) t
+      |WHERE NOT coalesce(seg = 'AUTOMOBILE', false) AND c_custkey <= 500""".stripMargin
+
   /** Dialect scalar battery 2: the datetime family on epoch-seconds
     * values — DATETIME render, rule-22 parse, DATEADD month clamping,
     * DATEFROMPARTS, MONEY formatting (reference cast.rs:146-303,
