@@ -49,6 +49,10 @@ object SparkEntry {
     "q28_cube" -> (C.q28Cube _),
     "q29_point_find" -> (C.q29PointFind _),
     "q30_percentiles" -> (C.q30Percentiles _),
+    // q31 has no oracle entry on purpose: quantile sketches aren't
+    // bit-identical across engines → driver rows-only check;
+    // ApproxPercentileSpec pins the error bound vs the exact anchor.
+    "q31_approx_percentiles" -> (C.q31ApproxPercentiles _),
     // ---- events / streaming-shaped (batch forms) ----
     "e1_tumbling_counts" -> (EventOps.tumblingCounts _),
     "e2_json_props" -> (EventOps.jsonProps _),

@@ -346,12 +346,13 @@ object CoreQueries {
         col("l_quantity"), col("l_extendedprice"))
   }
 
-  /** Exact percentiles (linear interpolation) + spread stats per
-    * group — the percentile family from the extension surface
-    * (SURVEY.md §2.7 "absent whole categories"). Exact `percentile`
-    * is a full-sort-per-group aggregate; the approx_percentile sketch
-    * is the 100 TB default (not oracle-matchable across engines, so
-    * the exact form carries the correctness check). */
+  /** Exact-percentile ORACLE ANCHOR (linear interpolation) + spread
+    * stats per group — the percentile family from the extension
+    * surface (SURVEY.md §2.7 "absent whole categories"). Exact
+    * `percentile` buffers every group value, so its only battery role
+    * is arbitrating correctness against DuckDB `quantile_cont` at
+    * small SF and bounding [[q31ApproxPercentiles]]'s sketch error in
+    * ApproxPercentileSpec; q31 is the tier to run at scale. */
   def q30Percentiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -359,6 +360,25 @@ object CoreQueries {
         expr("percentile(l_extendedprice, 0.5)").as("p50"),
         expr("percentile(l_extendedprice, 0.9)").as("p90"),
         expr("percentile(l_extendedprice, 0.99)").as("p99"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+
+  /** Approx-percentile tier — the 100 TB default for the percentile
+    * family. `approx_percentile` keeps a bounded-size mergeable
+    * quantile summary per group (map-side partial agg, O(accuracy)
+    * memory however large the group), where q30's exact form buffers
+    * every value (executor OOM once one group holds billions of
+    * rows). Accuracy 10⁴ bounds rank error to n/10⁴; sketches are
+    * not bit-identical across engines, so the driver records the
+    * rows-only check (no oracleSql entry) and ApproxPercentileSpec
+    * pins the tolerance against the exact anchor. */
+  def q31ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"),
         min(col("l_extendedprice")).as("lo"),
         max(col("l_extendedprice")).as("hi"))
 
