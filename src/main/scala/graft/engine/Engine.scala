@@ -139,12 +139,16 @@ class Engine(val spark: SparkSession) {
 
   /** Parse an expression fragment (UPDATE SET / WHERE) with the same
     * arithmetic dispatch as [[sqlDf]]. */
-  private def dialectExpr(s: String): Column = {
+  private def dialectExprTree(s: String)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
     var e = graft.functions.Dialect.rewriteArithmeticExpr(
       org.apache.spark.sql.graft.Shims.parseExpression(spark, s))
     if (nullComparisonFalse) e = graft.functions.Dialect.rewriteNullCompareExpr(e)
-    org.apache.spark.sql.graft.Shims.column(e)
+    e
   }
+
+  private def dialectExpr(s: String): Column =
+    org.apache.spark.sql.graft.Shims.column(dialectExprTree(s))
 
   /** A prepared query: parsed once, re-analyzed and re-executed per
     * run (so it always sees current table state). The reference's
@@ -613,13 +617,22 @@ class Engine(val spark: SparkSession) {
           cm.name -> dialectExpr(a.substring(eq + 1)).cast(cm.dataType)
         }.toMap
         val t = spark.table(s"`$db`.`$tbl`")
-        val n = t.filter(cond).count()
-        val updated = t.select(tm.columns.map { cm =>
+        // Affected-row count folded into the rewrite job: an observed
+        // metric on the scan (CollectMetrics is not in Catalyst's
+        // predicate-pushdown whitelist, and the projection sits above
+        // it), so one pass produces both the new table and the count —
+        // the reference's update does the same single sweep
+        // (alter_row/update.rs).
+        val obs = org.apache.spark.sql.Observation()
+        val updated = t
+          .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
+          .select(tm.columns.map { cm =>
           assigns.get(cm.name)
             .map(a => when(cond, a).otherwise(col(cm.name)).as(cm.name))
             .getOrElse(col(cm.name))
         }: _*)
         val out = updated.localCheckpoint(true)
+        val n = obs.get("n_matched").asInstanceOf[Long]
         tm.columns.filter(!_.nullable).filter(c => assigns.contains(c.name)).foreach { cm =>
           if (out.filter(col(cm.name).isNull).limit(1).count() > 0)
             throw new EngineException(s"null value in NOT NULL column ${cm.name}")
@@ -643,11 +656,45 @@ class Engine(val spark: SparkSession) {
         val (db, tbl) = resolve(rawName)
         requireMeta(db, tbl)
         val t = spark.table(s"`$db`.`$tbl`")
-        val cond = Option(wherePart).map(dialectExpr).getOrElse(lit(true))
-        val n = t.filter(cond).count()
-        val kept = t.filter(!cond || cond.isNull).localCheckpoint(true)
-        overwriteTable(db, tbl, kept)
-        Payload.Delete(n)
+        // A foldable condition (no WHERE, or WHERE 1=1 style) turns
+        // the keep-filter into a constant — the optimizer then
+        // replaces the whole scan with an empty relation, CollectMetrics
+        // included, so the observed count would never arrive. Those
+        // degenerate shapes get their own counted-truncation path
+        // (parquet count() is a metadata job); real predicates take
+        // the single-scan observe path.
+        val condTreeOpt = Option(wherePart).map(dialectExprTree)
+        val condOpt = condTreeOpt.map(org.apache.spark.sql.graft.Shims.column)
+        val foldedTrue = condTreeOpt match {
+          case None => Some(true)
+          // foldable on a parsed-but-unresolved tree throws for
+          // attribute refs — exactly the non-degenerate case
+          case Some(e) if scala.util.Try(e.foldable).getOrElse(false) =>
+            val r = spark.range(1)
+              .select(org.apache.spark.sql.graft.Shims.column(e).cast("boolean"))
+              .collect()(0)
+            Some(!r.isNullAt(0) && r.getBoolean(0))
+          case _ => None
+        }
+        (condOpt, foldedTrue) match {
+          case (_, Some(false)) => Payload.Delete(0L)
+          case (_, Some(true)) =>
+            val n = t.count()
+            overwriteTable(db, tbl, t.limit(0).localCheckpoint(true))
+            Payload.Delete(n)
+          case (Some(cond), None) =>
+            // Deleted-row count observed below the keep-filter (which
+            // Catalyst cannot push through CollectMetrics) — one scan
+            // instead of a count() pass plus a rewrite pass.
+            val obs = org.apache.spark.sql.Observation()
+            val kept = t
+              .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
+              .filter(!cond || cond.isNull).localCheckpoint(true)
+            val n = obs.get("n_matched").asInstanceOf[Long]
+            overwriteTable(db, tbl, kept)
+            Payload.Delete(n)
+          case (None, None) => throw new IllegalStateException("unreachable")
+        }
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
     }
   }

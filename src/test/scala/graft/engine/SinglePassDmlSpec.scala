@@ -1,0 +1,83 @@
+package graft.engine
+
+import graft.SparkFixture
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** UPDATE/DELETE must read the table ONCE: the affected-row count is
+  * an observed metric on the rewrite job's scan (CollectMetrics),
+  * not a separate `filter(cond).count()` pass. Proven two ways: the
+  * payload counts stay exact (incl. rows the WHERE doesn't match and
+  * an empty-match UPDATE), and the Spark job count per statement is
+  * exactly 2 — one localCheckpoint job (scan + metric), one
+  * overwrite-write job. A second scan would make it 3. */
+class SinglePassDmlSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.session
+  private lazy val g = {
+    val e = new Engine(spark)
+    e.execute("DROP DATABASE IF EXISTS spdml")
+    val loc = java.nio.file.Files.createTempDirectory("spdml").toFile.getAbsolutePath
+    e.execute(s"CREATE DATABASE spdml LOCATION '$loc'")
+    e
+  }
+
+  /** Count jobs started while `body` runs (listener events are async:
+    * poll until the counter is quiet before reading it). */
+  private def jobsDuring(body: => Payload): (Payload, Int) = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val p = body
+      var last = -1
+      var quiet = 0
+      while (quiet < 2) {
+        Thread.sleep(150)
+        val cur = n.get()
+        if (cur == last) quiet += 1 else { quiet = 0; last = cur }
+      }
+      (p, n.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("UPDATE runs one scan job + one write job, exact count") {
+    g.execute("CREATE TABLE spdml.t (k INTEGER, v INTEGER)")
+    g.execute("INSERT INTO spdml.t SELECT id, id * 10 FROM range(100)")
+    val (p, jobs) = jobsDuring(g.execute("UPDATE spdml.t SET v = v + 1 WHERE k < 30"))
+    assert(p == Payload.Update(30))
+    assert(jobs == 2, s"expected scan+write = 2 jobs, saw $jobs")
+    g.execute("SELECT SUM(v) AS s FROM spdml.t") match {
+      case Payload.Select(_, rows) =>
+        // 10*(0+..+99) + 30 ones
+        assert(rows.head.head == 49500L + 30L)
+      case other => fail(s"$other")
+    }
+  }
+
+  test("UPDATE with zero matching rows reports 0") {
+    val (p, _) = jobsDuring(g.execute("UPDATE spdml.t SET v = 0 WHERE k > 1000"))
+    assert(p == Payload.Update(0))
+  }
+
+  test("DELETE runs one scan job + one write job, exact count") {
+    val (p, jobs) = jobsDuring(g.execute("DELETE FROM spdml.t WHERE k >= 70"))
+    assert(p == Payload.Delete(30))
+    assert(jobs == 2, s"expected scan+write = 2 jobs, saw $jobs")
+    g.execute("SELECT COUNT(*) AS n FROM spdml.t") match {
+      case Payload.Select(_, rows) => assert(rows.head.head == 70L)
+      case other => fail(s"$other")
+    }
+  }
+
+  test("unconditional DELETE counts every row") {
+    val (p, _) = jobsDuring(g.execute("DELETE FROM spdml.t"))
+    assert(p == Payload.Delete(70))
+    g.execute("SELECT COUNT(*) AS n FROM spdml.t") match {
+      case Payload.Select(_, rows) => assert(rows.head.head == 0L)
+      case other => fail(s"$other")
+    }
+  }
+}
