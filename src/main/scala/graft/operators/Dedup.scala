@@ -107,11 +107,22 @@ object Dedup {
     withHash.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Band-bucket size cap for MinHash-LSH: in-bucket pair generation
+    * is quadratic in bucket size, so a degenerate corpus (one viral
+    * band key — e.g. thousands of byte-identical boilerplate docs)
+    * would turn one bucket into a k²/2 explosion. Buckets above the
+    * cap are dropped whole, like d2's [[MaxShingleDf]]: their
+    * members are exact/near-exact clones of each other that d1
+    * (exact dedup) already collapses at O(n), and a genuine near-dup
+    * neighborhood this large doesn't exist in real corpora. */
+  val MaxBandBucket = 50
+
   /** MinHash + LSH near-dup: band signatures (bands of rows=2), bucket
     * by band value, emit candidate pairs per bucket, estimate
     * similarity as the fraction of matching minhashes. The banding
     * join is the scale path: shuffle on (band_id, band_key), never n². */
-  def minhashLsh(spark: SparkSession, dir: String, minEstSim: Double = 0.25): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String, minEstSim: Double = 0.25,
+                 maxBucket: Int = MaxBandBucket): DataFrame = {
     val nBands = NumHashes / 2
     // Signature pipeline (shingle explode + 16-way min agg over
     // millions of rows) is the expensive stage — a band SELF-JOIN
@@ -121,8 +132,9 @@ object Dedup {
     // bucket locally. Signatures ride along, so est-sim needs no
     // further join. Bucket pair-blowup is inherently quadratic in
     // bucket size for ANY LSH formulation; near-dup buckets are
-    // small, and a df-cap (like d2's) is the standard guard if a
-    // degenerate corpus produces mega-buckets.
+    // small, and buckets beyond maxBucket are dropped whole
+    // ([[MaxBandBucket]]) — the quadratic term is bounded by
+    // construction, like d2's DF cap.
     val bands = minhashSignatures(spark, dir)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
@@ -135,7 +147,7 @@ object Dedup {
     bands
       .groupBy(col("band_id"), col("band_key"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
-      .filter(size(col("ms")) > 1)
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
       // all (i < j) pairs within the bucket; ms sorted by doc_id so
       // id_a < id_b holds by construction
       .select(explode(expr(
@@ -241,9 +253,12 @@ object Dedup {
   def minhashLshOracleSql(minEstSim: Double): String = {
     val mh = (0 until NumHashes)
       .map(i => s"min((xm * ${As(i)} + ${Bs(i)}) % $P) AS mh$i").mkString(",\n    ")
-    val bandCond = (0 until NumHashes / 2)
-      .map(b => s"(a.mh${2 * b} = b.mh${2 * b} AND a.mh${2 * b + 1} = b.mh${2 * b + 1})")
-      .mkString("\n    OR ")
+    // Pair condition mirrors the Spark pipeline *including the
+    // MaxBandBucket cap*: a pair qualifies iff SOME band bucket of
+    // size in [2, cap] contains both docs.
+    val bandsUnion = (0 until NumHashes / 2)
+      .map(b => s"SELECT doc_id, $b AS band_id, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM sig")
+      .mkString("\n  UNION ALL ")
     val est = (0 until NumHashes)
       .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""$shingleCte,
@@ -251,9 +266,21 @@ object Dedup {
        |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P AS xm FROM sh),
        |sig AS (SELECT doc_id,
        |    $mh
-       |  FROM shx GROUP BY doc_id)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, ($est) / ${NumHashes}.0 AS est_sim
-       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)
+       |  FROM shx GROUP BY doc_id),
+       |bands AS (
+       |  $bandsUnion),
+       |bc AS (SELECT band_id, k1, k2, count(*) AS n FROM bands GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
+       |    AND a.doc_id < b.doc_id
+       |  JOIN bc ON bc.band_id = a.band_id AND bc.k1 = a.k1 AND bc.k2 = a.k2
+       |  WHERE bc.n <= $MaxBandBucket)
+       |SELECT c.id_a, c.id_b, ($est) / ${NumHashes}.0 AS est_sim
+       |FROM cand c
+       |JOIN sig a ON a.doc_id = c.id_a
+       |JOIN sig b ON b.doc_id = c.id_b
        |WHERE ($est) / ${NumHashes}.0 >= $minEstSim""".stripMargin
   }
 

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d3's MaxBandBucket cap under a degenerate corpus: 100 byte-identical
+  * docs put all 100 into the same bucket in EVERY band (identical
+  * signatures), which uncapped means 8 × 100²/2 generated pairs from
+  * one key. With the cap the mega-bucket is dropped whole — zero
+  * pairs from the clone set, while a small (2-doc) near-dup bucket
+  * elsewhere in the corpus still surfaces. */
+class DedupCapSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.session
+
+  private lazy val corpusDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_cap").toFile.getAbsolutePath
+    import spark.implicits._
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val pairText = "one two three four five six seven eight nine ten"
+    val docs =
+      (1L to 100L).map(i => (i, boiler)) ++
+        Seq((201L, pairText), (202L, pairText))
+    docs.toDF("doc_id", "text").repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("mega-bucket is dropped whole; small buckets still pair") {
+    val capped = Dedup.minhashLsh(spark, corpusDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((201L, 202L)),
+      s"expected only the small-bucket pair, got ${capped.size} pairs")
+  }
+
+  test("raising the cap reinstates the quadratic clone pairs (exactness check)") {
+    val uncapped = Dedup.minhashLsh(spark, corpusDir, maxBucket = 1000)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 100 * 99 / 2 + 1)
+    assert(uncapped.contains((201L, 202L)))
+  }
+}
