@@ -576,18 +576,24 @@ class Engine(val spark: SparkSession) {
     tm.csvPath match {
       case Some(path) =>
         // CSV table = one local file (reference csv backend): append
-        // rendered lines directly and refresh the catalog's file cache.
-        val lines = out.collect().map(_.toSeq.map(v =>
-          csvQuote(if (v == null) "" else v.toString)).mkString(","))
-        val fw = new java.io.FileWriter(path, true)
+        // rendered lines and refresh the catalog's file cache. Rows
+        // stream through toLocalIterator — the batch is already
+        // checkpointed, so partitions arrive one at a time and driver
+        // memory is bounded by one partition, not the batch size.
+        val raf = new java.io.File(path)
+        val needsNl = raf.length() > 0 && {
+          val in = new java.io.RandomAccessFile(raf, "r")
+          try { in.seek(raf.length() - 1); in.read() != '\n' } finally in.close()
+        }
+        val fw = new java.io.BufferedWriter(new java.io.FileWriter(path, true))
         try {
-          val raf = new java.io.File(path)
-          val needsNl = raf.length() > 0 && {
-            val in = new java.io.RandomAccessFile(raf, "r")
-            try { in.seek(raf.length() - 1); in.read() != '\n' } finally in.close()
-          }
           if (needsNl) fw.write("\n")
-          lines.foreach(l => fw.write(l + "\n"))
+          val it = out.toLocalIterator()
+          while (it.hasNext) {
+            fw.write(it.next().toSeq.map(v =>
+              csvQuote(if (v == null) "" else v.toString)).mkString(","))
+            fw.write("\n")
+          }
         } finally fw.close()
         spark.catalog.refreshTable(s"`$db`.`$tbl`")
       case None =>
@@ -711,15 +717,34 @@ class Engine(val spark: SparkSession) {
     }
   }
 
+  /** Full-file rewrite (reference CSV backend parity), but streamed:
+    * rows go through toLocalIterator into a temp file next to the
+    * target, then an atomic rename swaps it in — driver memory is
+    * bounded by one partition and readers never see a half-written
+    * file. `df` must be checkpointed by the caller (it is: all
+    * mutation paths checkpoint before overwrite), so the iterator
+    * doesn't recompute the plan per partition. */
   private def rewriteCsvFile(db: String, tbl: String, path: String, df: DataFrame): Unit = {
     val tm = meta.get(db, tbl).get
-    val lines = df.collect().map(_.toSeq.map(v =>
-      csvQuote(if (v == null) "" else v.toString)).mkString(","))
-    val header =
-      if (tm.csvHasHeader) Seq(tm.columns.map(c => csvQuote(c.name)).mkString(","))
-      else Seq.empty
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
-      (header ++ lines).mkString("", "\n", "\n"))
+    val target = java.nio.file.Paths.get(path).toAbsolutePath
+    val tmp = java.nio.file.Files.createTempFile(
+      target.getParent, s".${target.getFileName}", ".tmp")
+    val w = java.nio.file.Files.newBufferedWriter(tmp)
+    try {
+      if (tm.csvHasHeader) {
+        w.write(tm.columns.map(c => csvQuote(c.name)).mkString(","))
+        w.write("\n")
+      }
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        w.write(it.next().toSeq.map(v =>
+          csvQuote(if (v == null) "" else v.toString)).mkString(","))
+        w.write("\n")
+      }
+    } finally w.close()
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     spark.catalog.refreshTable(s"`$db`.`$tbl`")
   }
 
