@@ -37,7 +37,7 @@ object Similarity {
     "sqrt(aggregate(transform(v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))")
 
   /** vec_id + double vector + precomputed L2 norm. */
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def vectors(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble.as("v"))
       .withColumn("nrm", normExpr)
@@ -108,22 +108,74 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF parameters: centroid count and probe width. Centroid
-    * "training" is a deterministic stand-in (the first NCentroids
-    * vectors by id) — real IVF runs k-means, but the index mechanics
-    * (assign → probe nearest lists → exact re-rank) are identical and
-    * that is what this operator exercises. */
+  /** IVF parameters: centroid count, probe width, k-means schedule.
+    * Training is deterministic seeded k-means: init = the first
+    * NCentroids vectors by id, KMeansIters fixed iterations, cosine
+    * assignment (cos_c DESC, cid ASC tiebreak), new centroid =
+    * per-dimension mean of its members folded in vec_id order — every
+    * float reduction has a pinned order, so the DuckDB oracle replays
+    * the training bit-for-bit. Training reads only `vec_id <
+    * TrainCap` — the standard IVF practice of training on a bounded
+    * sample, which also makes the per-centroid member lists O(TrainCap)
+    * however large the corpus (the full-corpus assignment afterwards
+    * is a broadcast crossJoin + window, no collected lists). */
   val NCentroids = 16
   val NProbe = 4
+  val KMeansIters = 3
+  val TrainCap = 4096L
+
+  /** cid, cv (centroid vector), cnrm from driver-side centroid rows
+    * (16 × 64 doubles — the k-means sync point, not a data collect). */
+  private[operators] def centroidDf(spark: SparkSession, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cid", "cv").withColumn("cnrm", expr(
+      "sqrt(aggregate(transform(cv, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))"))
+  }
+
+  /** The round-1..5 stand-in centroids (first NCentroids vectors) —
+    * kept as the k-means INIT and as the recall baseline in
+    * IvfTrainingSpec. */
+  private[operators] def seedCentroids(e: DataFrame): Seq[(Long, Seq[Double])] =
+    e.filter(col("vec_id") < NCentroids).orderBy(col("vec_id"))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+
+  /** Deterministic seeded k-means over the training sample. Each
+    * iteration: broadcast-assign every training vector to its argmax-
+    * cosine centroid, then recompute each centroid as the per-dim
+    * mean over members sorted by vec_id (empty clusters keep their
+    * previous centroid). Centroids (16 rows) sync through the driver
+    * per iteration — the classic k-means loop shape. */
+  def trainCentroids(e: DataFrame): Seq[(Long, Seq[Double])] = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = e.sparkSession
+    val train = e.filter(col("vec_id") < TrainCap)
+    var cents = seedCentroids(e)
+    val dotc = expr("aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid").asc)
+    for (_ <- 1 to KMeansIters) {
+      val means = train.crossJoin(broadcast(centroidDf(spark, cents)))
+        .select(col("vec_id"), col("v"), col("cid"),
+          (dotc / (col("nrm") * col("cnrm"))).as("cos_c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ms"))
+        .select(col("cid"), expr(
+          s"""transform(sequence(0, ${Dim - 1}), d ->
+             |  aggregate(ms, cast(0.0 as double), (acc, s) -> acc + s.v[d]) / size(ms))""".stripMargin).as("cv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
+    }
+    cents
+  }
 
   /** Vector→centroid assignment: argmax cosine against the broadcast
     * centroid set; ties break toward the lower centroid id. At scale
     * this is a broadcast join (centroid sets are small by design) +
     * one window per vector — no all-pairs work. */
-  private def ivfAssignments(e: DataFrame): DataFrame = {
+  private[operators] def ivfAssignments(e: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = e.filter(col("vec_id") < NCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val dotc = expr("aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("cid").asc)
@@ -135,10 +187,14 @@ object Similarity {
   /** ANN via IVF: probe the query's NProbe nearest centroid lists,
     * exact cosine re-rank within them only. The second ANN tier next
     * to [[annLsh]] — inverted lists bound candidate count by
-    * NProbe/NCentroids of the corpus. */
-  def ivfTopK(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame = {
+    * NProbe/NCentroids of the corpus. `trained = false` keeps the
+    * seed-centroid index (recall baseline). */
+  def ivfTopK(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10,
+              trained: Boolean = true): DataFrame = {
     val e = vectors(spark, dir)
-    val assign = ivfAssignments(e)
+    val cents = centroidDf(spark,
+      if (trained) trainCentroids(e) else seedCentroids(e))
+    val assign = ivfAssignments(e, cents)
     val vecAssign = assign.filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"))
     val probes = assign.filter(col("vec_id") === qid && col("rn") <= NProbe)
@@ -212,22 +268,52 @@ object Similarity {
        |ORDER BY cos_sim DESC, b.vec_id LIMIT $k""".stripMargin
   }
 
-  def ivfTopKOracleSql(qid: Long, k: Int): String =
+  /** Replays the deterministic k-means training (same init, same
+    * KMeansIters, same fold orders) as a chain of CTEs, then the
+    * probe + re-rank pipeline against the trained centroids. cn{i} =
+    * centroids after iteration i with norms; every list_sum runs in
+    * the same index/vec_id order as the Spark folds. */
+  def ivfTopKOracleSql(qid: Long, k: Int): String = {
+    val dims = s"range(1, ${Dim + 1})"
+    def withNorm(i: Int) =
+      s"""cn$i AS (SELECT cid, cv,
+         |  sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM c$i)""".stripMargin
+    val iters = (1 to KMeansIters).map { i =>
+      val p = i - 1
+      s"""a$i AS (SELECT vec_id, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn
+         |  FROM (SELECT tr.vec_id, c.cid,
+         |    list_sum(list_transform($dims, j -> tr.v[j] * c.cv[j])) / (tr.nrm * c.cnrm) AS cos_c
+         |  FROM tr, cn$p c)),
+         |g$i AS (SELECT a.cid,
+         |    list(tr.v ORDER BY tr.vec_id) AS vs
+         |  FROM a$i a JOIN tr ON tr.vec_id = a.vec_id WHERE a.rn = 1 GROUP BY a.cid),
+         |c$i AS (SELECT p.cid, coalesce(m.cv2, p.cv) AS cv
+         |  FROM c$p p LEFT JOIN (SELECT cid,
+         |    list_transform($dims, d -> list_sum(list_transform(vs, x -> x[d])) / len(vs)) AS cv2
+         |  FROM g$i) m ON p.cid = m.cid),
+         |${withNorm(i)}""".stripMargin
+    }.mkString(",\n")
+    val cn = s"cn$KMeansIters"
     s"""$vectorsCte,
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NCentroids),
+       |tr AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < $TrainCap),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $NCentroids),
+       |${withNorm(0)},
+       |$iters,
        |a AS (SELECT n.vec_id, c.cid,
-       |  list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS cos_c
-       |  FROM n, c),
+       |  list_sum(list_transform($dims, i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS cos_c
+       |  FROM n, $cn c),
        |r AS (SELECT vec_id, cid,
        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn FROM a),
        |va AS (SELECT vec_id, cid FROM r WHERE rn = 1),
        |probes AS (SELECT cid FROM r WHERE vec_id = $qid AND rn <= $NProbe),
        |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = $qid)
        |SELECT n.vec_id,
-       |  list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn) AS cos_sim
+       |  list_sum(list_transform($dims, i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn) AS cos_sim
        |FROM n JOIN va ON n.vec_id = va.vec_id JOIN probes p ON va.cid = p.cid, q
        |WHERE n.vec_id <> $qid
        |ORDER BY cos_sim DESC, n.vec_id LIMIT $k""".stripMargin
+  }
 
   def lshBucketsOracleSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
