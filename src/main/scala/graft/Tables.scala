@@ -37,7 +37,19 @@ object Tables {
     spark.read.parquet(s"$dir/events.parquet").schema
   }
 
-  /** Register every table as a temp view (for SQL-path queries). */
+  /** Register every table as a temp view (for SQL-path queries).
+    * Idempotent per (session, dir) and cached: a battery run calls
+    * this from every facade query, and re-registering re-reads ten
+    * parquet footers each time — measured at ~0.5–1 s per call, which
+    * dominated f2-style short queries. A different dir re-registers
+    * (last one wins, same as before). */
+  private val registeredDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    if (registeredDir.get(spark) != dir) {
+      all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+      registeredDir.put(spark, dir)
+    }
 }

@@ -189,11 +189,19 @@ object Similarity {
     * to [[annLsh]] — inverted lists bound candidate count by
     * NProbe/NCentroids of the corpus. `trained = false` keeps the
     * seed-centroid index (recall baseline). */
+  /** Trained-centroid cache per corpus dir: k-means is deterministic,
+    * so the index build is a pure function of the corpus — computing
+    * it once per session mirrors a real IVF index (built offline,
+    * probed per query). 16 × 64 doubles per entry. */
+  private val trainedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+
   def ivfTopK(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10,
               trained: Boolean = true): DataFrame = {
     val e = vectors(spark, dir)
     val cents = centroidDf(spark,
-      if (trained) trainCentroids(e) else seedCentroids(e))
+      if (trained) trainedCache.computeIfAbsent(dir, _ => trainCentroids(e))
+      else seedCentroids(e))
     val assign = ivfAssignments(e, cents)
     val vecAssign = assign.filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"))
