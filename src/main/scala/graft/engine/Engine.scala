@@ -23,9 +23,13 @@ import SqlText._
   *    src/database/auto_increment.rs:6-33) — is enforced by this
   *    class's write path, as distributed DataFrame checks (anti-join /
   *    aggregate assertions), never driver-side row loops.
-  *  - **UPDATE/DELETE** = read → transform → localCheckpoint (cuts
-  *    lineage so we can overwrite what we read) → overwrite, the
-  *    idiomatic rewrite on an immutable columnar store.
+  *  - **UPDATE/DELETE** = copy-on-write at parquet-file granularity:
+  *    a narrow discovery scan finds the files holding matches
+  *    (input_file_name, predicate pushed to the reader), only those
+  *    files are read, rewritten via localCheckpoint (cuts lineage so
+  *    we can replace what we read), appended and the originals
+  *    dropped — untouched files survive. Whole-table statements and
+  *    single-file CSV storage rewrite wholesale.
   *  - **CREATE INDEX** records metadata and physically re-clusters the
   *    table by the indexed column (range partition + sort), so parquet
   *    row-group min/max stats provide the range pruning the
@@ -623,34 +627,76 @@ class Engine(val spark: SparkSession) {
           cm.name -> dialectExpr(a.substring(eq + 1)).cast(cm.dataType)
         }.toMap
         val t = spark.table(s"`$db`.`$tbl`")
-        // Affected-row count folded into the rewrite job: an observed
-        // metric on the scan (CollectMetrics is not in Catalyst's
-        // predicate-pushdown whitelist, and the projection sits above
-        // it), so one pass produces both the new table and the count —
-        // the reference's update does the same single sweep
-        // (alter_row/update.rs).
-        val obs = org.apache.spark.sql.Observation()
-        val updated = t
-          .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
-          .select(tm.columns.map { cm =>
+        val projection = tm.columns.map { cm =>
           assigns.get(cm.name)
             .map(a => when(cond, a).otherwise(col(cm.name)).as(cm.name))
             .getOrElse(col(cm.name))
-        }: _*)
-        val out = updated.localCheckpoint(true)
-        val n = obs.get("n_matched").asInstanceOf[Long]
-        tm.columns.filter(!_.nullable).filter(c => assigns.contains(c.name)).foreach { cm =>
-          if (out.filter(col(cm.name).isNull).limit(1).count() > 0)
-            throw new EngineException(s"null value in NOT NULL column ${cm.name}")
         }
-        tm.columns.filter(_.unique).filter(c => assigns.contains(c.name)).foreach { cm =>
-          val dups = out.filter(col(cm.name).isNotNull)
-            .groupBy(col(cm.name)).count().filter(col("count") > 1)
-          if (dups.limit(1).count() > 0)
-            throw new EngineException(s"duplicate entry in unique column ${cm.name}")
+        if (wherePart != null && tm.csvPath.isEmpty) {
+          // Copy-on-write at parquet-FILE granularity: a narrow
+          // discovery scan (predicate columns only, filters pushed to
+          // the parquet reader) finds the files holding matches via
+          // input_file_name; only those files are read full-width,
+          // rewritten, appended, and then removed — every other file
+          // survives untouched. With the CREATE INDEX clustered
+          // layout, a selective UPDATE on the indexed column touches
+          // O(matching range) files, not the table.
+          val affected = t.filter(cond)
+            .select(input_file_name().as("f")).distinct()
+            .collect().map(_.getString(0)).filter(_.nonEmpty)
+          if (affected.isEmpty) return Payload.Update(0L)
+          // Affected-row count folded into the rewrite job as an
+          // observed metric — no separate count() pass.
+          val obs = org.apache.spark.sql.Observation()
+          // schema passed explicitly: avoids a footer-inference job
+          val out = spark.read.schema(t.schema).parquet(affected.toIndexedSeq: _*)
+            .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
+            .select(projection: _*)
+            .localCheckpoint(true)
+          val n = obs.get("n_matched").asInstanceOf[Long]
+          tm.columns.filter(!_.nullable).filter(c => assigns.contains(c.name)).foreach { cm =>
+            if (out.filter(col(cm.name).isNull).limit(1).count() > 0)
+              throw new EngineException(s"null value in NOT NULL column ${cm.name}")
+          }
+          tm.columns.filter(_.unique).filter(c => assigns.contains(c.name)).foreach { cm =>
+            // duplicates can span rewritten and untouched rows: check
+            // the union (one column scanned from the untouched files)
+            val untouched = t.filter(!input_file_name().isin(affected.toIndexedSeq: _*))
+              .select(col(cm.name))
+            val dups = untouched.unionAll(out.select(col(cm.name)))
+              .filter(col(cm.name).isNotNull)
+              .groupBy(col(cm.name)).count().filter(col("count") > 1)
+            if (dups.limit(1).count() > 0)
+              throw new EngineException(s"duplicate entry in unique column ${cm.name}")
+          }
+          out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
+          affected.foreach(deleteDataFile)
+          spark.catalog.refreshTable(s"`$db`.`$tbl`")
+          tm.xlsxPath.foreach(syncXlsx)
+          Payload.Update(n)
+        } else {
+          // Whole-table rewrite: no WHERE (every file is affected
+          // anyway) or CSV storage (one local file). The affected-row
+          // count is still an observed metric on the single scan.
+          val obs = org.apache.spark.sql.Observation()
+          val out = t
+            .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
+            .select(projection: _*)
+            .localCheckpoint(true)
+          val n = obs.get("n_matched").asInstanceOf[Long]
+          tm.columns.filter(!_.nullable).filter(c => assigns.contains(c.name)).foreach { cm =>
+            if (out.filter(col(cm.name).isNull).limit(1).count() > 0)
+              throw new EngineException(s"null value in NOT NULL column ${cm.name}")
+          }
+          tm.columns.filter(_.unique).filter(c => assigns.contains(c.name)).foreach { cm =>
+            val dups = out.filter(col(cm.name).isNotNull)
+              .groupBy(col(cm.name)).count().filter(col("count") > 1)
+            if (dups.limit(1).count() > 0)
+              throw new EngineException(s"duplicate entry in unique column ${cm.name}")
+          }
+          overwriteTable(db, tbl, out)
+          Payload.Update(n)
         }
-        overwriteTable(db, tbl, out)
-        Payload.Update(n)
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
     }
   }
@@ -660,7 +706,7 @@ class Engine(val spark: SparkSession) {
     sql match {
       case re(rawName, wherePart) =>
         val (db, tbl) = resolve(rawName)
-        requireMeta(db, tbl)
+        val tm = requireMeta(db, tbl)
         val t = spark.table(s"`$db`.`$tbl`")
         // A foldable condition (no WHERE, or WHERE 1=1 style) turns
         // the keep-filter into a constant — the optimizer then
@@ -688,10 +734,34 @@ class Engine(val spark: SparkSession) {
             val n = t.count()
             overwriteTable(db, tbl, t.limit(0).localCheckpoint(true))
             Payload.Delete(n)
+          case (Some(cond), None) if tm.csvPath.isEmpty =>
+            // File-granular copy-on-write, like UPDATE: narrow
+            // discovery scan → read only the files holding matches →
+            // append their surviving rows → drop the originals. The
+            // deleted-row count is observed below the keep-filter
+            // (which Catalyst cannot push through CollectMetrics) on
+            // the same pruned scan — no separate count() pass.
+            val affected = t.filter(cond)
+              .select(input_file_name().as("f")).distinct()
+              .collect().map(_.getString(0)).filter(_.nonEmpty)
+            if (affected.isEmpty) Payload.Delete(0L)
+            else {
+              val obs = org.apache.spark.sql.Observation()
+              val kept = spark.read.schema(t.schema).parquet(affected.toIndexedSeq: _*)
+                .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
+                .filter(!cond || cond.isNull)
+                .select(tm.columns.map(cm => col(cm.name)): _*)
+                .localCheckpoint(true)
+              val n = obs.get("n_matched").asInstanceOf[Long]
+              kept.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
+              affected.foreach(deleteDataFile)
+              spark.catalog.refreshTable(s"`$db`.`$tbl`")
+              tm.xlsxPath.foreach(syncXlsx)
+              Payload.Delete(n)
+            }
           case (Some(cond), None) =>
-            // Deleted-row count observed below the keep-filter (which
-            // Catalyst cannot push through CollectMetrics) — one scan
-            // instead of a count() pass plus a rewrite pass.
+            // CSV storage is one file — whole rewrite, count observed
+            // on the same scan.
             val obs = org.apache.spark.sql.Observation()
             val kept = t
               .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
@@ -703,6 +773,14 @@ class Engine(val spark: SparkSession) {
         }
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
     }
+  }
+
+  /** Remove one data file given input_file_name()'s URI form. */
+  private def deleteDataFile(uri: String): Unit = {
+    val p =
+      if (uri.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(uri))
+      else java.nio.file.Paths.get(uri)
+    java.nio.file.Files.deleteIfExists(p)
   }
 
   private def overwriteTable(db: String, tbl: String, df: DataFrame): Unit = {
@@ -880,9 +958,16 @@ class Engine(val spark: SparkSession) {
         // Physical analogue of the sorted KV index: cluster the table
         // by the indexed column so parquet min/max stats prune range
         // scans. One-time job, like the reference's full index build.
+        // Partition count pinned to the current file count: without
+        // it AQE coalesces a small table into ONE file, destroying
+        // both the pruning granularity and the file-granular DML
+        // (range-disjoint files are what make a selective UPDATE
+        // touch O(matching range) files).
         val t = spark.table(s"`$db`.`$tbl`")
         if (t.limit(1).count() > 0) {
-          val clustered = t.repartitionByRange(col(cm.name)).sortWithinPartitions(col(cm.name))
+          val nFiles = math.max(t.inputFiles.length, 1)
+          val clustered = t.repartitionByRange(nFiles, col(cm.name))
+            .sortWithinPartitions(col(cm.name))
             .localCheckpoint(true)
           overwriteTable(db, tbl, clustered)
         }

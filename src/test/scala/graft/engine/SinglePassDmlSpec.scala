@@ -4,13 +4,15 @@ import graft.SparkFixture
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** UPDATE/DELETE must read the table ONCE: the affected-row count is
-  * an observed metric on the rewrite job's scan (CollectMetrics),
-  * not a separate `filter(cond).count()` pass. Proven two ways: the
-  * payload counts stay exact (incl. rows the WHERE doesn't match and
-  * an empty-match UPDATE), and the Spark job count per statement is
-  * exactly 2 — one localCheckpoint job (scan + metric), one
-  * overwrite-write job. A second scan would make it 3. */
+/** UPDATE/DELETE must not run a separate `filter(cond).count()` pass:
+  * the affected-row count is an observed metric (CollectMetrics) on
+  * the rewrite scan itself. Proven two ways: the payload counts stay
+  * exact (incl. rows the WHERE doesn't match and an empty-match
+  * UPDATE), and the Spark job count per statement is exactly 4 — the
+  * narrow file-discovery query (predicate columns only; 2 jobs, AQE
+  * runs its distinct's two stages as separate jobs), one rewrite job
+  * over the affected files (scan + metric + checkpoint), one
+  * append-write job. A count() pass would push it to 5. */
 class SinglePassDmlSpec extends AnyFunSuite {
 
   private lazy val spark = SparkFixture.session
@@ -43,12 +45,12 @@ class SinglePassDmlSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
-  test("UPDATE runs one scan job + one write job, exact count") {
+  test("UPDATE runs discovery + one rewrite scan + one write, exact count") {
     g.execute("CREATE TABLE spdml.t (k INTEGER, v INTEGER)")
     g.execute("INSERT INTO spdml.t SELECT id, id * 10 FROM range(100)")
     val (p, jobs) = jobsDuring(g.execute("UPDATE spdml.t SET v = v + 1 WHERE k < 30"))
     assert(p == Payload.Update(30))
-    assert(jobs == 2, s"expected scan+write = 2 jobs, saw $jobs")
+    assert(jobs == 4, s"expected discovery(2)+rewrite+write = 4 jobs, saw $jobs")
     g.execute("SELECT SUM(v) AS s FROM spdml.t") match {
       case Payload.Select(_, rows) =>
         // 10*(0+..+99) + 30 ones
@@ -62,10 +64,10 @@ class SinglePassDmlSpec extends AnyFunSuite {
     assert(p == Payload.Update(0))
   }
 
-  test("DELETE runs one scan job + one write job, exact count") {
+  test("DELETE runs discovery + one rewrite scan + one write, exact count") {
     val (p, jobs) = jobsDuring(g.execute("DELETE FROM spdml.t WHERE k >= 70"))
     assert(p == Payload.Delete(30))
-    assert(jobs == 2, s"expected scan+write = 2 jobs, saw $jobs")
+    assert(jobs == 4, s"expected discovery(2)+rewrite+write = 4 jobs, saw $jobs")
     g.execute("SELECT COUNT(*) AS n FROM spdml.t") match {
       case Payload.Select(_, rows) => assert(rows.head.head == 70L)
       case other => fail(s"$other")
