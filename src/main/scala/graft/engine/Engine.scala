@@ -78,18 +78,61 @@ class Engine(val spark: SparkSession) {
     s
   }
 
-  /** Top-level `VALUES (…), (…)` → `SELECT … UNION ALL SELECT …`.
-    * Spark's inline-table node only accepts foldable expressions, so
-    * the reference's `VALUES (CONVERT(…))`-style probes (and any
-    * VALUES row using a registered function) would fail analysis. */
-  private def rewriteValues(values: String): String = {
-    val rest = values.trim.drop("VALUES".length)
-    splitTop(rest, ',').map(_.trim).filter(_.nonEmpty).map { tuple =>
-      val (inner, _) = parenBlock(tuple, 0)
-      val cols = splitTop(inner, ',').zipWithIndex
-        .map { case (e, i) => s"(${e.trim}) AS col${i + 1}" }
-      "SELECT " + cols.mkString(", ")
-    }.mkString(" UNION ALL ")
+  /** Every `VALUES (…), (…)` list in the statement → a parenthesized
+    * `(SELECT … UNION ALL SELECT …)`. Two reasons: Spark's inline-
+    * table node only accepts foldable expressions, so the reference's
+    * `VALUES (CONVERT(…))`-style probes (and any VALUES row using a
+    * registered function) would fail analysis; and the reference
+    * composes VALUES lists with set operators (`VALUES … UNION
+    * VALUES …`, tests/functionality/statement/data_query/
+    * set_operation/), which the old start-of-statement-only rewrite
+    * silently truncated. The rewriter walks outside quotes, consumes
+    * each VALUES keyword's tuple list (nested parens respected), and
+    * leaves every other token — including the set operators between
+    * lists — in place; parens around each replacement preserve
+    * EXCEPT/INTERSECT precedence. */
+  private def rewriteValues(sql: String): String = {
+    val out = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < sql.length) {
+      val c = sql(i)
+      if (quote != 0) {
+        out += c; if (c == quote) quote = 0; i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out += c; i += 1
+      } else if (sql.regionMatches(true, i, "VALUES", 0, 6) &&
+          (i == 0 || !isWordChar(sql(i - 1))) &&
+          (i + 6 >= sql.length || !isWordChar(sql(i + 6)))) {
+        var j = i + 6
+        val tuples = scala.collection.mutable.ListBuffer.empty[String]
+        var done = false
+        while (!done) {
+          var k = j
+          while (k < sql.length && sql(k).isWhitespace) k += 1
+          if (k < sql.length && sql(k) == '(') {
+            val (inner, end) = parenBlock(sql, k)
+            tuples += inner
+            var m = end
+            while (m < sql.length && sql(m).isWhitespace) m += 1
+            if (m < sql.length && sql(m) == ',') j = m + 1
+            else { j = end; done = true }
+          } else done = true
+        }
+        if (tuples.isEmpty) { out ++= "VALUES"; i += 6 }
+        else {
+          val selects = tuples.map { inner =>
+            val cols = splitTop(inner, ',').zipWithIndex
+              .map { case (e, k) => s"(${e.trim}) AS col${k + 1}" }
+            "SELECT " + cols.mkString(", ")
+          }
+          out ++= selects.mkString("(", " UNION ALL ", ")")
+          i = j
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
   }
 
   private def rewriteOutsideQuotes(sql: String, from: String, to: String): String = {
