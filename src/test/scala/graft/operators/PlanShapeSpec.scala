@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Machine-checked plan shapes for the 100 TB claims the operator
+  * doc-comments make. Prose claims rot; these assertions fail the
+  * build if Catalyst stops producing the plan the claim describes:
+  * filters reach the parquet scan (PushedFilters), projection prunes
+  * the read schema, dimension joins broadcast, aggregation combines
+  * map-side (partial_*), top-k runs as TakeOrderedAndProject, and
+  * exact dedup shuffles digests instead of documents. Checked on the
+  * executed (formatted) plan at sf0.001 — plan shape is
+  * scale-independent. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.session
+  private val dir = SparkFixture.Sf0001
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // executed plan (AQE-final), not just the static one
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q2: filter pushed to scan, read schema pruned to 5 columns") {
+    val p = plan(CoreQueries.q2FilterProject(spark, dir))
+    assert(p.contains("PushedFilters:") && p.contains("l_quantity"),
+      s"filters did not reach the parquet scan:\n$p")
+    // ReadSchema carries only the projected + filter columns, never
+    // the 16-column lineitem row
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_orderkey") && !read.contains("l_comment"),
+      s"projection did not prune the scan: $read")
+  }
+
+  test("q3: filtered dimension broadcasts; top-k is TakeOrderedAndProject") {
+    val p = plan(CoreQueries.q3TopRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q3:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k sorted fully:\n$p")
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the exchange") {
+    val p = plan(CoreQueries.q1PricingSummary(spark, dir))
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q6: small dims broadcast — no shuffle join against nation/region") {
+    val p = plan(CoreQueries.q6NationRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q6:\n$p")
+  }
+
+  test("d1 exact dedup: shuffle carries md5 digests, not document text") {
+    val df = Dedup.exactDedup(spark, dir)
+    val p = plan(df)
+    // the exchange's hash partitioning key is the md5 digest (shown
+    // as the grouping expression computed below the exchange), and
+    // the aggregation is map-side partial — so only 16-byte digests
+    // plus partial aggregates cross the wire, never document text
+    assert(p.contains("hashpartitioning(_groupingexpression"),
+      s"dedup does not shuffle on the computed digest key:\n$p")
+    assert(p.contains("md5("), s"digest not computed below the exchange:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"dedup aggregation is not map-side partial:\n$p")
+  }
+
+  test("m1: media metadata query never reads the content column") {
+    val p = plan(Multimodal.m1MediaMeta(spark, dir))
+    // content derives from documents.text at ingest; the metadata
+    // query reads text only to compute lengths — but must NOT carry
+    // binary content into an exchange (narrow, zero-shuffle plan)
+    assert(!p.contains("Exchange"), s"metadata summary should be narrow:\n$p")
+  }
+
+  test("t1 text stats: single narrow pass, zero shuffle") {
+    val p = plan(TextOps.tokenStats(spark, dir))
+    assert(!p.contains("Exchange"), s"token stats should be shuffle-free:\n$p")
+  }
+}
