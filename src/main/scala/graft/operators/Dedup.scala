@@ -71,6 +71,11 @@ object Dedup {
     * Exact Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over the capped sets. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
                    maxDf: Int = MaxShingleDf): DataFrame = {
+    // NOTE (measured, not assumed): buckets feeds both branches below
+    // and recomputes per consumer (no exchange reuse in this build),
+    // but an eager localCheckpoint here does NOT help — 2.8-3.0 s
+    // warm either way at sf0.1; the materialization cost offsets the
+    // saved recompute. Left unmaterialized deliberately.
     val buckets = shingles(spark, dir)
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
