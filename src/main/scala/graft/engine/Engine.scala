@@ -576,36 +576,53 @@ class Engine(val spark: SparkSession) {
     }
     var out = positioned.select(full: _*)
 
-    // AUTO_INCREMENT fill (reference auto_increment.rs:6-33): nulls in
-    // the auto column get counter, counter+1, … in batch order. A
-    // dense global sequence does NOT need a single-partition window:
-    // checkpoint the validated batch, then number it with
-    // RDD.zipWithIndex — one small per-partition count job, a driver
-    // prefix-sum, and each partition fills from its own offset. No
-    // shuffle; a bulk INSERT … SELECT keeps all its partitions.
+    // AUTO_INCREMENT fill (reference alter_row/auto_increment.rs:12-41):
+    // only the NULL cells draw counter, counter+1, … in batch order,
+    // and only they advance the counter — an explicit id leaves it
+    // untouched, so a later auto-assigned id can collide with the
+    // explicit one, exactly the sequence the reference's own
+    // auto_increment.rs test pins (sled/auto_increment.rs:44 advances
+    // the generator by the null-cell count). A dense sequence does NOT
+    // need a single-partition window: checkpoint the validated batch,
+    // then number the null-id rows with RDD.zipWithIndex — one small
+    // per-partition count job, a driver prefix-sum, and each partition
+    // fills from its own offset. No shuffle; a bulk INSERT … SELECT
+    // keeps all its partitions.
     out = out.localCheckpoint(true)
     val autoCol = tm.columns.find(_.autoIncrement)
+    val autoMark = "__graft_autofill"
     autoCol.foreach { cm =>
       val start = tm.autoCounter
+      val explicitRows = out.filter(col(cm.name).isNotNull)
+        .withColumn(autoMark, lit(false))
+      val nullRows = out.filter(col(cm.name).isNull)
       val indexed = spark.createDataFrame(
-        out.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+        nullRows.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
         out.schema.add("__rn", LongType, nullable = false))
-      out = indexed.withColumn(cm.name,
-          coalesce(col(cm.name), (col("__rn") + lit(start)).cast(cm.dataType)))
+      val filledRows = indexed
+        .withColumn(cm.name, (col("__rn") + lit(start)).cast(cm.dataType))
         .drop("__rn")
+        .withColumn(autoMark, lit(true))
+      out = explicitRows.unionAll(filledRows)
     }
 
     // NOT NULL (reference validate.rs): all columns checked in ONE
-    // aggregate job together with the row count, not one job each.
+    // aggregate job together with the row count and the auto-filled
+    // count (which advances the counter), not one job each. Sums are
+    // coalesced so an empty batch reads 0, not NULL.
     val notNullCols = tm.columns.filter(c => !c.nullable)
-    val checkAggs = count(lit(1)).as("__n") +:
-      notNullCols.map(cm => sum(when(col(cm.name).isNull, 1).otherwise(0)).as(s"__nn_${cm.name}"))
+    val checkAggs = (count(lit(1)).as("__n") +:
+      autoCol.map(_ => coalesce(sum(when(col(autoMark), 1L).otherwise(0L)), lit(0L)).as("__af")).toSeq) ++
+      notNullCols.map(cm => coalesce(sum(when(col(cm.name).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_${cm.name}"))
     val checkRow = out.agg(checkAggs.head, checkAggs.tail: _*).collect()(0)
     val n = checkRow.getLong(0)
+    val autoFilled = if (autoCol.isDefined) checkRow.getLong(1) else 0L
+    val nnOffset = if (autoCol.isDefined) 2 else 1
     notNullCols.zipWithIndex.foreach { case (cm, i) =>
-      if (checkRow.getLong(i + 1) > 0)
+      if (checkRow.getLong(i + nnOffset) > 0)
         throw new EngineException(s"null value in NOT NULL column ${cm.name}")
     }
+    if (autoCol.isDefined) out = out.drop(autoMark)
     // UNIQUE (reference validate_unique.rs:23-160): batch-internal
     // duplicates and overlap with stored rows in one job per column —
     // stored values are already unique, so any key appearing twice in
@@ -647,7 +664,7 @@ class Engine(val spark: SparkSession) {
         out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
         tm.xlsxPath.foreach(syncXlsx)
     }
-    autoCol.foreach(_ => meta.update(db, tbl)(m => m.copy(autoCounter = m.autoCounter + n)))
+    autoCol.foreach(_ => meta.update(db, tbl)(m => m.copy(autoCounter = m.autoCounter + autoFilled)))
     (Payload.Insert(n), out)
   }
 
@@ -877,7 +894,7 @@ class Engine(val spark: SparkSession) {
     val renameTo = """(?is)ALTER\s+TABLE\s+([`"\w.]+)\s+RENAME\s+TO\s+([`"\w.]+)\s*""".r
     val renameCol = """(?is)ALTER\s+TABLE\s+([`"\w.]+)\s+RENAME\s+COLUMN\s+([`"\w]+)\s+TO\s+([`"\w]+)\s*""".r
     val addCol = """(?is)ALTER\s+TABLE\s+([`"\w.]+)\s+ADD\s+COLUMN\s+(.*)""".r
-    val dropCol = """(?is)ALTER\s+TABLE\s+([`"\w.]+)\s+DROP\s+COLUMN\s+([`"\w]+)\s*""".r
+    val dropCol = """(?is)ALTER\s+TABLE\s+([`"\w.]+)\s+DROP\s+COLUMN\s+(?:(IF\s+EXISTS)\s+)?([`"\w]+)\s*""".r
     sql match {
       case renameTo(rawFrom, rawTo) =>
         val (db, from) = resolve(rawFrom)
@@ -909,11 +926,16 @@ class Engine(val spark: SparkSession) {
         val df = spark.table(s"`$db`.`$tbl`").withColumn(cm.name, fill)
         rewriteTable(db, tbl, tm.copy(columns = tm.columns :+ cm), df)
         Payload.AlterTable
-      case dropCol(rawName, rawCol) =>
+      case dropCol(rawName, ifExists, rawCol) =>
         val (db, tbl) = resolve(rawName)
         val tm = requireMeta(db, tbl)
         val c = cleanIdent(rawCol)
-        if (tm.column(c).isEmpty) throw new EngineException(s"unknown column $c")
+        // IF EXISTS on a missing column is a silent no-op
+        // (reference alter_table.rs DROP COLUMN IF EXISTS battery).
+        if (tm.column(c).isEmpty) {
+          if (ifExists != null) return Payload.AlterTable
+          throw new EngineException(s"unknown column $c")
+        }
         val df = spark.table(s"`$db`.`$tbl`").drop(tm.column(c).get.name)
         rewriteTable(db, tbl, tm.copy(columns = tm.columns.filterNot(_.name.equalsIgnoreCase(c))), df)
         Payload.AlterTable

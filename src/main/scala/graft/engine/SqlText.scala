@@ -172,6 +172,14 @@ object SqlText {
         throw new EngineException(s"unsupported column option near: $u")
       }
     }
+    // AUTO_INCREMENT draws i64 counter values; any other type is
+    // rejected up front (reference alter_table/error.rs:40-41 — "only
+    // INTEGER is allowed" — declared but unenforced there: its
+    // 3-arg assert_error! is an always-true `matches!` binding).
+    if (autoInc && dataType != LongType)
+      throw new EngineException(
+        s"column '$name' of data type '${typeName(dataType)}' is unsupported " +
+          "for auto increment, only INTEGER is allowed")
     ColumnMeta(name, dataType, nullable, uniq, autoInc, default)
   }
 
