@@ -354,20 +354,45 @@ object CoreQueries {
 
   /** Exact-percentile ORACLE ANCHOR (linear interpolation) + spread
     * stats per group — the percentile family from the extension
-    * surface (SURVEY.md §2.7 "absent whole categories"). Exact
-    * `percentile` buffers every group value, so its only battery role
-    * is arbitrating correctness against DuckDB `quantile_cont` at
-    * small SF and bounding [[q31ApproxPercentiles]]'s sketch error in
-    * ApproxPercentileSpec; q31 is the tier to run at scale. */
-  def q30Percentiles(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90"),
-        expr("percentile(l_extendedprice, 0.99)").as("p99"),
-        min(col("l_extendedprice")).as("lo"),
-        max(col("l_extendedprice")).as("hi"))
+    * surface (SURVEY.md §2.7 "absent whole categories").
+    *
+    * Formulated as a distributed rank-and-interpolate, NOT the
+    * built-in `percentile` aggregate: `percentile` buffers every
+    * group value in one executor array (OOM once a group holds
+    * billions of rows), where this shape is one shuffle on the group
+    * key + a SPILLABLE per-group sort (WindowExec's external row
+    * array), so memory stays bounded however large the group. Each
+    * row then contributes to a percentile only if its rank is the
+    * floor/ceil neighbor of the target position — the final
+    * aggregation is a map-side-combined sum of ≤2 non-zero terms per
+    * group. Interpolation replicates Spark's Percentile/DuckDB
+    * quantile_cont arithmetic term-for-term (lower·(hi−pos) +
+    * upper·(pos−lo)), so the oracle hash still matches bit-exactly.
+    * Parallelism is bounded by group cardinality (inherent to exact
+    * ranking); q31's sketch remains the recommended 100 TB tier. */
+  def q30Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      .filter(col("v").isNotNull)
+    val counts = l.groupBy(col("g")).agg(count(col("v")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g")).orderBy(col("v"))
+    val ranked = l.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), "g")
+    def pct(p: Double, name: String) = {
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      val lower = floor(pos)
+      val higher = ceil(pos)
+      val idx = (col("rn") - 1).cast("double")
+      sum(
+        when(lower === higher && idx === lower, col("v"))
+          .when(idx === lower, col("v") * (higher.cast("double") - pos))
+          .when(idx === higher, col("v") * (pos - lower.cast("double")))
+          .otherwise(lit(0.0))).as(name)
+    }
+    ranked.groupBy(col("g").as("l_returnflag"))
+      .agg(pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
 
   /** Approx-percentile tier — the 100 TB default for the percentile
     * family. `approx_percentile` keeps a bounded-size mergeable

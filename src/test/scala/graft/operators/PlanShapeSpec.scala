@@ -49,6 +49,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q6:\n$p")
   }
 
+  test("q30 exact percentile: spillable window sort, no buffered object aggregate") {
+    val p = plan(CoreQueries.q30Percentiles(spark, dir))
+    // the built-in `percentile` would appear as an ObjectHashAggregate
+    // holding every group value in one executor array; the
+    // rank-and-interpolate shape ranks through WindowExec (external,
+    // spillable row buffer) and reduces with plain sums
+    assert(p.contains("Window"), s"no window ranking stage in q30:\n$p")
+    assert(!p.contains("ObjectHashAggregate") && !p.contains("percentile("),
+      s"q30 fell back to a buffered percentile aggregate:\n$p")
+  }
+
   test("d1 exact dedup: shuffle carries md5 digests, not document text") {
     val df = Dedup.exactDedup(spark, dir)
     val p = plan(df)
