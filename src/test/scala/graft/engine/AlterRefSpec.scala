@@ -109,6 +109,18 @@ class AlterRefSpec extends AnyFunSuite {
     assert(rows("SELECT * FROM Foo ORDER BY id") == Seq(Seq(1L), Seq(2L)))
   }
 
+  test("index/create_table.rs: PRIMARY KEY means unique + not-null") {
+    // the reference's inline INDEX syntax is TODO-commented there;
+    // PRIMARY KEY is the only live assertion
+    g.execute("CREATE TABLE basic_keyed (a INTEGER PRIMARY KEY)")
+    g.execute("INSERT INTO basic_keyed VALUES (1), (2)")
+    assert(intercept[EngineException](g.execute("INSERT INTO basic_keyed VALUES (1)"))
+      .getMessage.contains("duplicate"))
+    assert(intercept[EngineException](g.execute("INSERT INTO basic_keyed VALUES (NULL)"))
+      .getMessage.contains("NOT NULL"))
+    assert(rows("SELECT COUNT(*) AS n FROM basic_keyed") == Seq(Seq(2L)))
+  }
+
   test("drop_table.rs: drop, IF EXISTS, select-after-drop, DROP VIEW mismatch") {
     g.execute("CREATE TABLE DropTable (id INT, num INT, name TEXT)")
     g.execute("INSERT INTO DropTable (id, num, name) VALUES (1, 2, 'Hello')")
