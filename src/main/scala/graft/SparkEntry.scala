@@ -72,6 +72,7 @@ object SparkEntry {
     // (max same-bucket cosine ≈ 0.49), and an empty result would make
     // this a vacuous check.
     "d5_embedding_dup" -> ((s: SparkSession, d: String) => Dedup.embeddingDup(s, d, 0.4)),
+    "d6_dup_groups" -> ((s: SparkSession, d: String) => Dedup.dupGroups(s, d)),
     // ---- engine facade round trips (SURVEY.md §2.10–§2.11) ----
     "g1_ddl_roundtrip" -> (GlueQueries.g1DdlRoundtrip _),
     "g2_insert_select" -> (GlueQueries.g2InsertSelect _),
@@ -348,6 +349,7 @@ object SparkEntry {
     "d3_minhash_lsh" -> Dedup.minhashLshOracleSql(0.25),
     "d4_simhash" -> Dedup.simhashOracleSql,
     "d5_embedding_dup" -> Dedup.embeddingDupOracleSql(0.4),
+    "d6_dup_groups" -> Dedup.dupGroupsOracleSql(0.25),
     // m3 has no oracle entry on purpose: its features come from the
     // typed mapPartitions codec path (not SQL-expressible) → the
     // driver records the weaker rows-only check; the ScalaTest spec

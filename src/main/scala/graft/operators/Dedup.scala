@@ -168,6 +168,76 @@ object Dedup {
       .filter(col("est_sim") >= minEstSim)
   }
 
+  /** Iteration cap for [[dupGroups]]' label propagation — a loud
+    * failure bound, not a truncation: banded-LSH near-dup components
+    * are near-cliques (every member pair shares a band bucket with
+    * high probability), so the graph diameter — which bounds the
+    * rounds to convergence — is tiny in practice. */
+  val MaxCcIters = 25
+
+  /** d6: resolve near-dup PAIRS into GROUPS — the step a dedup
+    * pipeline actually acts on. Connected components over the d3
+    * MinHash-LSH pair graph by min-label propagation, electing the
+    * smallest doc_id in each component as its canonical document:
+    * every row is (doc_id, canonical_id, group_size); keep rows where
+    * doc_id = canonical_id, drop the rest.
+    *
+    * Scale shape: each round is ONE shuffle join (edges × labels) +
+    * ONE groupBy-min, both map-side combined; labels only ever
+    * decrease, so `sum(label)` is strictly monotone and one tiny agg
+    * per round detects the fixpoint exactly. Rounds = component
+    * diameter (see [[MaxCcIters]]). Every round's result is
+    * localCheckpoint'ed so the plan stays flat instead of growing a
+    * join-per-iteration lineage. At 1000-executor scale this is the
+    * textbook Spark CC loop (GraphFrames/Pregel do the same joins);
+    * for adversarial long-chain graphs swap in alternating
+    * large-star/small-star for O(log n) rounds. */
+  def dupGroups(spark: SparkSession, dir: String, minEstSim: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashLsh(spark, dir, minEstSim)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < MaxCcIters) {
+      val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+      labels = labels.unionAll(msgs)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val nextSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iters += 1
+    }
+    require(converged, s"dup-group propagation did not converge in $MaxCcIters rounds")
+    labels.select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("canonical_id"))))
+  }
+
+  /** Oracle: the same component labels via transitive closure in a
+    * recursive CTE over the identical pair set (d3's SQL nested as a
+    * CTE), canonical = least(id, min(reachable)). */
+  def dupGroupsOracleSql(minEstSim: Double): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashLshOracleSql(minEstSim)}
+       |),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+       |canon AS (SELECT id, least(id, min(r)) AS c FROM reach GROUP BY id)
+       |SELECT id AS doc_id, c AS canonical_id,
+       |  count(*) OVER (PARTITION BY c) AS group_size
+       |FROM canon""".stripMargin
+
   /** SimHash (32-bit): per-token portable hashes vote bit-by-bit;
     * docs with identical simhash are near-dup candidates.
     *
