@@ -345,7 +345,11 @@ class Engine(val spark: SparkSession) {
           mountCsv(name, path)
         case Some(path) if path.toLowerCase.endsWith(".xlsx") =>
           spark.sql(s"CREATE DATABASE `$name`")
-          mountXlsx(name, path)
+          // a missing workbook is a NEW Sheet database (reference
+          // Connection::Sheet creates the file); it materializes on
+          // the first CREATE TABLE's save-book-on-mutation
+          meta.putXlsxDb(name, path)
+          if (new java.io.File(path).exists()) mountXlsx(name, path)
         case Some(url) if url.toLowerCase.startsWith("jdbc:") =>
           spark.sql(s"CREATE DATABASE `$name`")
           mountJdbc(name, url)
@@ -479,6 +483,8 @@ class Engine(val spark: SparkSession) {
       case re(_, rawName) =>
         val name = cleanIdent(rawName)
         spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
+        meta.removeXlsxDb(name)
+        meta.removeDb(name)
         Payload.Success
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
     }
@@ -498,19 +504,26 @@ class Engine(val spark: SparkSession) {
           if (ifNotExists) return Payload.Create
           throw new EngineException(s"table $db.$tbl already exists")
         }
+        // A table created inside a Sheet database lives in the
+        // workbook: bind it to the book and save (new empty sheet) —
+        // reference src/databases/sheet/mod.rs:26-51.
+        val xlsxBook = meta.xlsxDb(db)
         if (rest.trim.toUpperCase.startsWith("AS ")) {
           // CTAS: Spark-native; metadata derived from the result.
           spark.sql(s"CREATE TABLE `$db`.`$tbl` USING parquet ${rest.trim}")
           val cols = spark.table(s"`$db`.`$tbl`").schema.map(f =>
             ColumnMeta(f.name, f.dataType))
-          meta.put(db, tbl, TableMeta(cols))
+          meta.put(db, tbl, TableMeta(cols,
+            xlsxPath = xlsxBook, sheetName = if (xlsxBook.isDefined) tbl else ""))
         } else {
           val (block, _) = parenBlock(rest, 0)
           val cols = parseColumnDefs(block)
           val fields = cols.map(c => s"`${c.name}` ${typeName(c.dataType)}").mkString(", ")
           spark.sql(s"CREATE TABLE `$db`.`$tbl` ($fields) USING parquet")
-          meta.put(db, tbl, TableMeta(cols))
+          meta.put(db, tbl, TableMeta(cols,
+            xlsxPath = xlsxBook, sheetName = if (xlsxBook.isDefined) tbl else ""))
         }
+        xlsxBook.foreach(syncXlsx)
         Payload.Create
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
     }
@@ -991,8 +1004,16 @@ class Engine(val spark: SparkSession) {
         val (db, tbl) = resolve(rawName)
         if (!spark.catalog.tableExists(s"`$db`.`$tbl`") && ifExists == null)
           throw new EngineException(s"table $db.$tbl does not exist")
+        val book = meta.get(db, tbl).flatMap(_.xlsxPath)
         spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tbl`")
         meta.remove(db, tbl)
+        // Sheet database: rewrite the workbook without the dropped
+        // sheet; a zero-sheet book is invalid xlsx, so an emptied
+        // database removes the file (recreated on next CREATE TABLE)
+        book.foreach { path =>
+          if (meta.entries.exists(_._2.xlsxPath.contains(path))) syncXlsx(path)
+          else new java.io.File(path).delete()
+        }
         Payload.DropTable
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
     }

@@ -63,6 +63,10 @@ final class MetaStore {
     tables.get(key(db, table))
   def remove(db: String, table: String): Unit =
     tables.remove(key(db, table))
+  /** Drop every table entry of a database (DROP DATABASE CASCADE). */
+  def removeDb(db: String): Unit =
+    tables.keys.filter(_.startsWith(s"${db.toLowerCase}.")).toSeq
+      .foreach(tables.remove)
   def rename(db: String, from: String, to: String): Unit =
     tables.remove(key(db, from)).foreach(m => tables(key(db, to)) = m)
   def update(db: String, table: String)(f: TableMeta => TableMeta): Unit =
@@ -70,4 +74,13 @@ final class MetaStore {
   /** All (dbKey.tableKey, meta) entries — used to find sibling tables
     * of a shared XLSX workbook. */
   def entries: Seq[(String, TableMeta)] = tables.toSeq
+
+  // Database-level backend binding: a Sheet database remembers its
+  // workbook path even while it has no tables, so CREATE TABLE can
+  // persist new sheets (reference src/databases/sheet/mod.rs creates
+  // tables in the workbook, not beside it).
+  private val xlsxDbs = scala.collection.mutable.Map.empty[String, String]
+  def putXlsxDb(db: String, path: String): Unit = xlsxDbs(db.toLowerCase) = path
+  def xlsxDb(db: String): Option[String] = xlsxDbs.get(db.toLowerCase)
+  def removeXlsxDb(db: String): Unit = xlsxDbs.remove(db.toLowerCase)
 }
