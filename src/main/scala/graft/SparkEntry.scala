@@ -96,6 +96,7 @@ object SparkEntry {
     "s3_lsh_buckets" -> (Similarity.lshBucketStats _),
     "s4_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "s5_ann_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annMultiProbe(s, d)),
+    "s6_batch_knn" -> ((s: SparkSession, d: String) => Similarity.batchKnn(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -372,5 +373,6 @@ object SparkEntry {
     "s3_lsh_buckets" -> Similarity.lshBucketsOracleSql,
     "s4_ivf_topk" -> Similarity.ivfTopKOracleSql(0L, 10),
     "s5_ann_multiprobe" -> Similarity.annMultiProbeOracleSql(0L, 10),
+    "s6_batch_knn" -> Similarity.batchKnnOracleSql(8, 5),
   )
 }

@@ -88,6 +88,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** s6: BATCH kNN join — a whole set of query vectors against the
+    * corpus in ONE bucket equi-join, per-query top-k by window rank.
+    * This is the shape a pipeline actually runs (dedup against an
+    * index, retrieval for labeling): queries never loop; candidate
+    * pairs exist only where LSH buckets collide; and the ranking
+    * shuffle is keyed by query_id, so its size is bounded by the
+    * candidate count, not |corpus|×Q. The query side broadcasts
+    * while it is small; at huge Q the same plan degrades gracefully
+    * to a shuffled equi-join on the int bucket key — never a cross
+    * product. row_number (cos desc, vec_id asc) makes top-k ties
+    * deterministic for the oracle. */
+  def batchKnn(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors(spark, dir).withColumn("bucket", bucketExpr)
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    val cand = e.join(broadcast(qs),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot / (col("nrm") * col("qn"))).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  def batchKnnOracleSql(nQueries: Int, k: Int): String =
+    s"""$vectorsCte,
+       |b AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM n),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+       |  FROM b WHERE vec_id < $nQueries),
+       |cand AS (
+       |  SELECT q.query_id, b.vec_id,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> b.v[i] * q.qv[i])) / (b.nrm * q.qn) AS cos_sim
+       |  FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id)
+       |SELECT query_id, vec_id, cos_sim, rnk FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM cand)
+       |WHERE rnk <= $k""".stripMargin
+
   /** Multi-probe ANN: probe the query's bucket AND every bucket at
     * Hamming distance 1 (one hyperplane sign flipped) — the standard
     * fix for the single-probe recall cliff when the query sits near a

@@ -60,6 +60,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q30 fell back to a buffered percentile aggregate:\n$p")
   }
 
+  test("s6 batch kNN: bucket equi-join broadcasts the query batch, no cross product") {
+    val df = Similarity.batchKnn(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"query batch did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"batch kNN degenerated to a cross product:\n$p")
+    // per-query result bounded by k with deterministic ranks 1..k
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rnk")).sorted
+      assert(ranks.length <= 5 && ranks.sameElements(1L to ranks.length),
+        s"query $q has ranks ${ranks.mkString(",")}")
+    }
+  }
+
   test("d1 exact dedup: shuffle carries md5 digests, not document text") {
     val df = Dedup.exactDedup(spark, dir)
     val p = plan(df)
