@@ -290,6 +290,18 @@ object EngineSmoke {
       }
     })
 
+    // --- sheet database: create-table-into-workbook round trip ---
+    val book = new java.io.File(tmp, "smoke_book.xlsx").getAbsolutePath
+    check("sheet db: create table persists to new workbook")({
+      g.execute(s"CREATE DATABASE sheetdb LOCATION '$book'")
+      g.execute("CREATE TABLE sheetdb.notes (id INTEGER, txt TEXT)")
+      g.execute("INSERT INTO sheetdb.notes VALUES (1, 'alpha'), (2, 'beta')")
+      Xlsx.read(book).exists(s => s.name == "notes" && s.rows.length == 3)
+    })
+    check("sheet db: drop column if exists no-op")(
+      g.execute("ALTER TABLE sheetdb.notes DROP COLUMN IF EXISTS ghost") == Payload.AlterTable)
+    check("sheet db: drop database")(g.execute("DROP DATABASE sheetdb") == Payload.Success)
+
     // --- drop surface ---
     check("drop table")(g.execute("DROP TABLE scripted") == Payload.DropTable)
     expectError("drop missing table errors", "does not exist") {
