@@ -58,6 +58,7 @@ object SparkEntry {
     "e2_json_props" -> (EventOps.jsonProps _),
     "e3_sessionize" -> (EventOps.sessionize _),
     "e4_funnel" -> (EventOps.funnel _),
+    "e5_asof_join" -> (EventOps.asofJoin _),
     // ---- text analysis ----
     "t1_token_stats" -> (TextOps.tokenStats _),
     "t2_quality_score" -> (TextOps.qualityScore _),
@@ -323,6 +324,16 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN first_click > first_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
         |  CAST(sum(CASE WHEN first_purchase > first_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
         |FROM f""".stripMargin,
+    "e5_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, event_id, ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
+        |  p.purchase_value, v.view_value
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,

@@ -72,6 +72,39 @@ object EventOps {
         sum(when(col("purchased_after_click"), 1).otherwise(0)).as("n_purchased"))
   }
 
+  /** e5: AS-OF join — every purchase attributed to the user's most
+    * recent view at or before it. Spark has no asof-join operator;
+    * the scale-correct formulation is union-both-sides + a
+    * carry-forward window: ONE shuffle on user_id, one spillable
+    * sort by (ts, side), and `last(view_value, ignoreNulls)` carries
+    * the newest view down to each purchase row. No per-row range
+    * probe, no inequality-join explosion — the work is O(events)
+    * however skewed the time axis. Views are pre-aggregated per
+    * (user, ts) so same-instant ties are deterministic; `side` orders
+    * a view before a same-timestamp purchase, matching ASOF's `>=`.
+    * DuckDB arbitrates with its native ASOF JOIN. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("view_value"))
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("purchase_value"), col("view_value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), col("value").as("purchase_value"),
+        lit(null).cast("double").as("view_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionAll(purchases)
+      .withColumn("carried", last(col("view_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("carried").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("purchase_value"), col("carried").as("view_value"))
+  }
+
   /** Streaming source over the events parquet: file source (the
     * directory is glob-filtered to the events file), nanos→µs ts. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
