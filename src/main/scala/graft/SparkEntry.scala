@@ -59,6 +59,7 @@ object SparkEntry {
     "e3_sessionize" -> (EventOps.sessionize _),
     "e4_funnel" -> (EventOps.funnel _),
     "e5_asof_join" -> (EventOps.asofJoin _),
+    "e6_range_join" -> ((s: SparkSession, d: String) => EventOps.rangeJoin(s, d)),
     // ---- text analysis ----
     "t1_token_stats" -> (TextOps.tokenStats _),
     "t2_quality_score" -> (TextOps.qualityScore _),
@@ -334,6 +335,15 @@ object SparkEntry {
         |SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
         |  p.purchase_value, v.view_value
         |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "e6_range_join" ->
+      """WITH i AS (
+        |  SELECT event_id AS incident_id,
+        |    epoch_us(ts) - 300000000 AS lo, epoch_us(ts) + 300000000 AS hi
+        |  FROM events WHERE event_type = 'error')
+        |SELECT i.incident_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  sum(e.value) AS sum_value
+        |FROM i JOIN events e ON epoch_us(e.ts) BETWEEN i.lo AND i.hi
+        |GROUP BY 1""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,

@@ -105,6 +105,34 @@ object EventOps {
         col("purchase_value"), col("carried").as("view_value"))
   }
 
+  /** e6: RANGE join (point-in-interval, NO equi key) — every error
+    * event opens a ±5-minute incident window; count/sum ALL events
+    * inside each window. Spark's own planner can only run an
+    * equi-key-less interval join as BroadcastNestedLoopJoin (O(n·m));
+    * the scale formulation derives the equi key: time is bucketed at
+    * the window span, an interval overlaps ≤2 buckets (exploded), a
+    * point lives in exactly 1 — so bucket equality is a complete and
+    * non-duplicating candidate filter, and the join is an ordinary
+    * shuffled equi-join + residual BETWEEN. Work is O(events + 2·
+    * incidents + true matches); the plan never contains a nested
+    * loop (PlanShapeSpec). */
+  def rangeJoin(spark: SparkSession, dir: String, halfWindowUs: Long = 300000000L): DataFrame = {
+    val bucketUs = 2 * halfWindowUs
+    val e = t(spark, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+    val incidents = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"),
+        (col("ts_us") - halfWindowUs).as("lo"),
+        (col("ts_us") + halfWindowUs).as("hi"))
+      .select(col("incident_id"), col("lo"), col("hi"),
+        explode(sequence(expr(s"lo div $bucketUs"), expr(s"hi div $bucketUs"))).as("bucket"))
+    val points = e.select(col("ts_us"), col("value"),
+      expr(s"ts_us div $bucketUs").as("bucket"))
+    incidents.join(points, "bucket")
+      .filter(col("ts_us") >= col("lo") && col("ts_us") <= col("hi"))
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+  }
+
   /** Streaming source over the events parquet: file source (the
     * directory is glob-filtered to the events file), nanos→µs ts. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {

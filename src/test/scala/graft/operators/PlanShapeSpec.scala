@@ -77,6 +77,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("e6 range join: bucket-derived equi key, no nested-loop join") {
+    val p = plan(graft.streaming.EventOps.rangeJoin(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"no equi-join on the derived bucket key:\n$p")
+  }
+
   test("d1 exact dedup: shuffle carries md5 digests, not document text") {
     val df = Dedup.exactDedup(spark, dir)
     val p = plan(df)
