@@ -49,6 +49,7 @@ object SparkEntry {
     "q28_cube" -> (C.q28Cube _),
     "q29_point_find" -> (C.q29PointFind _),
     "q30_percentiles" -> (C.q30Percentiles _),
+    "q32_grouping_sets" -> (C.q32GroupingSets _),
     // q31 has no oracle entry on purpose: quantile sketches aren't
     // bit-identical across engines → driver rows-only check;
     // ApproxPercentileSpec pins the error bound vs the exact anchor.
@@ -335,6 +336,11 @@ object SparkEntry {
         |SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
         |  p.purchase_value, v.view_value
         |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "q32_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders, sum(o_totalprice) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())""".stripMargin,
     "e6_range_join" ->
       """WITH i AS (
         |  SELECT event_id AS incident_id,

@@ -273,6 +273,19 @@ object CoreQueries {
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"), sum(col("c_acctbal")).as("total_bal"))
 
+  /** Arbitrary GROUPING SETS (not a rollup/cube prefix pattern):
+    * (status, priority) detail + per-priority totals + grand total,
+    * via Spark 4's Dataset.groupingSets — same partial-aggregate
+    * expansion as rollup/cube, one shuffle. */
+  def q32GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total_price"))
+  }
+
   /** Full outer join on aggregated sides: per-nation customer count vs
     * supplier count (some nations have one side only). */
   def q23FullOuter(spark: SparkSession, dir: String): DataFrame = {
