@@ -171,6 +171,52 @@ object EventOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
 
+  /** Streaming form of the [[asofJoin]]: per-user state holds the
+    * latest view (ts, value); each purchase emits its attribution
+    * row. flatMapGroupsWithState gives no intra-batch ordering, so
+    * each batch's group is sorted by (ts, side) before the walk —
+    * exactly the batch formulation's sort, but scoped to one
+    * micro-batch's worth of one user's events (bounded), with the
+    * carried view surviving BETWEEN batches in the state store. This
+    * is the "enrich a stream against its own latest state" shape a
+    * feature pipeline runs continuously. Verified against the batch
+    * e5 results in the streaming spec. */
+  def streamingAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // (user, ts_us, side 0=view/1=purchase, event_id, value)
+    val typed = eventStream(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "view", 0).otherwise(1).as("side"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Int, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Long, Double, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, events, state) =>
+          var latest = state.getOption // (view ts_us, view value)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Double, Double)]
+          events.toSeq.sortBy(e => (e._2, e._3)).foreach {
+            case (_, tsUs, 0, _, v) =>
+              // same-instant views collapse to max(value), matching
+              // the batch pre-aggregation's tie-break
+              latest = latest match {
+                case Some((t, vv)) if t == tsUs => Some((t, math.max(vv, v)))
+                case Some((t, vv)) if t > tsUs => Some((t, vv))
+                case _ => Some((tsUs, v))
+              }
+            case (_, tsUs, _, eventId, v) =>
+              latest.foreach { case (_, vv) => out += ((user, eventId, tsUs, v, vv)) }
+          }
+          latest.foreach(state.update)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "ts_us", "purchase_value", "view_value")
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user
     * event count + latest event time (the KeyValueGroupedDataset
     * state path a gap-sessionizer builds on; update-mode emission

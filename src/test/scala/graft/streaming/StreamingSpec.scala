@@ -77,4 +77,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatches == 0)
     assert(streamed.count() == batch.count())
   }
+
+  test("streaming as-of attribution equals the batch as-of join") {
+    val dir = SparkFixture.Sf0001
+    runToMemory(EventOps.streamingAsof(spark, dir), "stream_asof", "append")
+    val streamed = spark.table("stream_asof").collect().map(_.toSeq).toSet
+    val batch = EventOps.asofJoin(spark, dir).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
