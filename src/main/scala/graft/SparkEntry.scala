@@ -66,6 +66,7 @@ object SparkEntry {
     "t2_quality_score" -> (TextOps.qualityScore _),
     "t3_lang_id" -> (TextOps.langIdAccuracy _),
     "t4_fingerprint" -> (TextOps.fingerprint _),
+    "t5_split_assign" -> ((s: SparkSession, d: String) => TextOps.splitAssign(s, d)),
     // ---- dedup ----
     "d1_exact_dedup" -> (Dedup.exactDedup _),
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -369,6 +370,7 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')), ' +', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "t5_split_assign" -> TextOps.splitAssignOracleSql("graft_v1"),
     "d1_exact_dedup" ->
       """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n_copies

@@ -105,4 +105,27 @@ object TextOps {
         md5(regexp_replace(
           lower(regexp_replace(col("text"), lit("[^A-Za-z0-9 ]"), lit(""))),
           lit(" +"), lit(" "))).as("fp"))
+
+  /** t5: deterministic train/val/test split — assignment is a pure
+    * function of (doc_id, salt), so it is reproducible across runs,
+    * engines, and re-shards, and adding documents never reassigns
+    * existing ones (the property a training pipeline needs from its
+    * split). Portable 60-bit md5 hash mod 100 → 0-79 train, 80-89
+    * val, 90-99 test; a narrow codegen'd expression, zero shuffle
+    * until the verification groupBy. */
+  def splitAssign(spark: SparkSession, dir: String, salt: String = "graft_v1"): DataFrame = {
+    val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id"))) % 100
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+  }
+
+  def splitAssignOracleSql(salt: String): String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('$salt' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM h""".stripMargin
 }
