@@ -328,15 +328,18 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN first_purchase > first_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
         |FROM f""".stripMargin,
     "e5_asof_join" ->
+      // pre-truncate to µs in BOTH CTEs so the oracle arbitrates the
+      // same time domain the engine computes in (Tables.t truncates
+      // the nanos timestamps to µs)
       """WITH v AS (
-        |  SELECT user_id, ts, max(value) AS view_value
+        |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS view_value
         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
         |p AS (
-        |  SELECT user_id, event_id, ts, value AS purchase_value
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value AS purchase_value
         |  FROM events WHERE event_type = 'purchase')
-        |SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
+        |SELECT p.user_id, p.event_id, p.ts_us,
         |  p.purchase_value, v.view_value
-        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""".stripMargin,
     "q32_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_orders, sum(o_totalprice) AS total_price

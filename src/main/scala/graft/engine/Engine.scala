@@ -914,6 +914,12 @@ class Engine(val spark: SparkSession) {
         val (_, to) = splitQualified(rawTo)
         spark.sql(s"ALTER TABLE `$db`.`$from` RENAME TO `$db`.`$to`")
         meta.rename(db, from, to)
+        // Sheet table: the worksheet is named after the table — point
+        // the meta at the new name and rewrite the book, else the
+        // rename never persists to the workbook
+        meta.update(db, to)(m =>
+          if (m.xlsxPath.isDefined) m.copy(sheetName = to) else m)
+        meta.get(db, to).flatMap(_.xlsxPath).foreach(syncXlsx)
         Payload.AlterTable
       case renameCol(rawName, rawFrom, rawTo) =>
         // Parquet v1 tables can't rename columns in place → rewrite.

@@ -384,9 +384,14 @@ object CoreQueries {
     * Parallelism is bounded by group cardinality (inherent to exact
     * ranking); q31's sketch remains the recommended 100 TB tier. */
   def q30Percentiles(spark: SparkSession, dir: String): DataFrame = {
-    val l = t(spark, dir, "lineitem")
+    val base = t(spark, dir, "lineitem")
       .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
-      .filter(col("v").isNotNull)
+    // min/max/group presence come from the UNFILTERED rows, so a
+    // group whose values are all NULL still appears (with NULL
+    // percentiles) — matching the built-in aggregate and the oracle.
+    val stats = base.groupBy(col("g"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val l = base.filter(col("v").isNotNull)
     val counts = l.groupBy(col("g")).agg(count(col("v")).as("n"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g")).orderBy(col("v"))
     val ranked = l.withColumn("rn", row_number().over(w))
@@ -402,9 +407,11 @@ object CoreQueries {
           .when(idx === higher, col("v") * (pos - lower.cast("double")))
           .otherwise(lit(0.0))).as(name)
     }
-    ranked.groupBy(col("g").as("l_returnflag"))
-      .agg(pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"),
-        min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val pcts = ranked.groupBy(col("g"))
+      .agg(pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"))
+    stats.join(pcts, Seq("g"), "left")
+      .select(col("g").as("l_returnflag"),
+        col("p50"), col("p90"), col("p99"), col("lo"), col("hi"))
   }
 
   /** Approx-percentile tier — the 100 TB default for the percentile

@@ -192,10 +192,16 @@ object Dedup {
     * textbook Spark CC loop (GraphFrames/Pregel do the same joins);
     * for adversarial long-chain graphs swap in alternating
     * large-star/small-star for O(log n) rounds. */
-  def dupGroups(spark: SparkSession, dir: String, minEstSim: Double = 0.25): DataFrame = {
+  def dupGroups(spark: SparkSession, dir: String, minEstSim: Double = 0.25,
+                pairsOverride: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = minhashLsh(spark, dir, minEstSim)
+    val pairs = pairsOverride.getOrElse(minhashLsh(spark, dir, minEstSim))
       .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // An empty pair graph means no dup groups — return the empty
+    // result instead of letting the label-sum read NULL.
+    if (pairs.isEmpty)
+      return pairs.select(col("id_a").as("doc_id"),
+        col("id_a").as("canonical_id"), lit(0L).as("group_size"))
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)

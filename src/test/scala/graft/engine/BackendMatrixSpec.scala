@@ -144,6 +144,11 @@ class BackendMatrixSpec extends AnyFunSuite {
     g.execute("CREATE TABLE bm_wb.t2 (b INTEGER)")
     g.execute("INSERT INTO bm_wb.t2 VALUES (9)")
     assert(Xlsx.read(path).map(_.name) == Seq("t2"))
+    // RENAME TO must rename the worksheet in the book, not just the
+    // parquet mirror
+    g.execute("ALTER TABLE bm_wb.t2 RENAME TO t3")
+    assert(Xlsx.read(path).map(_.name) == Seq("t3"))
+    assert(Xlsx.read(path).head.rows == Seq(Seq("b"), Seq("9")))
     g.execute("DROP DATABASE IF EXISTS bm_wb")
   }
 }

@@ -44,26 +44,22 @@ class DedupGroupsSpec extends AnyFunSuite {
   }
 
   test("propagation crosses a chain topology, not just cliques") {
-    // A-B, B-C, C-D: diameter-3 path must collapse to one component
+    // A-B, B-C, C-D: a diameter-3 path must collapse to one
+    // component — driven through the REAL operator via its pair
+    // override, so the production loop (convergence check included)
+    // is what's under test
     import spark.implicits._
-    val edges = Seq((10L, 20L), (20L, 30L), (30L, 40L))
-    // run the same loop shape through a local graph by reusing the
-    // operator's building blocks: simulate via union-find expectation
-    // on a path and check the operator agrees on an equivalent path
-    // present in the real pair graph, if any; otherwise assert the
-    // invariant directly on synthetic labels
-    val pairs = edges.toDF("id_a", "id_b")
-    // inline mini-propagation identical in shape to Dedup.dupGroups
-    val sym = pairs.selectExpr("id_a AS src", "id_b AS dst")
-      .unionAll(pairs.selectExpr("id_b AS src", "id_a AS dst"))
-    var labels = sym.selectExpr("src AS id").distinct().selectExpr("id", "id AS lbl")
-    (1 to 4).foreach { _ =>
-      val msgs = sym.join(labels.withColumnRenamed("id", "src"), "src")
-        .selectExpr("dst AS id", "lbl")
-      labels = labels.unionAll(msgs).groupBy("id")
-        .agg(org.apache.spark.sql.functions.min("lbl").as("lbl"))
-    }
-    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(out == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L))
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L)).toDF("id_a", "id_b")
+    val out = Dedup.dupGroups(spark, dir, pairsOverride = Some(pairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(x => x._1 -> x._2).toMap ==
+      Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L))
+    assert(out.forall(_._3 == 4L))
+  }
+
+  test("empty pair graph yields an empty result, not a crash") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.dupGroups(spark, dir, pairsOverride = Some(none)).isEmpty)
   }
 }
