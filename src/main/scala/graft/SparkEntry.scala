@@ -94,6 +94,10 @@ object SparkEntry {
     "m1_media_meta" -> (Multimodal.m1MediaMeta _),
     "m2_frame_sample" -> (Multimodal.m2FrameSample _),
     "m3_feature_summary" -> (Multimodal.m3FeatureSummary _),
+    "m4_resize" -> ((s: SparkSession, d: String) =>
+      Multimodal.resizeStub(s, d)
+        .selectExpr("doc_id", "meta.n_bytes AS n_bytes",
+          "md5(content) AS content_md5")),
     // ---- similarity search ----
     "s1_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "s2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -383,10 +387,11 @@ object SparkEntry {
     "d4_simhash" -> Dedup.simhashOracleSql,
     "d5_embedding_dup" -> Dedup.embeddingDupOracleSql(0.4),
     "d6_dup_groups" -> Dedup.dupGroupsOracleSql(0.25),
-    // m3 has no oracle entry on purpose: its features come from the
-    // typed mapPartitions codec path (not SQL-expressible) → the
-    // driver records the weaker rows-only check; the ScalaTest spec
-    // pins the exact values.
+    // m3 and m4 have no oracle entries on purpose: their outputs come
+    // from the typed mapPartitions codec path (not SQL-expressible —
+    // and for m4, byte-level tiling is not replayable over DuckDB
+    // VARCHARs once text is non-ASCII) → the driver records the
+    // weaker rows-only check; MultimodalSpec pins the exact values.
     "m1_media_meta" -> Multimodal.m1OracleSql,
     "m2_frame_sample" -> Multimodal.m2OracleSql,
     "g1_ddl_roundtrip" -> GlueQueries.g1OracleSql,

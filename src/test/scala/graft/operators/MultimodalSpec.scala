@@ -79,6 +79,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.forall(row => row.getInt(0) == 512 && row.getInt(1) == 512))
   }
 
+  test("resize stub content is the exact cyclic tiling of the source bytes") {
+    val src = Multimodal.mediaTable(spark, dir)
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), col("content")).limit(3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val got = Multimodal.resizeStub(spark, dir, targetBytes = 100)
+      .filter(col("doc_id").isin(src.keys.toSeq: _*))
+      .select(col("doc_id"), col("content"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    src.foreach { case (id, bytes) =>
+      val expected = Array.tabulate[Byte](100)(i =>
+        if (bytes.isEmpty) 0 else bytes(i % bytes.length))
+      assert(java.util.Arrays.equals(got(id), expected), s"doc $id tiling mismatch")
+    }
+  }
+
   test("stored media table prunes content for metadata-only queries") {
     // The at-scale claim: once media lives in parquet, a query on
     // meta/doc_id must not read the (huge) content column chunks.
