@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreQueries => C, Dedup, GlueQueries, Multimodal, Similarity, TextOps}
+import graft.operators.{CoreQueries => C, Dedup, GlueQueries, Multimodal, Similarity, Skew, TextOps}
 import graft.streaming.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -50,6 +50,8 @@ object SparkEntry {
     "q29_point_find" -> (C.q29PointFind _),
     "q30_percentiles" -> (C.q30Percentiles _),
     "q32_grouping_sets" -> (C.q32GroupingSets _),
+    "q33_skew_join" -> (Skew.q33SkewJoin _),
+    "q34_skew_distinct" -> (Skew.q34SkewDistinct _),
     // q31 has no oracle entry on purpose: quantile sketches aren't
     // bit-identical across engines → driver rows-only check;
     // ApproxPercentileSpec pins the error bound vs the exact anchor.
@@ -349,6 +351,14 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_orders, sum(o_totalprice) AS total_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())""".stripMargin,
+    "q33_skew_join" ->
+      """SELECT o_orderstatus, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q34_skew_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_l_partkey
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "e6_range_join" ->
       """WITH i AS (
         |  SELECT event_id AS incident_id,

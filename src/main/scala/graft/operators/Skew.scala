@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for joins whose key distribution has hot
@@ -45,4 +46,25 @@ object Skew {
       .agg(countDistinct(col(valueCol)).as("__partial"))
       .groupBy(col(key))
       .agg(sum("__partial").as(s"distinct_$valueCol"))
+
+  /** q33: salted fact⋈dim join, aggregated — the RESULT is identical
+    * to the plain join (that is the whole point of salting), so the
+    * oracle arbitrates it with the unsalted SQL while the plan
+    * scatters every hot orderkey over [[saltedJoin]]'s sub-keys. */
+  def q33SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val dim = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+    saltedJoin(fact, dim, "k")
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** q34: two-phase exact distinct over a 3-value hot group key —
+    * per-(key, salt) partials keep any one reducer's distinct set
+    * bounded; the sum of partials is exact because equal values
+    * share a salt bucket by construction. */
+  def q34SkewDistinct(spark: SparkSession, dir: String): DataFrame =
+    saltedDistinctCount(t(spark, dir, "lineitem"), "l_returnflag", "l_partkey")
 }
