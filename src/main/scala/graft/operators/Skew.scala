@@ -56,7 +56,9 @@ object Skew {
       .select(col("l_orderkey").as("k"), col("l_quantity"))
     val dim = t(spark, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderstatus"))
-    saltedJoin(fact, dim, "k")
+    // saltFactor 4 in the battery: the replication cost is the knob's
+    // whole trade (uniform test data has no hot key to amortize it)
+    saltedJoin(fact, dim, "k", saltFactor = 4)
       .groupBy(col("o_orderstatus"))
       .agg(sum(col("l_quantity")).as("sum_qty"))
   }
