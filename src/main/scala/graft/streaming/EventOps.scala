@@ -171,6 +171,39 @@ object EventOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
 
+  /** Streaming twin of the [[rangeJoin]]: the SAME bucket derivation
+    * is what makes the interval join streamable at all — Spark's
+    * stream-stream join keeps symmetric hash state per EQUALITY key,
+    * so an equi-key-less interval join is not streamable, but with
+    * the span-sized bucket as the key it is. Watermarks on both
+    * sides plus the event-time BETWEEN bound the state store: a
+    * bucket's incidents and points age out once the watermark passes
+    * the window. Emits raw (incident_id, value) matches; the spec
+    * aggregates them and checks equality with the batch result. */
+  def streamingRangeJoin(spark: SparkSession, dir: String,
+                         halfWindowUs: Long = 300000000L): DataFrame = {
+    val bucketUs = 2 * halfWindowUs
+    val incidents = eventStream(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("ts").as("i_ts"),
+        unix_micros(col("ts")).as("i_us"))
+      .select(col("incident_id"), col("i_ts"),
+        (col("i_us") - halfWindowUs).as("lo"), (col("i_us") + halfWindowUs).as("hi"))
+      .withColumn("i_bucket",
+        explode(sequence(expr(s"lo div $bucketUs"), expr(s"hi div $bucketUs"))))
+      .withWatermark("i_ts", "10 minutes")
+    val points = eventStream(spark, dir)
+      .select(col("ts").as("p_ts"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("p_bucket", expr(s"ts_us div $bucketUs"))
+      .withWatermark("p_ts", "10 minutes")
+    incidents.join(points,
+      col("i_bucket") === col("p_bucket") &&
+        col("ts_us") >= col("lo") && col("ts_us") <= col("hi") &&
+        col("p_ts") >= col("i_ts") - expr("INTERVAL 5 MINUTES") &&
+        col("p_ts") <= col("i_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("incident_id"), col("value"))
+  }
+
   /** Streaming form of the [[asofJoin]]: per-user state holds the
     * latest view (ts, value); each purchase emits its attribution
     * row. flatMapGroupsWithState gives no intra-batch ordering, so

@@ -78,6 +78,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
   }
 
+  test("streaming range join (bucket equi key) equals the batch range join") {
+    val dir = SparkFixture.Sf0001
+    runToMemory(EventOps.streamingRangeJoin(spark, dir), "stream_range", "append")
+    import org.apache.spark.sql.functions._
+    val streamed = spark.table("stream_range")
+      .groupBy("incident_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .toSet
+    val batch = EventOps.rangeJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming as-of attribution equals the batch as-of join") {
     val dir = SparkFixture.Sf0001
     runToMemory(EventOps.streamingAsof(spark, dir), "stream_asof", "append")
