@@ -33,24 +33,37 @@ object Bench {
     // benches/bench.rs:211-216): one transient host stall (observed
     // 30 s+ cgroup throttles) otherwise lands on whichever query is
     // running and dominates its number.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            if (!failed.contains(name)) failed += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    // Optional comma-separated query filter — lets a fresh JVM A/B one
+    // query in isolation (regression triage) without the whole battery.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val samples = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch {
+            case e: Throwable =>
+              if (!failed.contains(name)) failed += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
         }
-        (System.nanoTime() - t0) / 1e9
+        name -> samples.min
       }
-      name -> samples.min
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures a bounded tail of this output: the stdout
+    // line is rounded to ms so all entries fit (BENCH_r06 lost its
+    // tail to full-precision doubles); full precision goes to stderr.
+    def ms(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    System.err.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

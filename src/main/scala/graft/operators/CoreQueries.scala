@@ -353,14 +353,27 @@ object CoreQueries {
     * pass. */
   def q29PointFind(spark: SparkSession, dir: String): DataFrame = {
     // The min-key probe should be a metadata read, not a column scan:
-    // parquet aggregate pushdown answers MIN from footer statistics.
-    // Session-sticky and exact (footers carry true min/max; Spark only
-    // pushes when no data filter intervenes) — measured 0.67 → 0.48 s
-    // at sf0.1.
-    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // parquet aggregate pushdown answers MIN from footer statistics
+    // (exact — footers carry true min/max; Spark only pushes when no
+    // data filter intervenes). The conf is scoped to the one probe job
+    // and restored afterwards: leaving it session-wide changed the scan
+    // config of every later query in the round-6 battery (the s/t
+    // regression suspect). The min resolves EAGERLY here — a 1-row
+    // footer-only job, the same collect class as a centroid sync — so
+    // the returned plan is a pushed-down point-equality scan on a
+    // literal key: at scale that is partition/row-group pruning with no
+    // join at all.
     val l = t(spark, dir, "lineitem")
-    val minKey = l.agg(min(col("l_orderkey")).as("mk"))
-    l.join(broadcast(minKey), col("l_orderkey") === col("mk"))
+    val conf = "spark.sql.parquet.aggregatePushdown"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "true")
+    val minKey =
+      try l.agg(min(col("l_orderkey")).as("mk")).collect()(0).get(0)
+      finally prev match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None    => spark.conf.unset(conf)
+      }
+    l.filter(col("l_orderkey") === lit(minKey))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_quantity"), col("l_extendedprice"))
   }
