@@ -167,14 +167,6 @@ object Similarity {
   val KMeansIters = 3
   val TrainCap = 4096L
 
-  /** cid, cv (centroid vector), cnrm from driver-side centroid rows
-    * (16 × 64 doubles — the k-means sync point, not a data collect). */
-  private[operators] def centroidDf(spark: SparkSession, cents: Seq[(Long, Seq[Double])]): DataFrame = {
-    import spark.implicits._
-    cents.toDF("cid", "cv").withColumn("cnrm", expr(
-      "sqrt(aggregate(transform(cv, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))"))
-  }
-
   /** The round-1..5 stand-in centroids (first NCentroids vectors) —
     * kept as the k-means INIT and as the recall baseline in
     * IvfTrainingSpec. */
@@ -183,25 +175,56 @@ object Similarity {
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
 
+  /** Per-centroid score array for the NARROW argmax assignment: one
+    * struct(cos_c, ncid) per centroid, each cosine an
+    * aggregate(zip_with) against the centroid as an array LITERAL.
+    * The centroid norm is precomputed on the driver with the same
+    * left-fold order as the oracle's list_sum, so every double is
+    * bit-identical to the old broadcast-join form. ncid = −cid makes
+    * struct-ordering MAX equal to (cos DESC, cid ASC) FIRST — the
+    * exact tiebreak the DuckDB oracle's row_number uses.
+    *
+    * This replaces the round-6 crossJoin(broadcast(cents)) +
+    * row_number window: that plan amplified the corpus ×NCentroids
+    * and shuffled the amplified set per query — at 100 TB the IVF
+    * bottleneck. The argmax over a 16-element score array is a pure
+    * projection: no join, no window, no exchange. */
+  private[operators] def scoredExpr(cents: Seq[(Long, Seq[Double])]): Column =
+    array(cents.map { case (cid, cv) =>
+      val cnrm = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
+      val cvLit = array(cv.map(lit): _*)
+      val dotc = aggregate(zip_with(col("v"), cvLit, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      struct((dotc / (col("nrm") * lit(cnrm))).as("cos_c"), lit(-cid).as("ncid"))
+    }: _*)
+
+  /** Narrow vector→centroid assignment: vec_id, v, nrm, cid (argmax
+    * cosine, ties to the lower cid), cos_c — one projection over the
+    * corpus scan, shuffle-free (PlanShapeSpec pins this). */
+  private[operators] def ivfAssign(e: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    e.withColumn("best", array_max(scoredExpr(cents)))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (-col("best.ncid")).as("cid"), col("best.cos_c").as("cos_c"))
+
+  /** The query row's NProbe nearest centroid ids, best first: sort
+    * the score array descending — (cos DESC, cid ASC), matching the
+    * oracle's rn <= NProbe — and slice. */
+  private[operators] def probeCidsExpr(cents: Seq[(Long, Seq[Double])]): Column =
+    transform(slice(reverse(array_sort(scoredExpr(cents))), 1, NProbe),
+      s => -s.getField("ncid"))
+
   /** Deterministic seeded k-means over the training sample. Each
-    * iteration: broadcast-assign every training vector to its argmax-
+    * iteration: narrow-map-assign every training vector to its argmax-
     * cosine centroid, then recompute each centroid as the per-dim
     * mean over members sorted by vec_id (empty clusters keep their
     * previous centroid). Centroids (16 rows) sync through the driver
-    * per iteration — the classic k-means loop shape. */
+    * per iteration — the classic k-means loop shape; the only shuffle
+    * per round is the 16-group aggregation of the TrainCap sample. */
   def trainCentroids(e: DataFrame): Seq[(Long, Seq[Double])] = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = e.sparkSession
     val train = e.filter(col("vec_id") < TrainCap)
     var cents = seedCentroids(e)
-    val dotc = expr("aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid").asc)
     for (_ <- 1 to KMeansIters) {
-      val means = train.crossJoin(broadcast(centroidDf(spark, cents)))
-        .select(col("vec_id"), col("v"), col("cid"),
-          (dotc / (col("nrm") * col("cnrm"))).as("cos_c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val means = ivfAssign(train, cents)
         .groupBy(col("cid"))
         .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ms"))
         .select(col("cid"), expr(
@@ -213,49 +236,65 @@ object Similarity {
     cents
   }
 
-  /** Vector→centroid assignment: argmax cosine against the broadcast
-    * centroid set; ties break toward the lower centroid id. At scale
-    * this is a broadcast join (centroid sets are small by design) +
-    * one window per vector — no all-pairs work. */
-  private[operators] def ivfAssignments(e: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dotc = expr("aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cid").asc)
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"), (dotc / (col("nrm") * col("cnrm"))).as("cos_c"))
-      .withColumn("rn", row_number().over(w))
+  /** A MATERIALIZED IVF index: trained centroids + the corpus stored
+    * as inverted lists — parquet partitioned by assigned centroid id,
+    * so a probe reads ONLY its NProbe list directories (partition
+    * pruning at the scan; no assignment recompute, no join). This is
+    * how a real IVF index works: built once offline, probed per
+    * query. At 100 TB the build is one narrow map + one partitioned
+    * write beside the corpus, and each query touches NProbe/NCentroids
+    * of the files. Cached per corpus dir (the corpus is immutable for
+    * the battery; rebuild = evict the dir key). */
+  private[operators] final case class IvfIndex(cents: Seq[(Long, Seq[Double])], path: String)
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+  /** Build counter — observable so IvfIndexSpec can assert repeat
+    * queries do NOT re-train or re-assign the corpus. */
+  private[operators] val indexBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def buildIndex(spark: SparkSession, dir: String): IvfIndex = {
+    indexBuilds.incrementAndGet()
+    val e = vectors(spark, dir)
+    val cents = trainCentroids(e)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+      .toFile.getAbsolutePath
+    ivfAssign(e, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    IvfIndex(cents, path)
   }
 
   /** ANN via IVF: probe the query's NProbe nearest centroid lists,
     * exact cosine re-rank within them only. The second ANN tier next
     * to [[annLsh]] — inverted lists bound candidate count by
-    * NProbe/NCentroids of the corpus. `trained = false` keeps the
-    * seed-centroid index (recall baseline). */
-  /** Trained-centroid cache per corpus dir: k-means is deterministic,
-    * so the index build is a pure function of the corpus — computing
-    * it once per session mirrors a real IVF index (built offline,
-    * probed per query). 16 × 64 doubles per entry. */
-  private val trainedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
-
+    * NProbe/NCentroids of the corpus. `trained = false` skips the
+    * materialized index and assigns inline from the seed centroids
+    * (recall baseline in IvfTrainingSpec). */
   def ivfTopK(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10,
               trained: Boolean = true): DataFrame = {
     val e = vectors(spark, dir)
-    val cents = centroidDf(spark,
-      if (trained) trainedCache.computeIfAbsent(dir, _ => trainCentroids(e))
-      else seedCentroids(e))
-    val assign = ivfAssignments(e, cents)
-    val vecAssign = assign.filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
-    val probes = assign.filter(col("vec_id") === qid && col("rn") <= NProbe)
-      .select(col("cid"))
+    val (cents, lists) =
+      if (trained) {
+        val idx = indexCache.computeIfAbsent(dir, _ => buildIndex(spark, dir))
+        // Explicit schema (incl. the cid partition column) — schema
+        // inference would burn a footer-listing job per query.
+        (idx.cents, spark.read
+          .schema("vec_id LONG, v ARRAY<DOUBLE>, nrm DOUBLE, cid LONG")
+          .parquet(idx.path))
+      } else {
+        val cs = seedCentroids(e)
+        (cs, ivfAssign(e, cs))
+      }
+    // Probe set: ≤NProbe ints from ONE row — a driver sync of the
+    // same class as the centroid collect; the literal cid list is
+    // what lets the index scan prune to the probed partitions.
+    val probeIds = e.filter(col("vec_id") === qid)
+      .select(explode(probeCidsExpr(cents)).as("cid"))
+      .collect().map(_.getLong(0)).toSeq
     val q = e.filter(col("vec_id") === qid)
       .select(col("v").as("qv"), col("nrm").as("qn"))
     val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
-    e.join(vecAssign, Seq("vec_id"))
-      .join(broadcast(probes), Seq("cid"), "left_semi")
-      .filter(col("vec_id") =!= qid)
+    lists.filter(col("cid").isin(probeIds: _*) && col("vec_id") =!= qid)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), (dot / (col("nrm") * col("qn"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)

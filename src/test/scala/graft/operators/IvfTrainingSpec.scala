@@ -82,8 +82,7 @@ class IvfTrainingSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val e = Similarity.vectors(spark, clusteredDir)
     def meanAssignedCos(cents: Seq[(Long, Seq[Double])]): Double =
-      Similarity.ivfAssignments(e, Similarity.centroidDf(spark, cents))
-        .filter(col("rn") === 1)
+      Similarity.ivfAssign(e, cents)
         .agg(avg(col("cos_c"))).collect()(0).getDouble(0)
     val seedQ = meanAssignedCos(Similarity.seedCentroids(e))
     val trainedQ = meanAssignedCos(Similarity.trainCentroids(e))

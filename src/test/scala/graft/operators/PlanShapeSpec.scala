@@ -77,6 +77,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("s4 IVF assignment: narrow argmax map — no window, no exchange") {
+    val e = Similarity.vectors(spark, dir)
+    val p = plan(Similarity.ivfAssign(e, Similarity.seedCentroids(e)))
+    // the round-6 shape was crossJoin(broadcast(centroids)) +
+    // row_number: ×16 row amplification and a full shuffle of the
+    // amplified set; the narrow argmax must stay a pure projection
+    assert(!p.contains("Window"), s"assignment ranks through a window:\n$p")
+    assert(!p.contains("Exchange"), s"assignment shuffles:\n$p")
+    assert(!p.contains("Join"), s"assignment joins:\n$p")
+  }
+
+  test("s4 IVF probe: index scan prunes to the probed cid partitions") {
+    val p = plan(Similarity.ivfTopK(spark, dir, 0L, 10, trained = true))
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("cid"), s"index scan does not prune by cid:\n$p")
+    assert(!p.contains("Window"), s"probe path ranks through a window:\n$p")
+  }
+
   test("e6 range join: bucket-derived equi key, no nested-loop join") {
     val p = plan(graft.streaming.EventOps.rangeJoin(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
