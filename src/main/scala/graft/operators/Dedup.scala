@@ -168,12 +168,69 @@ object Dedup {
       .filter(col("est_sim") >= minEstSim)
   }
 
-  /** Iteration cap for [[dupGroups]]' label propagation — a loud
-    * failure bound, not a truncation: banded-LSH near-dup components
-    * are near-cliques (every member pair shares a band bucket with
-    * high probability), so the graph diameter — which bounds the
-    * rounds to convergence — is tiny in practice. */
+  /** Round budget for [[dupGroups]]' label propagation. Banded-LSH
+    * near-dup components are near-cliques (every member pair shares a
+    * band bucket with high probability), so the diameter — which
+    * bounds label-prop rounds — is tiny in practice; past this budget
+    * the loop hands off to [[starContract]] (O(log n) rounds) instead
+    * of aborting, so adversarial long-chain graphs still converge. */
   val MaxCcIters = 25
+
+  /** Alternating large-star/small-star contraction — the O(log n)
+    * connected-components algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Each round halves
+    * tall trees instead of walking them one hop per round, so a
+    * diameter-D chain finishes in O(log D) rounds where label
+    * propagation needs D.
+    *
+    *  - large-star (per node u): connect every LARGER neighbor to
+    *    m = min(Γ(u) ∪ u);
+    *  - small-star (per node u, edges directed larger→smaller):
+    *    connect u and its smaller neighbors to their minimum.
+    *
+    * Both steps are one groupBy-min + one equi-join per round, every
+    * aggregate map-side combined; edges stay canonical (a > b) and
+    * distinct, and each round localCheckpoints so lineage stays flat.
+    * At the fixpoint the edge set is exactly the star graph
+    * (member → component-min), which IS the label assignment.
+    * Fixpoint test: set equality via two counts (both sides already
+    * distinct) — union-distinct count equals the old count iff the
+    * sets match. */
+  private[operators] def starContract(edges: DataFrame): DataFrame = {
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("a"),
+        least(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var converged = false
+    var iters = 0
+    val maxRounds = 2 * MaxCcIters // O(log n) needs far fewer; loud bound
+    while (!converged && iters < maxRounds) {
+      // large-star
+      val bidir = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = bidir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = bidir.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      // small-star (ls is canonical a > b by construction)
+      val mins2 = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val ss = ls.join(mins2, "a").select(col("b").as("x"), col("m"))
+        .unionAll(mins2.select(col("a").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("a"), col("m").as("b"))
+        .distinct().localCheckpoint(true)
+      val nOld = e.count()
+      converged = ss.count() == nOld &&
+        ss.unionAll(e).distinct().count() == nOld
+      e = ss
+      iters += 1
+    }
+    require(converged, s"star contraction did not converge in $maxRounds rounds")
+    e.select(col("a").as("id"), col("b").as("lbl"))
+      .unionAll(e.select(col("b").as("id"), col("b").as("lbl")))
+      .distinct()
+  }
 
   /** d6: resolve near-dup PAIRS into GROUPS — the step a dedup
     * pipeline actually acts on. Connected components over the d3
@@ -190,10 +247,11 @@ object Dedup {
     * localCheckpoint'ed so the plan stays flat instead of growing a
     * join-per-iteration lineage. At 1000-executor scale this is the
     * textbook Spark CC loop (GraphFrames/Pregel do the same joins);
-    * for adversarial long-chain graphs swap in alternating
-    * large-star/small-star for O(log n) rounds. */
+    * if the diameter exceeds `maxIters` (adversarial chains) the loop
+    * hands off to [[starContract]] for O(log n) convergence. */
   def dupGroups(spark: SparkSession, dir: String, minEstSim: Double = 0.25,
-                pairsOverride: Option[DataFrame] = None): DataFrame = {
+                pairsOverride: Option[DataFrame] = None,
+                maxIters: Int = MaxCcIters): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = pairsOverride.getOrElse(minhashLsh(spark, dir, minEstSim))
       .select(col("id_a"), col("id_b")).localCheckpoint(true)
@@ -210,7 +268,7 @@ object Dedup {
     var prevSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
     var converged = false
     var iters = 0
-    while (!converged && iters < MaxCcIters) {
+    while (!converged && iters < maxIters) {
       val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lbl"))
       labels = labels.unionAll(msgs)
@@ -221,7 +279,10 @@ object Dedup {
       prevSum = nextSum
       iters += 1
     }
-    require(converged, s"dup-group propagation did not converge in $MaxCcIters rounds")
+    // Diameter exceeded the round budget (adversarial chain, not a
+    // near-clique LSH graph): hand off to the O(log n) contraction
+    // instead of aborting the query.
+    if (!converged) labels = starContract(edges)
     labels.select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
       .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("canonical_id"))))
   }

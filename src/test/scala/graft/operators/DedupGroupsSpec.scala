@@ -57,6 +57,28 @@ class DedupGroupsSpec extends AnyFunSuite {
     assert(out.forall(_._3 == 4L))
   }
 
+  test("a 30-node chain converges via the star-contraction fallback") {
+    // Diameter 30 > maxIters: label propagation hands off to
+    // large-star/small-star instead of aborting (the round-6 behavior
+    // was require(converged) — a 26-doc chain killed the query).
+    // maxIters = 2 forces the fallback quickly; the result must still
+    // be the exact components.
+    import spark.implicits._
+    val chain = (0 until 29).map(i => (100L + i, 101L + i)).toDF("id_a", "id_b")
+    val out = Dedup.dupGroups(spark, dir, pairsOverride = Some(chain), maxIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 30)
+    assert(out.forall(_._2 == 100L), s"canonical ids: ${out.map(_._2).distinct.mkString(",")}")
+    assert(out.forall(_._3 == 30L))
+    // two disjoint chains stay separate components
+    val two = ((0 until 9).map(i => (100L + i, 101L + i)) ++
+      (0 until 9).map(i => (300L + i, 301L + i))).toDF("id_a", "id_b")
+    val out2 = Dedup.dupGroups(spark, dir, pairsOverride = Some(two), maxIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out2.count(_._2 == 100L) == 10 && out2.count(_._2 == 300L) == 10)
+    assert(out2.forall(_._3 == 10L))
+  }
+
   test("empty pair graph yields an empty result, not a crash") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
