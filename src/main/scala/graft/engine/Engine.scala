@@ -53,6 +53,27 @@ class Engine(val spark: SparkSession) {
     * prepare/UPDATE/DELETE fragments). */
   @volatile var nullComparisonFalse: Boolean = false
 
+  /** Opt-in driver-safety bound on SELECT materialization through the
+    * facade (execute / executePrepared / selectAs* / selectJson): when
+    * set, a statement whose result exceeds this many rows fails fast
+    * with a clear error instead of collecting into driver memory — a
+    * facade SELECT over a 100 TB table should die loudly, not OOM the
+    * driver. Off by default: Payload is a whole-result contract and
+    * the reference materializes unconditionally (glue/select.rs). The
+    * guard is pushed down as LIMIT n+1, so an over-limit query stops
+    * after n+1 rows instead of scanning to completion. */
+  @volatile var maxResultRows: Option[Int] = None
+
+  private def boundedRows(df: DataFrame): Seq[Row] = maxResultRows match {
+    case None => df.collect().toSeq
+    case Some(n) =>
+      val rows = df.limit(n + 1).collect()
+      if (rows.length > n)
+        throw new EngineException(
+          s"result exceeds maxResultRows=$n; raise the cap or add LIMIT")
+      rows.toSeq
+  }
+
   graft.functions.Dialect.register(spark)
 
   // ------------------------------------------------------------------
@@ -209,13 +230,13 @@ class Engine(val spark: SparkSession) {
 
   def executePrepared(p: Prepared): Payload = {
     val df = org.apache.spark.sql.graft.Shims.ofRows(spark, p.plan)
-    Payload.Select(df.columns.toSeq, df.collect().toSeq.map(_.toSeq))
+    Payload.Select(df.columns.toSeq, boundedRows(df).map(_.toSeq))
   }
 
   /** Reference `select_as_string`: rows rendered as display strings. */
   def selectAsString(sql: String): Seq[Seq[String]] = {
     val df = query(sql)
-    df.columns.toSeq +: df.collect().toSeq.map(_.toSeq.map(v => if (v == null) "NULL" else v.toString))
+    df.columns.toSeq +: boundedRows(df).map(_.toSeq.map(v => if (v == null) "NULL" else v.toString))
   }
 
   /** Reference `select_as_csv` (glue/select.rs:60-82). */
@@ -225,7 +246,16 @@ class Engine(val spark: SparkSession) {
   /** Reference `select_json` (glue/select.rs:13-38): array of objects. */
   def selectJson(sql: String): String = {
     val df = query(sql)
-    "[" + df.toJSON.collect().mkString(",") + "]"
+    val docs = maxResultRows match {
+      case None => df.toJSON.collect()
+      case Some(n) =>
+        val ds = df.limit(n + 1).toJSON.collect()
+        if (ds.length > n)
+          throw new EngineException(
+            s"result exceeds maxResultRows=$n; raise the cap or add LIMIT")
+        ds
+    }
+    "[" + docs.mkString(",") + "]"
   }
 
   /** Reference `insert_vec` (glue/mod.rs:190-248): typed programmatic
@@ -289,7 +319,7 @@ class Engine(val spark: SparkSession) {
 
   private def runSelect(sql: String): Payload = {
     val df = selectDf(sql)
-    Payload.Select(df.columns.toSeq, df.collect().toSeq.map(_.toSeq))
+    Payload.Select(df.columns.toSeq, boundedRows(df).map(_.toSeq))
   }
 
   private val insertCteRe = """(?is)WITH\s+([`"\w]+)\s+AS\s*\(.*""".r
@@ -417,19 +447,32 @@ class Engine(val spark: SparkSession) {
     }
   }
 
-  /** Re-render every table backed by `path` from its parquet mirror
-    * and rewrite the workbook (save whole book on mutation, reference
-    * sheet/mutable.rs). */
+  /** XLSX is a SMALL-DATA backend: save-book-on-mutation re-renders
+    * the whole workbook through the driver, exactly as the reference
+    * does (sheet/mutable.rs). Rows stream partition-at-a-time
+    * (toLocalIterator, like the CSV path) rather than collecting in
+    * one array, but the rendered book must still fit in driver
+    * memory — so the sync enforces the XLSX format's own sheet bound
+    * by default and fails with a clear error past it instead of
+    * OOMing mid-write (configurable down for tighter driver budgets;
+    * XlsxSpec drives the bound). */
+  @volatile var xlsxMaxSyncRows: Int = 1048575 // format limit minus header row
+
   private def syncXlsx(path: String): Unit = {
     val sheets = meta.entries.collect {
       case (key, tm) if tm.xlsxPath.contains(path) =>
         val Array(db, tbl) = key.split("\\.", 2)
         val header = tm.columns.map(_.name)
-        val rows = spark.table(s"`$db`.`$tbl`").collect().toSeq.map(_.toSeq.map {
-          case null => ""
-          case v => v.toString
-        })
-        Xlsx.Sheet(tm.sheetName, header +: rows)
+        val it = spark.table(s"`$db`.`$tbl`").toLocalIterator()
+        val rows = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+        while (it.hasNext) {
+          if (rows.length >= xlsxMaxSyncRows)
+            throw new EngineException(
+              s"$key exceeds xlsxMaxSyncRows=$xlsxMaxSyncRows rows; " +
+                "XLSX is a small-data backend — use a parquet or CSV database")
+          rows += it.next().toSeq.map { case null => ""; case v => v.toString }
+        }
+        Xlsx.Sheet(tm.sheetName, header +: rows.toSeq)
     }
     Xlsx.write(path, sheets)
   }

@@ -276,6 +276,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterEach {
       Payload.Select(Seq("x"), Seq(Seq(1L)))))
   }
 
+  test("maxResultRows (opt-in) fails oversized facade SELECTs fast") {
+    g.execute("CREATE TABLE caprows (x INTEGER)")
+    g.execute("INSERT INTO caprows VALUES (1), (2), (3), (4), (5)")
+    g.maxResultRows = Some(3)
+    try {
+      assert(intercept[EngineException](
+        g.execute("SELECT x FROM caprows")).getMessage.contains("maxResultRows"))
+      assert(intercept[EngineException](
+        g.selectJson("SELECT x FROM caprows")).getMessage.contains("maxResultRows"))
+      // within the cap (explicit LIMIT) still materializes normally
+      val Payload.Select(_, rows) = g.execute("SELECT x FROM caprows LIMIT 2"): @unchecked
+      assert(rows.length == 2)
+    } finally g.maxResultRows = None
+    // default (None) keeps the reference's whole-result contract
+    val Payload.Select(_, all) = g.execute("SELECT x FROM caprows"): @unchecked
+    assert(all.length == 5)
+  }
+
   test("insert through vec runs the same constraint pipeline") {
     g.execute("CREATE TABLE hv (id INTEGER UNIQUE, s TEXT NOT NULL)")
     g.insertVec("hv", Seq("id", "s"), Seq(Seq(1L, "a")))

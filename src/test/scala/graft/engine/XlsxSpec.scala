@@ -33,6 +33,23 @@ class XlsxSpec extends AnyFunSuite {
     assert(Xlsx.colIndex("BC12") == 54)
   }
 
+  test("xlsx sync enforces the sheet row bound with a clear error") {
+    val f = java.nio.file.Files.createTempFile("cap", ".xlsx").toString
+    book(f, Xlsx.Sheet("t", Seq(Seq("a"), Seq("1"), Seq("2"))))
+    g.execute("DROP DATABASE IF EXISTS xcap")
+    g.execute(s"CREATE DATABASE xcap LOCATION '$f'")
+    g.xlsxMaxSyncRows = 3
+    try {
+      g.execute("INSERT INTO xcap.t VALUES (3)") // lands exactly at the cap
+      val e = intercept[EngineException](g.execute("INSERT INTO xcap.t VALUES (4)"))
+      assert(e.getMessage.contains("xlsxMaxSyncRows"),
+        s"wrong error: ${e.getMessage}")
+    } finally {
+      g.xlsxMaxSyncRows = 1048575
+      g.execute("DROP DATABASE IF EXISTS xcap")
+    }
+  }
+
   test("xlsx database: one table per sheet, inferred types, insert rewrites book") {
     val f = java.nio.file.Files.createTempFile("db", ".xlsx").toString
     book(f,
