@@ -63,12 +63,14 @@ object SparkEntry {
     "e4_funnel" -> (EventOps.funnel _),
     "e5_asof_join" -> (EventOps.asofJoin _),
     "e6_range_join" -> ((s: SparkSession, d: String) => EventOps.rangeJoin(s, d)),
+    "e7_retention" -> (EventOps.retention _),
     // ---- text analysis ----
     "t1_token_stats" -> (TextOps.tokenStats _),
     "t2_quality_score" -> (TextOps.qualityScore _),
     "t3_lang_id" -> (TextOps.langIdAccuracy _),
     "t4_fingerprint" -> (TextOps.fingerprint _),
     "t5_split_assign" -> ((s: SparkSession, d: String) => TextOps.splitAssign(s, d)),
+    "t6_repetition_filter" -> (TextOps.repetitionFilter _),
     // ---- dedup ----
     "d1_exact_dedup" -> (Dedup.exactDedup _),
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -107,6 +109,7 @@ object SparkEntry {
     "s4_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "s5_ann_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annMultiProbe(s, d)),
     "s6_batch_knn" -> ((s: SparkSession, d: String) => Similarity.batchKnn(s, d)),
+    "s7_ivf_batch_knn" -> ((s: SparkSession, d: String) => Similarity.ivfBatchKnn(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -388,6 +391,8 @@ object SparkEntry {
         |  md5(regexp_replace(lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')), ' +', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
     "t5_split_assign" -> TextOps.splitAssignOracleSql("graft_v1"),
+    "t6_repetition_filter" -> TextOps.repetitionFilterOracleSql,
+    "e7_retention" -> EventOps.retentionOracleSql,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n_copies
@@ -421,5 +426,6 @@ object SparkEntry {
     "s4_ivf_topk" -> Similarity.ivfTopKOracleSql(0L, 10),
     "s5_ann_multiprobe" -> Similarity.annMultiProbeOracleSql(0L, 10),
     "s6_batch_knn" -> Similarity.batchKnnOracleSql(8, 5),
+    "s7_ivf_batch_knn" -> Similarity.ivfBatchKnnOracleSql(8, 5),
   )
 }

@@ -301,6 +301,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** s7: BATCH ANN over the MATERIALIZED IVF index — the production
+    * retrieval shape (dedup-against-index, labeling retrieval): N
+    * query vectors probe their NProbe inverted lists in ONE equi-join
+    * on cid against the partitioned index; per-query top-k via
+    * row_number. Candidates are bounded by the probed list sizes
+    * (≈ NProbe/NCentroids of the corpus per query), the exploded
+    * (query, cid) probe set broadcasts, and the ranking shuffle is
+    * keyed by query_id over candidates only — never a cross product
+    * (PlanShapeSpec). Complements [[batchKnn]] (s6, LSH buckets) with
+    * the trained-index tier. */
+  def ivfBatchKnn(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vectors(spark, dir)
+    val idx = indexCache.computeIfAbsent(dir, _ => buildIndex(spark, dir))
+    val lists = spark.read
+      .schema("vec_id LONG, v ARRAY<DOUBLE>, nrm DOUBLE, cid LONG")
+      .parquet(idx.path)
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(probeCidsExpr(idx.cents)).as("cid"))
+    val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    lists.join(broadcast(qs), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot / (col("nrm") * col("qn"))).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Bucket histogram — sanity view of LSH spread (skew check). */
   def lshBucketStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
@@ -358,12 +389,14 @@ object Similarity {
        |ORDER BY cos_sim DESC, b.vec_id LIMIT $k""".stripMargin
   }
 
-  /** Replays the deterministic k-means training (same init, same
-    * KMeansIters, same fold orders) as a chain of CTEs, then the
-    * probe + re-rank pipeline against the trained centroids. cn{i} =
-    * centroids after iteration i with norms; every list_sum runs in
+  /** Shared oracle prefix: replays the deterministic k-means training
+    * (same init, same KMeansIters, same fold orders) as a chain of
+    * CTEs, through the full-corpus assignment. cn{i} = centroids
+    * after iteration i with norms; `r` = per-vector centroid ranking
+    * vs the trained set; `va` = the assignment (rn = 1) — the oracle
+    * twin of the materialized posting lists. Every list_sum runs in
     * the same index/vec_id order as the Spark folds. */
-  def ivfTopKOracleSql(qid: Long, k: Int): String = {
+  private def trainedIndexCtes: String = {
     val dims = s"range(1, ${Dim + 1})"
     def withNorm(i: Int) =
       s"""cn$i AS (SELECT cid, cv,
@@ -395,7 +428,13 @@ object Similarity {
        |  FROM n, $cn c),
        |r AS (SELECT vec_id, cid,
        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn FROM a),
-       |va AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+       |va AS (SELECT vec_id, cid FROM r WHERE rn = 1)""".stripMargin
+  }
+
+  /** Trained-index probe + re-rank for one query. */
+  def ivfTopKOracleSql(qid: Long, k: Int): String = {
+    val dims = s"range(1, ${Dim + 1})"
+    s"""$trainedIndexCtes,
        |probes AS (SELECT cid FROM r WHERE vec_id = $qid AND rn <= $NProbe),
        |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = $qid)
        |SELECT n.vec_id,
@@ -403,6 +442,28 @@ object Similarity {
        |FROM n JOIN va ON n.vec_id = va.vec_id JOIN probes p ON va.cid = p.cid, q
        |WHERE n.vec_id <> $qid
        |ORDER BY cos_sim DESC, n.vec_id LIMIT $k""".stripMargin
+  }
+
+  /** s7 oracle: same trained index, batch probe set, per-query rank. */
+  def ivfBatchKnnOracleSql(nQueries: Int, k: Int): String = {
+    val dims = s"range(1, ${Dim + 1})"
+    s"""$trainedIndexCtes,
+       |probes AS (SELECT vec_id AS query_id, cid FROM r
+       |  WHERE vec_id < $nQueries AND rn <= $NProbe),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+       |  WHERE vec_id < $nQueries),
+       |cand AS (
+       |  SELECT p.query_id, n.vec_id,
+       |    list_sum(list_transform($dims, i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn) AS cos_sim
+       |  FROM n JOIN va ON n.vec_id = va.vec_id
+       |    JOIN probes p ON va.cid = p.cid
+       |    JOIN q ON q.query_id = p.query_id
+       |  WHERE n.vec_id <> p.query_id)
+       |SELECT query_id, vec_id, cos_sim, rnk FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM cand)
+       |WHERE rnk <= $k""".stripMargin
   }
 
   def lshBucketsOracleSql: String =

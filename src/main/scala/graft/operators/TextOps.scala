@@ -128,4 +128,79 @@ object TextOps {
        |SELECT doc_id,
        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
        |FROM h""".stripMargin
+
+  /** t6: repetition-based quality filters — the Gopher/MassiveText
+    * heuristics (Rae et al. 2021, §A1.1; the same signal family C4
+    * and RefinedWeb gate on): type-token ratio, most-frequent-word
+    * mass, most-frequent-bigram mass, mean word length, reduced to a
+    * keep/drop flag. Repetition is THE dominant crawl-quality signal
+    * a token-count filter (t1/t2) cannot see.
+    *
+    * Every signal is a per-document higher-order array expression
+    * over one split — zero shuffle at any corpus size (PlanShapeSpec
+    * pins the narrow plan). Counts stay integers until one final
+    * division so the DuckDB oracle matches bit-for-bit; the O(d·n)
+    * mode-count is bounded by document length, not corpus size. */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .withColumn("bg", when(size(col("ws")) >= 2, expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .otherwise(array().cast("array<string>")))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("size(array_distinct(ws))").cast("long").as("n_distinct"),
+        expr("array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w))))")
+          .cast("long").as("top_word_n"),
+        when(size(col("bg")) > 0, expr(
+          "array_max(transform(array_distinct(bg), b -> size(filter(bg, x -> x = b))))"))
+          .otherwise(lit(0)).cast("long").as("top_bigram_n"),
+        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").as("sum_word_len"))
+    base.select(
+      col("doc_id"), col("n_words"),
+      (col("n_distinct").cast("double") / col("n_words").cast("double")).as("ttr"),
+      (col("sum_word_len").cast("double") / col("n_words").cast("double")).as("mean_word_len"),
+      (col("top_word_n").cast("double") / col("n_words").cast("double")).as("top_word_frac"),
+      (col("top_bigram_n").cast("double") / greatest(col("n_words") - 1, lit(1L)).cast("double"))
+        .as("top_bigram_frac"))
+      .withColumn("keep",
+        col("mean_word_len").between(3.0, 10.0) &&
+          col("top_word_frac") <= 0.20 && col("top_bigram_frac") <= 0.20)
+  }
+
+  /** DuckDB oracle for [[repetitionFilter]]: same tokenization, same
+    * integer mode counts, same single final divisions (1-based list
+    * indexing; range(1, n) is end-exclusive = Spark's
+    * sequence(1, n-1)). */
+  def repetitionFilterOracleSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |b AS (
+      |  SELECT doc_id, ws,
+      |    CASE WHEN len(ws) >= 2 THEN
+      |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+      |    ELSE [] END AS bg
+      |  FROM w),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+      |    CAST(list_max(list_transform(list_distinct(ws),
+      |      w -> len(list_filter(ws, x -> x = w)))) AS BIGINT) AS top_word_n,
+      |    CAST(CASE WHEN len(bg) > 0 THEN
+      |      list_max(list_transform(list_distinct(bg),
+      |        b2 -> len(list_filter(bg, x -> x = b2))))
+      |    ELSE 0 END AS BIGINT) AS top_bigram_n,
+      |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_word_len
+      |  FROM b)
+      |SELECT doc_id, n_words,
+      |  CAST(n_distinct AS DOUBLE) / n_words AS ttr,
+      |  CAST(sum_word_len AS DOUBLE) / n_words AS mean_word_len,
+      |  CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac,
+      |  CAST(top_bigram_n AS DOUBLE) / greatest(n_words - 1, 1) AS top_bigram_frac,
+      |  (CAST(sum_word_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+      |    AND CAST(top_word_n AS DOUBLE) / n_words <= 0.20
+      |    AND CAST(top_bigram_n AS DOUBLE) / greatest(n_words - 1, 1) <= 0.20 AS keep
+      |FROM c""".stripMargin
 }

@@ -133,6 +133,40 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
   }
 
+  /** e7: weekly COHORT RETENTION — the standard activation/retention
+    * triangle: users are cohorted by the week of their first event,
+    * and each (cohort, week-offset) cell counts how many of that
+    * cohort were active that week. Week = epoch-µs integer division
+    * (calendar-free, so the oracle replays it exactly).
+    *
+    * Scale shape: one groupBy(user_id) collapses each user's history
+    * to (first week, distinct active weeks) with map-side combine —
+    * the per-user state is bounded by #weeks, not #events — then the
+    * exploded (cohort, offset) pairs reduce in a second small agg.
+    * No self-join of events against events (the naive cohort SQL),
+    * no distinct over the raw event table. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    t(spark, dir, "events")
+      .select(col("user_id"), expr(s"unix_micros(ts) div $weekUs").as("wk"))
+      .groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"), collect_set(col("wk")).as("wks"))
+      .select(col("cohort_wk"), explode(col("wks")).as("wk"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  /** DuckDB oracle for [[retention]]: distinct user-weeks, cohort via
+    * window min, same integer week arithmetic. */
+  def retentionOracleSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |c AS (
+      |  SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_wk FROM uw)
+      |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+      |  CAST(count(*) AS BIGINT) AS n_active
+      |FROM c GROUP BY 1, 2""".stripMargin
+
   /** Streaming source over the events parquet: file source (the
     * directory is glob-filtered to the events file), nanos→µs ts. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {

@@ -130,4 +130,25 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(TextOps.tokenStats(spark, dir))
     assert(!p.contains("Exchange"), s"token stats should be shuffle-free:\n$p")
   }
+
+  test("t6 repetition filter: per-document array math, zero shuffle") {
+    val p = plan(TextOps.repetitionFilter(spark, dir))
+    assert(!p.contains("Exchange"), s"repetition filter should be narrow:\n$p")
+  }
+
+  test("s7 IVF batch kNN: probe set broadcasts, no cross product, no corpus window") {
+    val df = Similarity.ivfBatchKnn(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"probe set did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"batch IVF degenerated to a cross product:\n$p")
+    // ranks are per-query and bounded by k
+    val byQ = df.collect().groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rnk")).sorted
+      assert(ranks.length <= 5 && ranks.sameElements(1L to ranks.length),
+        s"query $q has ranks ${ranks.mkString(",")}")
+    }
+  }
 }
