@@ -71,6 +71,7 @@ object SparkEntry {
     "t4_fingerprint" -> (TextOps.fingerprint _),
     "t5_split_assign" -> ((s: SparkSession, d: String) => TextOps.splitAssign(s, d)),
     "t6_repetition_filter" -> (TextOps.repetitionFilter _),
+    "t7_stratified_sample" -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
     // ---- dedup ----
     "d1_exact_dedup" -> (Dedup.exactDedup _),
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -392,6 +393,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "t5_split_assign" -> TextOps.splitAssignOracleSql("graft_v1"),
     "t6_repetition_filter" -> TextOps.repetitionFilterOracleSql,
+    "t7_stratified_sample" -> TextOps.stratifiedSampleOracleSql("graft_s1"),
     "e7_retention" -> EventOps.retentionOracleSql,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,

@@ -129,6 +129,38 @@ object TextOps {
        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
        |FROM h""".stripMargin
 
+  /** t7: deterministic STRATIFIED SAMPLING — per-language keep rates
+    * (downsample the dominant language, keep the rest whole: the
+    * standard multilingual-corpus rebalancing move), decided by the
+    * same salted portable hash as t5's split. A document's fate is a
+    * pure function of (salt, doc_id): reproducible across runs,
+    * engines and reshards, and NEVER changes as the corpus grows —
+    * the property a curriculum/re-mix pipeline needs. The filter is
+    * one narrow codegen'd expression, zero shuffle, pushed into the
+    * scan's residual; no per-stratum pass over the data. */
+  val SampleRates: Seq[(String, Int)] = // permille kept per lang
+    Seq("en" -> 400, "fr" -> 1000, "de" -> 1000, "es" -> 700, "zh" -> 700)
+
+  def stratifiedSample(spark: SparkSession, dir: String, salt: String = "graft_s1"): DataFrame = {
+    val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id"))) % 1000
+    val rate = SampleRates.foldRight(lit(0): org.apache.spark.sql.Column) {
+      case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .filter(h < rate)
+  }
+
+  def stratifiedSampleOracleSql(salt: String): String = {
+    val cases = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5('$salt' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS b
+       |  FROM documents)
+       |SELECT doc_id, lang FROM h
+       |WHERE b < CASE lang $cases ELSE 0 END""".stripMargin
+  }
+
   /** t6: repetition-based quality filters — the Gopher/MassiveText
     * heuristics (Rae et al. 2021, §A1.1; the same signal family C4
     * and RefinedWeb gate on): type-token ratio, most-frequent-word
