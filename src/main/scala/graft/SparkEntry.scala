@@ -52,6 +52,7 @@ object SparkEntry {
     "q32_grouping_sets" -> (C.q32GroupingSets _),
     "q33_skew_join" -> (Skew.q33SkewJoin _),
     "q34_skew_distinct" -> (Skew.q34SkewDistinct _),
+    "q35_window_suite" -> (C.q35WindowSuite _),
     // q31 has no oracle entry on purpose: quantile sketches aren't
     // bit-identical across engines → driver rows-only check;
     // ApproxPercentileSpec pins the error bound vs the exact anchor.
@@ -363,6 +364,7 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_l_partkey
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q35_window_suite" -> C.q35OracleSql,
     "e6_range_join" ->
       """WITH i AS (
         |  SELECT event_id AS incident_id,

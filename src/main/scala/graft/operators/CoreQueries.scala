@@ -206,6 +206,39 @@ object CoreQueries {
         sum(col("o_totalprice")).over(w).as("running_spend"))
   }
 
+  /** q35: the rest of the window-function surface beyond q15's
+    * ranking and q16's running frame — ntile, percent_rank,
+    * cume_dist, lead/lag, nth_value — over one deterministic
+    * per-status ordering (unique o_orderkey tiebreak, so every
+    * function's output is total-order stable for the oracle). One
+    * shuffle on the partition key, one spillable sort: the same
+    * WindowExec shape however large the partition. */
+  def q35WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cum_dist", cume_dist().over(w))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("third_price", nth_value(col("o_totalprice"), 3).over(w))
+  }
+
+  def q35OracleSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cum_dist,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  nth_value(o_totalprice, 3) OVER w AS third_price
+      |FROM orders WHERE o_custkey <= 50
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |  ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
   /** CTE-shaped composition (TPC-H Q15 shape): revenue per supplier,
     * then keep the max. The reference materializes CTEs eagerly
     * (query/mod.rs:72-91); in Spark the CTE is just a shared subplan. */
