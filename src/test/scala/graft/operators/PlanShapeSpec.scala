@@ -77,6 +77,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q29 point find: literal key pushed to scan, no join, conf restored") {
+    val before = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val p = plan(CoreQueries.q29PointFind(spark, dir))
+    // the probe resolves eagerly (footer-stats min under a scoped
+    // conf); the returned plan must be a pushed-down point filter
+    assert(p.contains("PushedFilters:") && p.contains("l_orderkey"),
+      s"point key did not reach the scan:\n$p")
+    assert(!p.contains("Join"), s"point find still joins:\n$p")
+    assert(spark.conf.getOption("spark.sql.parquet.aggregatePushdown") == before,
+      "q29 leaked the aggregatePushdown conf into the session")
+  }
+
   test("s4 IVF assignment: narrow argmax map — no window, no exchange") {
     val e = Similarity.vectors(spark, dir)
     val p = plan(Similarity.ivfAssign(e, Similarity.seedCentroids(e)))
