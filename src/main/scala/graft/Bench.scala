@@ -55,7 +55,9 @@ object Bench {
     // The driver captures a bounded tail of this output: the stdout
     // line is rounded to ms so all entries fit (BENCH_r06 lost its
     // tail to full-precision doubles); full precision goes to stderr.
-    def ms(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: "%.3f" under a comma-decimal default locale would
+    // emit "0,360" and corrupt the JSON line.
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -717,6 +717,21 @@ class Engine(val spark: SparkSession) {
         } finally fw.close()
         spark.catalog.refreshTable(s"`$db`.`$tbl`")
       case None =>
+        // Enforce the workbook bound BEFORE the mirror write: checking
+        // only at sync time would commit the rows to the parquet
+        // mirror, then fail the book rewrite — leaving the table
+        // over-cap, the .xlsx stale, and every later sync of the
+        // workbook wedged. INSERT is the only growth path, so this
+        // pre-check keeps table and book consistent; the streaming
+        // check in syncXlsx stays as the backstop.
+        tm.xlsxPath.foreach { _ =>
+          val have = spark.table(s"`$db`.`$tbl`").count()
+          if (have + n > xlsxMaxSyncRows)
+            throw new EngineException(
+              s"$db.$tbl would exceed xlsxMaxSyncRows=$xlsxMaxSyncRows rows " +
+                s"(has $have, inserting $n); XLSX is a small-data backend — " +
+                "use a parquet or CSV database")
+        }
         out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
         tm.xlsxPath.foreach(syncXlsx)
     }

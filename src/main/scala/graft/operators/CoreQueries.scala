@@ -395,7 +395,10 @@ object CoreQueries {
     // footer-only job, the same collect class as a centroid sync — so
     // the returned plan is a pushed-down point-equality scan on a
     // literal key: at scale that is partition/row-group pruning with no
-    // join at all.
+    // join at all. Caveat: the conf is session-scoped (aggregate
+    // pushdown has no per-relation read option in this Spark), so a
+    // concurrent planner on the SAME session could observe it during
+    // the probe window; the battery runs sequentially.
     val l = t(spark, dir, "lineitem")
     val conf = "spark.sql.parquet.aggregatePushdown"
     val prev = spark.conf.getOption(conf)

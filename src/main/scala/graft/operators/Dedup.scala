@@ -203,6 +203,7 @@ object Dedup {
       .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
     var converged = false
     var iters = 0
+    var nOld = e.count() // carried across rounds: = previous ss.count()
     val maxRounds = 2 * MaxCcIters // O(log n) needs far fewer; loud bound
     while (!converged && iters < maxRounds) {
       // large-star
@@ -220,10 +221,11 @@ object Dedup {
         .filter(col("x") =!= col("m"))
         .select(col("x").as("a"), col("m").as("b"))
         .distinct().localCheckpoint(true)
-      val nOld = e.count()
-      converged = ss.count() == nOld &&
+      val nNew = ss.count()
+      converged = nNew == nOld &&
         ss.unionAll(e).distinct().count() == nOld
       e = ss
+      nOld = nNew
       iters += 1
     }
     require(converged, s"star contraction did not converge in $maxRounds rounds")

@@ -258,6 +258,16 @@ object Similarity {
     val cents = trainCentroids(e)
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_index")
       .toFile.getAbsolutePath
+    // Session-lifetime index: reaped on JVM exit so repeated runs
+    // don't accrete corpus copies under the temp root (a production
+    // deployment would write the index to managed storage instead).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      val root = Path.of(path)
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }))
     ivfAssign(e, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)

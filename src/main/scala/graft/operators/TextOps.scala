@@ -212,7 +212,7 @@ object TextOps {
       (col("top_bigram_n").cast("double") / greatest(col("n_words") - 1, lit(1L)).cast("double"))
         .as("top_bigram_frac"))
       .withColumn("keep",
-        col("mean_word_len").between(3.0, 10.0) &&
+        col("mean_word_len").between(3.0, 10.0) && col("ttr") >= 0.10 &&
           col("top_word_frac") <= 0.20 && col("top_bigram_frac") <= 0.20)
   }
 
@@ -247,6 +247,7 @@ object TextOps {
       |  CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac,
       |  CAST(top_bigram_n AS DOUBLE) / greatest(n_words - 1, 1) AS top_bigram_frac,
       |  (CAST(sum_word_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+      |    AND CAST(n_distinct AS DOUBLE) / n_words >= 0.10
       |    AND CAST(top_word_n AS DOUBLE) / n_words <= 0.20
       |    AND CAST(top_bigram_n AS DOUBLE) / greatest(n_words - 1, 1) <= 0.20 AS keep
       |FROM c""".stripMargin

@@ -147,8 +147,13 @@ object EventOps {
     * no distinct over the raw event table. */
   def retention(spark: SparkSession, dir: String): DataFrame = {
     val weekUs = 604800000000L
+    // FLOOR division in exact integer arithmetic ((a - pmod(a, b))
+    // div b): Spark's `div` truncates toward zero, DuckDB's `//`
+    // floors — they differ on pre-epoch timestamps, and pmod keeps
+    // the two engines identical without a lossy double round-trip.
     t(spark, dir, "events")
-      .select(col("user_id"), expr(s"unix_micros(ts) div $weekUs").as("wk"))
+      .select(col("user_id"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $weekUs)) div $weekUs").as("wk"))
       .groupBy(col("user_id"))
       .agg(min(col("wk")).as("cohort_wk"), collect_set(col("wk")).as("wks"))
       .select(col("cohort_wk"), explode(col("wks")).as("wk"))

@@ -44,6 +44,10 @@ class XlsxSpec extends AnyFunSuite {
       val e = intercept[EngineException](g.execute("INSERT INTO xcap.t VALUES (4)"))
       assert(e.getMessage.contains("xlsxMaxSyncRows"),
         s"wrong error: ${e.getMessage}")
+      // the refused insert must NOT have touched the table: cap is
+      // enforced before the mirror write, so table and book agree
+      val Payload.Select(_, after) = g.execute("SELECT count(*) AS n FROM xcap.t"): @unchecked
+      assert(after == Seq(Seq(3L)), s"table diverged from the workbook: $after")
     } finally {
       g.xlsxMaxSyncRows = 1048575
       g.execute("DROP DATABASE IF EXISTS xcap")
