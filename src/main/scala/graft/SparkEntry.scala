@@ -73,6 +73,7 @@ object SparkEntry {
     "t5_split_assign" -> ((s: SparkSession, d: String) => TextOps.splitAssign(s, d)),
     "t6_repetition_filter" -> (TextOps.repetitionFilter _),
     "t7_stratified_sample" -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
+    "t8_token_budget" -> ((s: SparkSession, d: String) => TextOps.tokenBudget(s, d)),
     // ---- dedup ----
     "d1_exact_dedup" -> (Dedup.exactDedup _),
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -83,6 +84,7 @@ object SparkEntry {
     // this a vacuous check.
     "d5_embedding_dup" -> ((s: SparkSession, d: String) => Dedup.embeddingDup(s, d, 0.4)),
     "d6_dup_groups" -> ((s: SparkSession, d: String) => Dedup.dupGroups(s, d)),
+    "d7_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     // ---- engine facade round trips (SURVEY.md §2.10–§2.11) ----
     "g1_ddl_roundtrip" -> (GlueQueries.g1DdlRoundtrip _),
     "g2_insert_select" -> (GlueQueries.g2InsertSelect _),
@@ -396,6 +398,8 @@ object SparkEntry {
     "t5_split_assign" -> TextOps.splitAssignOracleSql("graft_v1"),
     "t6_repetition_filter" -> TextOps.repetitionFilterOracleSql,
     "t7_stratified_sample" -> TextOps.stratifiedSampleOracleSql("graft_s1"),
+    "t8_token_budget" -> TextOps.tokenBudgetOracleSql(2000L, "graft_v1"),
+    "d7_incremental_dedup" -> Dedup.incrementalDedupOracleSql("src19", 0.25),
     "e7_retention" -> EventOps.retentionOracleSql,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,

@@ -289,6 +289,82 @@ object Dedup {
       .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("canonical_id"))))
   }
 
+  /** d7: INCREMENTAL ingest dedup — classify a NEW batch (one
+    * source) against the already-ingested corpus, the shape a daily
+    * crawl pipeline runs: the corpus is NOT re-deduped, only the
+    * batch is judged. Exact dups via content-fingerprint equi-join
+    * (16-byte digests shuffle, never text — d1's property); near
+    * dups via the d3 MinHash-LSH pair graph restricted to pairs that
+    * cross the batch/corpus boundary, so the band-bucket machinery
+    * (incl. the MaxBandBucket cap) is exactly the battle-tested d3
+    * path. One row per new document: exact match, near-dup count,
+    * best near match, and an exact/near/unique status. */
+  def incrementalDedup(spark: SparkSession, dir: String, newSource: String = "src19",
+                       minEstSim: Double = 0.25,
+                       docsOverride: Option[DataFrame] = None,
+                       pairsOverride: Option[DataFrame] = None): DataFrame = {
+    // Overrides: the testdata has no cross-source exact dups, so
+    // IncrementalDedupSpec drives the exact branch (and the
+    // exact-beats-near precedence) through synthetic docs/pairs —
+    // the same trick as dupGroups' pairsOverride.
+    val docs = docsOverride.getOrElse(t(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val newDocs = docs.filter(col("source") === newSource)
+    val exact = newDocs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(docs.filter(col("source") =!= newSource)
+        .select(md5(col("text")).as("fp"), col("doc_id").as("old_id")), "fp")
+      .groupBy(col("doc_id")).agg(min(col("old_id")).as("exact_match"))
+    val src = docs.select(col("doc_id"), (col("source") === newSource).as("is_new"))
+    val cross = pairsOverride.getOrElse(minhashLsh(spark, dir, minEstSim))
+      .join(src.select(col("doc_id").as("id_a"), col("is_new").as("a_new")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("is_new").as("b_new")), "id_b")
+      .filter(col("a_new") =!= col("b_new"))
+      .select(
+        when(col("a_new"), col("id_a")).otherwise(col("id_b")).as("doc_id"),
+        when(col("a_new"), col("id_b")).otherwise(col("id_a")).as("old_id"))
+    val near = cross.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near"), min(col("old_id")).as("best_near"))
+    newDocs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_match"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"), col("best_near"),
+        when(col("exact_match").isNotNull, "exact")
+          .when(coalesce(col("n_near"), lit(0L)) > 0, "near")
+          .otherwise("unique").as("status"))
+  }
+
+  /** Oracle: d3's pair SQL nested as a CTE, filtered to boundary-
+    * crossing pairs; exact matches via md5 self-join across the
+    * source split. */
+  def incrementalDedupOracleSql(newSource: String, minEstSim: Double): String =
+    s"""WITH pairs AS (
+       |${minhashLshOracleSql(minEstSim)}
+       |),
+       |src AS (SELECT doc_id, (source = '$newSource') AS is_new FROM documents),
+       |cross_pairs AS (
+       |  SELECT CASE WHEN a.is_new THEN p.id_a ELSE p.id_b END AS doc_id,
+       |         CASE WHEN a.is_new THEN p.id_b ELSE p.id_a END AS old_id
+       |  FROM pairs p
+       |  JOIN src a ON p.id_a = a.doc_id
+       |  JOIN src b ON p.id_b = b.doc_id
+       |  WHERE a.is_new <> b.is_new),
+       |near AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
+       |    min(old_id) AS best_near
+       |  FROM cross_pairs GROUP BY 1),
+       |ex AS (SELECT nw.doc_id, min(o.doc_id) AS exact_match
+       |  FROM documents nw JOIN documents o
+       |    ON md5(nw.text) = md5(o.text) AND o.source <> '$newSource'
+       |  WHERE nw.source = '$newSource' GROUP BY 1)
+       |SELECT d.doc_id, ex.exact_match,
+       |  coalesce(near.n_near, 0) AS n_near, near.best_near,
+       |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact'
+       |       WHEN near.n_near > 0 THEN 'near' ELSE 'unique' END AS status
+       |FROM documents d
+       |LEFT JOIN ex ON d.doc_id = ex.doc_id
+       |LEFT JOIN near ON d.doc_id = near.doc_id
+       |WHERE d.source = '$newSource'""".stripMargin
+
   /** Oracle: the same component labels via transitive closure in a
     * recursive CTE over the identical pair set (d3's SQL nested as a
     * CTE), canonical = least(id, min(reachable)). */

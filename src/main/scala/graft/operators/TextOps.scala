@@ -161,6 +161,45 @@ object TextOps {
        |WHERE b < CASE lang $cases ELSE 0 END""".stripMargin
   }
 
+  /** t8: per-language TOKEN-BUDGET packing — the data-mix step that
+    * turns "keep rates" into "token counts": fill each language's
+    * token budget in deterministic salted-hash order (same portable
+    * hash as t5/t7, so the packed set is reproducible and stable
+    * under reshards), keeping every document whose PRECEDING
+    * cumulative token total is still under budget — the greedy fill
+    * a pretraining mix actually uses. One shuffle on lang + one
+    * spillable window sort; the cumulative sum is a running ROWS
+    * frame, never a per-group buffer. */
+  def tokenBudget(spark: SparkSession, dir: String, budgetTokens: Long = 2000L,
+                  salt: String = "graft_v1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        h.as("h"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budgetTokens)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
+  }
+
+  def tokenBudgetOracleSql(budgetTokens: Long, salt: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    ('0x' || substr(md5('$salt' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM d)
+       |SELECT doc_id, lang, n_tokens, cum_before
+       |FROM c WHERE cum_before < $budgetTokens""".stripMargin
+
   /** t6: repetition-based quality filters — the Gopher/MassiveText
     * heuristics (Rae et al. 2021, §A1.1; the same signal family C4
     * and RefinedWeb gate on): type-token ratio, most-frequent-word
