@@ -148,6 +148,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"repetition filter should be narrow:\n$p")
   }
 
+  test("t8 token budget: one window sort per language partition, no extra exchange") {
+    val p = plan(TextOps.tokenBudget(spark, dir))
+    assert(p.contains("Window"), s"no running-sum window in t8:\n$p")
+    // exactly one exchange: the hash partitioning on lang feeding the
+    // window sort — a second one would mean the cumsum re-shuffled
+    // (count the AQE-final tree only; the Initial Plan echoes it)
+    val finalTree = p.split("== Initial Plan ==")(0)
+    assert(finalTree.linesIterator.count(_.contains("Exchange (")) == 1,
+      s"t8 shuffled more than once:\n$p")
+  }
+
+  test("d7 incremental dedup: no cross product; exact path shuffles digests, not text") {
+    val p = plan(Dedup.incrementalDedup(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d7 degenerated to a cross product:\n$p")
+    assert(p.contains("md5("), s"exact path does not join on content digests:\n$p")
+  }
+
   test("s7 IVF batch kNN: probe set broadcasts, no cross product, no corpus window") {
     val df = Similarity.ivfBatchKnn(spark, dir)
     val p = plan(df)
