@@ -229,8 +229,16 @@ object TextOps {
       },
       acc => acc.getField("best"))
 
-  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
-    val base = t(spark, dir, "documents")
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame =
+    repetitionColumns(t(spark, dir, "documents"))
+
+  /** The pure t6 transform, source-agnostic: every expression is a
+    * narrow stateless projection, so the same code runs on a batch
+    * frame or on a `readStream` of documents — the quality gate drops
+    * straight into a streaming ingest pipeline with no rewrite
+    * (StreamingSpec proves stream output set-equals batch). */
+  def repetitionColumns(docs: DataFrame): DataFrame = {
+    val base = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
       .withColumn("bg", when(size(col("ws")) >= 2, expr(
         "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))

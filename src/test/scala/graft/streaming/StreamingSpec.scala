@@ -53,6 +53,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == nEvents * 4)
   }
 
+  test("t6 repetition filter runs unchanged on a document stream") {
+    // the text-quality gate is a pure narrow transform, so the SAME
+    // code serves the streaming ingest path — no aggregation state,
+    // append mode, output set-equal to batch
+    val dir = SparkFixture.Sf0001
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    runToMemory(graft.operators.TextOps.repetitionColumns(stream), "stream_t6", "append")
+    val streamed = spark.table("stream_t6").collect().map(_.toSeq).toSet
+    val batch = graft.operators.TextOps.repetitionFilter(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("watermarked dedup collapses a doubled stream to distinct ids") {
     val dir = SparkFixture.Sf0001
     val doubled = EventOps.eventStream(spark, dir).union(EventOps.eventStream(spark, dir))
