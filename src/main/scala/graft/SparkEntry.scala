@@ -74,6 +74,7 @@ object SparkEntry {
     "t6_repetition_filter" -> (TextOps.repetitionFilter _),
     "t7_stratified_sample" -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
     "t8_token_budget" -> ((s: SparkSession, d: String) => TextOps.tokenBudget(s, d)),
+    "t9_corpus_freq" -> (TextOps.corpusFreqScore _),
     // ---- dedup ----
     "d1_exact_dedup" -> (Dedup.exactDedup _),
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -85,6 +86,8 @@ object SparkEntry {
     "d5_embedding_dup" -> ((s: SparkSession, d: String) => Dedup.embeddingDup(s, d, 0.4)),
     "d6_dup_groups" -> ((s: SparkSession, d: String) => Dedup.dupGroups(s, d)),
     "d7_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
+    "d8_contamination" -> ((s: SparkSession, d: String) => Dedup.contamination(s, d)),
+    "d9_canonical_select" -> ((s: SparkSession, d: String) => Dedup.canonicalSelect(s, d)),
     // ---- engine facade round trips (SURVEY.md §2.10–§2.11) ----
     "g1_ddl_roundtrip" -> (GlueQueries.g1DdlRoundtrip _),
     "g2_insert_select" -> (GlueQueries.g2InsertSelect _),
@@ -410,6 +413,9 @@ object SparkEntry {
     "d4_simhash" -> Dedup.simhashOracleSql,
     "d5_embedding_dup" -> Dedup.embeddingDupOracleSql(0.4),
     "d6_dup_groups" -> Dedup.dupGroupsOracleSql(0.25),
+    "d8_contamination" -> Dedup.contaminationOracleSql("graft_v1"),
+    "d9_canonical_select" -> Dedup.canonicalSelectOracleSql(0.25),
+    "t9_corpus_freq" -> TextOps.corpusFreqScoreOracleSql,
     // m3 and m4 have no oracle entries on purpose: their outputs come
     // from the typed mapPartitions codec path (not SQL-expressible —
     // and for m4, byte-level tiling is not replayable over DuckDB

@@ -438,6 +438,59 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** d8: benchmark-contamination detection — the decontamination pass
+    * a pretraining pipeline runs before trusting its eval numbers
+    * (GPT-3 and PaLM both report n-gram-overlap scrubs of the train
+    * set against benchmarks; same shape here over the d2 word-3-gram
+    * shingles): for each TEST-split document (t5's salted
+    * deterministic split), the fraction of its distinct 3-grams that
+    * occur anywhere in the TRAIN split.
+    *
+    * Scale shape: split membership is a pure function of doc_id, so
+    * tagging shingles is a projection, not a join. The only shuffles
+    * are the distinct over train grams and one gram-keyed equi-join —
+    * posting-list shaped, never doc×doc. At 100 TB the standard cheap
+    * pre-filter (a Bloom filter over train grams, broadcast) would
+    * drop in front of the exact join; the exact join is kept as the
+    * confirm stage so the DuckDB oracle arbitrates bit-for-bit. */
+  def contamination(spark: SparkSession, dir: String, salt: String = "graft_v1"): DataFrame = {
+    val b = portableHash(concat_ws(":", lit(salt), col("doc_id"))) % 100
+    val tagged = shingles(spark, dir)
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+    val trainGrams = tagged.filter(col("split") === "train")
+      .select(col("shingle")).distinct().withColumn("hit", lit(1L))
+    tagged.filter(col("split") === "test")
+      .join(trainGrams, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_grams").cast("double"))
+          .as("contamination"))
+  }
+
+  /** d9: canonical selection — the step AFTER d6 group resolution
+    * that a dedup pipeline actually ships: keep ONE representative
+    * per duplicate group. Policy: longest content wins (n_chars
+    * DESC), lowest doc_id breaks ties — the common "keep the fullest
+    * version" rule. The group table covers dup members only (a
+    * sliver of the corpus), so it BROADCASTs into the metadata join
+    * at real scale; the election window partitions by group, bounded
+    * by group size, never corpus-wide. */
+  def canonicalSelect(spark: SparkSession, dir: String, minEstSim: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = dupGroups(spark, dir, minEstSim)
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("canonical_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs.join(broadcast(groups), "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("canonical_id"), col("doc_id").as("keep_id"),
+        col("group_size"), col("n_chars").as("keep_n_chars"))
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle SQL — generated from the same constants as the Spark
   // plans above, so hash values match bit-for-bit.
@@ -522,6 +575,46 @@ object Dedup {
        |  CAST(min(doc_id) AS BIGINT) AS keep_id
        |FROM sh GROUP BY simhash HAVING count(*) > 1""".stripMargin
   }
+
+  /** Oracle: same shingles, same salted split function, same
+    * left-join count — integer counts, one final division. */
+  def contaminationOracleSql(salt: String): String =
+    s"""$shingleCte,
+       |tag AS (SELECT doc_id, shingle,
+       |  ('0x' || substr(md5('$salt' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+       |  FROM sh),
+       |tr AS (SELECT DISTINCT shingle FROM tag WHERE b < 80),
+       |te AS (SELECT doc_id, shingle FROM tag WHERE b >= 90)
+       |SELECT te.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |  CAST(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS contamination
+       |FROM te LEFT JOIN tr ON te.shingle = tr.shingle
+       |GROUP BY te.doc_id""".stripMargin
+
+  /** Oracle: d6's recursive-CTE closure extended with the documents
+    * join and the same (n_chars DESC, doc_id ASC) election. */
+  def canonicalSelectOracleSql(minEstSim: Double): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashLshOracleSql(minEstSim)}
+       |),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+       |canon AS (SELECT id, least(id, min(r)) AS c FROM reach GROUP BY id),
+       |grp AS (SELECT id AS doc_id, c AS canonical_id,
+       |  count(*) OVER (PARTITION BY c) AS group_size FROM canon),
+       |j AS (SELECT g.canonical_id, g.doc_id, g.group_size, d.n_chars,
+       |  row_number() OVER (PARTITION BY g.canonical_id
+       |    ORDER BY d.n_chars DESC, g.doc_id ASC) AS rk
+       |  FROM grp g JOIN documents d ON g.doc_id = d.doc_id)
+       |SELECT CAST(canonical_id AS BIGINT) AS canonical_id,
+       |  CAST(doc_id AS BIGINT) AS keep_id,
+       |  CAST(group_size AS BIGINT) AS group_size,
+       |  CAST(n_chars AS BIGINT) AS keep_n_chars
+       |FROM j WHERE rk = 1""".stripMargin
 
   def embeddingDupOracleSql(threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -200,6 +200,44 @@ object TextOps {
        |SELECT doc_id, lang, n_tokens, cum_before
        |FROM c WHERE cum_before < $budgetTokens""".stripMargin
 
+  /** t9: corpus-statistics quality scoring — the KenLM/CCNet
+    * perplexity-filter plan shape with a unigram frequency table
+    * standing in for the language model: pass 1 aggregates corpus-
+    * wide token frequencies (output is VOCABULARY-sized — ~10⁵ rows
+    * for a BPE vocab no matter how big the corpus), pass 2 re-scans
+    * the corpus, explodes tokens and BROADCAST-joins the frequency
+    * table, reducing per document. Signals: mean corpus term
+    * frequency (low = jargon/noise/garbage) and the rarest token's
+    * frequency. Counts stay integral until one final division, so
+    * the DuckDB oracle hash-matches bit-for-bit.
+    *
+    * 100 TB shape: the freq aggregation map-side combines to one row
+    * per token per partition before its exchange; the scoring join
+    * broadcasts the vocab (never shuffles the corpus on token); the
+    * per-doc reduce is the only corpus-sized shuffle and its
+    * aggregates are all partial-combined. */
+  def corpusFreqScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    toks.join(broadcast(freq), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("tf")).as("sum_tf"),
+        min(col("tf")).as("min_tf"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_tf"), col("min_tf"),
+        (col("sum_tf").cast("double") / col("n_tokens").cast("double")).as("mean_tf"))
+  }
+
+  def corpusFreqScoreOracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY tok)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(tf) AS BIGINT) AS sum_tf, CAST(min(tf) AS BIGINT) AS min_tf,
+      |  CAST(sum(tf) AS DOUBLE) / count(*) AS mean_tf
+      |FROM tk JOIN f USING (tok) GROUP BY doc_id""".stripMargin
+
   /** t6: repetition-based quality filters — the Gopher/MassiveText
     * heuristics (Rae et al. 2021, §A1.1; the same signal family C4
     * and RefinedWeb gate on): type-token ratio, most-frequent-word

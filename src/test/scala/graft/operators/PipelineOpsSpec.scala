@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkFixture
+import graft.Tables.t
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d8 contamination, d9 canonical selection, t9 corpus-frequency
+  * scoring: each checked against an independent driver-side
+  * brute-force over the sf0.001 corpus (plain Scala collections — a
+  * second implementation, not a replay of the Spark plan), on top of
+  * the battery's DuckDB oracle. */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.session
+  private val dir = SparkFixture.Sf0001
+
+  /** Same portable 60-bit hash as Dedup.portableHash, via JDK md5. */
+  private def pHash(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  private def splitOf(docId: Long, salt: String = "graft_v1"): String = {
+    val b = pHash(s"$salt:$docId") % 100
+    if (b < 80) "train" else if (b < 90) "val" else "test"
+  }
+
+  private def grams(text: String): Set[String] = {
+    val w = text.trim.split("\\s+")
+    if (w.length < 3) Set.empty
+    else w.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  private lazy val docs: Seq[(Long, String, Long)] =
+    t(spark, dir, "documents").select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("d8 contamination matches a driver-side brute force") {
+    val trainGrams = docs.iterator
+      .filter(d => splitOf(d._1) == "train").flatMap(d => grams(d._2)).toSet
+    val expected = docs.iterator
+      .filter(d => splitOf(d._1) == "test")
+      .map { case (id, text, _) =>
+        val g = grams(text)
+        id -> (g.size.toLong, g.count(trainGrams).toLong)
+      }
+      .filter(_._2._1 > 0) // <3-word docs produce no shingle rows
+      .toMap
+    val got = Dedup.contamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    val fr = Dedup.contamination(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    fr.foreach { case (n, o, c) =>
+      assert(o >= 0 && o <= n && math.abs(c - o.toDouble / n) < 1e-15)
+    }
+  }
+
+  test("d9 canonical selection: one keeper per group, longest wins") {
+    val groups = Dedup.dupGroups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // doc_id -> canonical_id
+    val nChars = docs.map(d => d._1 -> d._3).toMap
+    val expected = groups.groupBy(_._2).map { case (canon, members) =>
+      val keep = members.map(_._1).maxBy(id => (nChars(id), -id))
+      canon -> (keep, members.length.toLong, nChars(keep))
+    }
+    val got = Dedup.canonicalSelect(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+  }
+
+  test("t9 corpus-frequency score matches a driver-side brute force") {
+    val allToks = docs.flatMap(_._2.trim.split("\\s+"))
+    val freq = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = docs.map { case (id, text, _) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val tfs = toks.map(freq)
+      id -> (toks.size.toLong, tfs.sum, tfs.min)
+    }.toMap
+    val got = TextOps.corpusFreqScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    TextOps.corpusFreqScore(spark, dir).collect().foreach { r =>
+      assert(math.abs(r.getDouble(4) - r.getLong(2).toDouble / r.getLong(1)) < 1e-12)
+    }
+  }
+}
