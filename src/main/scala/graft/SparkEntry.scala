@@ -117,6 +117,7 @@ object SparkEntry {
     "s5_ann_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annMultiProbe(s, d)),
     "s6_batch_knn" -> ((s: SparkSession, d: String) => Similarity.batchKnn(s, d)),
     "s7_ivf_batch_knn" -> ((s: SparkSession, d: String) => Similarity.ivfBatchKnn(s, d)),
+    "s8_pq_topk" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -414,6 +415,7 @@ object SparkEntry {
     "d5_embedding_dup" -> Dedup.embeddingDupOracleSql(0.4),
     "d6_dup_groups" -> Dedup.dupGroupsOracleSql(0.25),
     "d8_contamination" -> Dedup.contaminationOracleSql("graft_v1"),
+    "s8_pq_topk" -> Similarity.pqTopKOracleSql(0L, 10),
     "d9_canonical_select" -> Dedup.canonicalSelectOracleSql(0.25),
     "t9_corpus_freq" -> TextOps.corpusFreqScoreOracleSql,
     // m3 and m4 have no oracle entries on purpose: their outputs come

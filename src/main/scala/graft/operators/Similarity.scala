@@ -342,6 +342,122 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  // ------------------------------------------------------------------
+  // s8: product quantization (PQ) — the compression tier of ANN
+  // ------------------------------------------------------------------
+
+  /** PQ geometry: 64 dims → [[PqM]] subspaces × [[PqSub]] dims, each
+    * encoded as the index of its nearest codebook entry (L2), so a
+    * vector becomes PqM small ints — 8 codes vs 64 doubles ≈ 64×
+    * smaller, the representation FAISS-style IVF-PQ scans at scale. */
+  val PqM = 8
+  val PqSub = Dim / PqM
+  val PqK = 16
+
+  /** Codebooks: per subspace, the sub-slices of the first PqK vectors
+    * (vec_id < PqK) — seed-only, deterministically replayable by the
+    * oracle (a production build would k-means each subspace exactly
+    * like s4's [[trainCentroids]]; the plan shape downstream is
+    * identical). Driver footprint: PqM × PqK × PqSub doubles = 8 KB,
+    * the same class as s4's centroid sync. */
+  private[operators] def pqCodebooks(e: DataFrame): Seq[Seq[Seq[Double]]] = {
+    val seeds = e.filter(col("vec_id") < PqK)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toIndexedSeq)
+    (0 until PqM).map(m => seeds.toSeq.map(v => v.slice(m * PqSub, (m + 1) * PqSub)))
+  }
+
+  /** All PqM codes in ONE nested higher-order expression over a 2D
+    * codebook literal ([m][j][i]): per subspace, squared-L2 to each
+    * entry via an in-order zip_with fold (bit-identical to the
+    * oracle's list_sum), argmin via struct-ordering MIN — (dist ASC,
+    * j ASC), the oracle's row_number tiebreak. A pure projection: no
+    * join, no window, no shuffle. Deliberately NOT unrolled into
+    * per-(m,j,i) scalar terms: that variant generated a ~10k-node
+    * tree that blew janino's 64 KB method limit (whole-stage codegen
+    * bailed to interpreted) and cost seconds of optimizer time. */
+  private def pqCodesExpr(cb: Seq[Seq[Seq[Double]]]): Column = {
+    val cbLit = array(cb.map(cbM =>
+      array(cbM.map(c => array(c.map(lit): _*)): _*)): _*)
+    transform(sequence(lit(0), lit(PqM - 1)), m =>
+      array_min(transform(sequence(lit(0), lit(PqK - 1)), j =>
+        struct(
+          aggregate(
+            zip_with(slice(col("v"), m * PqSub + 1, lit(PqSub)),
+              element_at(element_at(cbLit, m + 1), j + 1),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("d"),
+          j.as("j")))).getField("j"))
+  }
+
+  /** s8: PQ top-k by asymmetric distance computation (ADC). Encoding
+    * AND scoring are one narrow projection over the corpus scan: each
+    * vector's 8 codes come from [[pqCodeExpr]], and its approximate
+    * distance to the query is 8 literal-table lookups (the query's
+    * per-subspace distance table, computed on the driver from the
+    * collected query row — PqM × PqK doubles) summed in fixed order.
+    * Zero shuffle + TakeOrderedAndProject: at 100 TB this is THE
+    * memory-bound ANN scan — codes are 8 bytes/vector, the distance
+    * table is 1 KB broadcast as literals, and nothing else moves. */
+  def pqTopK(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val e = vectors(spark, dir)
+    val cb = pqCodebooks(e)
+    val qv = e.filter(col("vec_id") === qid)
+      .select(col("v")).collect()(0).getSeq[Double](0).toIndexedSeq
+    // Query ADC table: dtab(m)(j) = L2²(q_sub m, codebook(m)(j)),
+    // left-fold in index order — bit-identical to the corpus-side
+    // expression arithmetic and to the oracle's replay.
+    val dtab: Seq[Seq[Double]] = (0 until PqM).map { m =>
+      (0 until PqK).map { j =>
+        (0 until PqSub).foldLeft(0.0) { (acc, i) =>
+          val d = qv(m * PqSub + i) - cb(m)(j)(i)
+          acc + d * d
+        }
+      }
+    }
+    val dtabLit = array(dtab.map(row => array(row.map(lit): _*)): _*)
+    e.select(col("vec_id"), pqCodesExpr(cb).as("cs"))
+      .select(col("vec_id"),
+        array_join(transform(col("cs"), c => c.cast("string")), "-").as("code_str"),
+        // ADC: 8 table lookups summed in m order (left fold from 0.0
+        // == the oracle's left-assoc chain for non-negative terms).
+        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, m) =>
+          acc + element_at(element_at(dtabLit, m + 1),
+            element_at(col("cs"), m + 1) + 1)).as("adist"))
+      .filter(col("vec_id") =!= qid)
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Oracle: replay codebooks, encoding argmin, the query's distance
+    * table and the fixed-order ADC sum from the same parquet. */
+  def pqTopKOracleSql(qid: Long, k: Int): String = {
+    val adChain = (1 to PqM).map(m => s"t.dss[$m][c.cs[$m] + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (
+       |  SELECT r.m, CAST(s.vec_id AS INT) AS j,
+       |    list_slice(s.v, r.m * $PqSub + 1, r.m * $PqSub + $PqSub) AS c
+       |  FROM e s, range($PqM) r(m) WHERE s.vec_id < $PqK),
+       |dists AS (
+       |  SELECT e.vec_id, cb.m, cb.j,
+       |    list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+       |      (e.v[cb.m * $PqSub + i] - cb.c[i]) * (e.v[cb.m * $PqSub + i] - cb.c[i]))) AS d
+       |  FROM e, cb),
+       |enc AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |codes AS (SELECT vec_id, list(code ORDER BY m) AS cs FROM enc GROUP BY vec_id),
+       |qd AS (SELECT m, list(d ORDER BY j) AS ds FROM dists WHERE vec_id = $qid GROUP BY m),
+       |qdt AS (SELECT list(ds ORDER BY m) AS dss FROM qd)
+       |SELECT c.vec_id, array_to_string(c.cs, '-') AS code_str,
+       |  $adChain AS adist
+       |FROM codes c, qdt t
+       |WHERE c.vec_id <> $qid
+       |ORDER BY adist ASC, c.vec_id ASC LIMIT $k""".stripMargin
+  }
+
   /** Bucket histogram — sanity view of LSH spread (skew check). */
   def lshBucketStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")

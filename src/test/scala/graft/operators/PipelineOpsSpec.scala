@@ -71,6 +71,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("s8 PQ: codes, ADC distances and top-k match a driver-side brute force") {
+    import Similarity.{PqM, PqSub, PqK}
+    val vecs = t(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .sortBy(_._1)
+    val cb = (0 until PqM).map(m => vecs.take(PqK).map(_._2.slice(m * PqSub, (m + 1) * PqSub)))
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      (0 until PqSub).foldLeft(0.0)((acc, i) => { val d = a(i) - b(i); acc + d * d })
+    def codes(v: IndexedSeq[Double]): Seq[Int] = (0 until PqM).map { m =>
+      val sub = v.slice(m * PqSub, (m + 1) * PqSub)
+      (0 until PqK).minBy(j => (l2(sub, cb(m)(j)), j))
+    }
+    val qv = vecs.find(_._1 == 0L).get._2
+    val dtab = (0 until PqM).map(m => (0 until PqK).map(j =>
+      l2(qv.slice(m * PqSub, (m + 1) * PqSub), cb(m)(j))))
+    val expected = vecs.filter(_._1 != 0L).map { case (id, v) =>
+      val cs = codes(v)
+      val ad = (0 until PqM).foldLeft(0.0)((acc, m) => acc + dtab(m)(cs(m)))
+      (id, cs.mkString("-"), ad)
+    }.sortBy(x => (x._3, x._1)).take(10)
+    val got = Similarity.pqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.map(x => (x._1, x._2)).toSeq == expected.map(x => (x._1, x._2)).toSeq)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) <= 1e-12 * math.max(1.0, e._3.abs),
+        s"adist mismatch for vec ${g._1}: ${g._3} vs ${e._3}")
+    }
+  }
+
   test("t9 corpus-frequency score matches a driver-side brute force") {
     val allToks = docs.flatMap(_._2.trim.split("\\s+"))
     val freq = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap

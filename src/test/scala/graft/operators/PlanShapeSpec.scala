@@ -159,6 +159,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"t8 shuffled more than once:\n$p")
   }
 
+  test("s8 PQ top-k: encode+ADC is one narrow projection, top-k never sorts fully") {
+    val p = plan(Similarity.pqTopK(spark, dir))
+    assert(!p.contains("Join"), s"PQ scoring must not join:\n$p")
+    assert(!p.contains("Window"), s"PQ scoring must not rank through a window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"PQ top-k sorted fully:\n$p")
+    val finalTree = p.split("== Initial Plan ==")(0)
+    assert(!finalTree.contains("Exchange ("),
+      s"PQ scan should be shuffle-free (TakeOrdered reduces on the driver):\n$p")
+  }
+
+  test("d8 contamination: gram joins only, never doc×doc") {
+    val p = plan(Dedup.contamination(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d8 degenerated to a cross product:\n$p")
+  }
+
+  test("t9 corpus-freq: vocab table broadcasts back — corpus never shuffles on token") {
+    val p = plan(TextOps.corpusFreqScore(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"vocab join did not broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"frequency agg lost its map-side combine:\n$p")
+  }
+
   test("d7 incremental dedup: no cross product; exact path shuffles digests, not text") {
     val p = plan(Dedup.incrementalDedup(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
