@@ -438,6 +438,24 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Per-row MinHash signature as ONE narrow expression — the doc's
+    * distinct 3-gram hashes folded through the NumHashes permutations
+    * with array_min, no explode, no groupBy. Bit-identical to
+    * [[minhashSignatures]] (min over the same hash set), but
+    * STATELESS: the form a streaming ingest pipeline computes per
+    * row (graft.streaming.DedupStream). Docs under 3 words get NULL
+    * (they have no shingles; the batch path filters them the same
+    * way). */
+  def sigExpr(text: Column): Column = {
+    val w = split(trim(text), "\\s+")
+    val grams = array_distinct(transform(sequence(lit(1), size(w) - 2), i =>
+      concat_ws(" ", slice(w, i, lit(3)))))
+    val xs = transform(grams, g => portableHash(g) % P)
+    when(size(w) >= 3,
+      array((0 until NumHashes).map(i =>
+        array_min(transform(xs, x => (x * As(i) + Bs(i)) % P))): _*))
+  }
+
   /** d8: benchmark-contamination detection — the decontamination pass
     * a pretraining pipeline runs before trusting its eval numbers
     * (GPT-3 and PaLM both report n-gram-overlap scrubs of the train

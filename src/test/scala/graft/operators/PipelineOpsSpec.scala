@@ -101,6 +101,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("narrow sigExpr equals the explode/groupBy minhash signatures") {
+    import org.apache.spark.sql.functions._
+    val fromAgg = Dedup.minhashSignatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> (0 until Dedup.NumHashes).map(i => r.getLong(i + 1)))
+      .toMap
+    val fromExpr = t(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.sigExpr(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    assert(fromExpr.keySet == fromAgg.keySet)
+    fromExpr.foreach { case (id, sig) => assert(sig == fromAgg(id), s"doc $id") }
+  }
+
   test("t9 corpus-frequency score matches a driver-side brute force") {
     val allToks = docs.flatMap(_._2.trim.split("\\s+"))
     val freq = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap

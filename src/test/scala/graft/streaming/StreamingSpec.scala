@@ -30,6 +30,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming incremental dedup classifies exactly like uncapped batch d7") {
+    val dir = SparkFixture.Sf0001
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("source") === "src19")
+    runToMemory(
+      DedupStream.streamingIncrementalDedup(spark, dir, stream),
+      "stream_d7", "append")
+    val streamed = spark.table("stream_d7").collect().map(_.toSeq).toSet
+    // The band-bucket cap is a full-corpus guard the per-batch stream
+    // doesn't apply — compare against the uncapped batch classification.
+    val batch = graft.operators.Dedup.incrementalDedup(spark, dir,
+        pairsOverride = Some(graft.operators.Dedup.minhashLsh(spark, dir,
+          minEstSim = 0.25, maxBucket = Int.MaxValue)))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream:\n${streamed.toSeq.sortBy(_.head.toString).mkString("\n")}\n" +
+        s"batch:\n${batch.toSeq.sortBy(_.head.toString).mkString("\n")}")
+  }
+
   test("streaming query plan carries the watermark") {
     val df = EventOps.streamingTumbling(spark, dir = SparkFixture.Sf0001)
     assert(df.isStreaming)
