@@ -109,6 +109,7 @@ object SparkEntry {
       Multimodal.resizeStub(s, d)
         .selectExpr("doc_id", "meta.n_bytes AS n_bytes",
           "md5(content) AS content_md5")),
+    "m5_perceptual_hash" -> (Multimodal.m5PerceptualHash _),
     // ---- similarity search ----
     "s1_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
     "s2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -418,6 +419,7 @@ object SparkEntry {
     "s8_pq_topk" -> Similarity.pqTopKOracleSql(0L, 10),
     "d9_canonical_select" -> Dedup.canonicalSelectOracleSql(0.25),
     "t9_corpus_freq" -> TextOps.corpusFreqScoreOracleSql,
+    "m5_perceptual_hash" -> Multimodal.m5OracleSql,
     // m3 and m4 have no oracle entries on purpose: their outputs come
     // from the typed mapPartitions codec path (not SQL-expressible —
     // and for m4, byte-level tiling is not replayable over DuckDB

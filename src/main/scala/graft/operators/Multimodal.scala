@@ -165,6 +165,67 @@ object Multimodal {
       }
   }
 
+  /** m5 blockhash geometry: 60 bits (bit b of a signed 64-bit shift
+    * would overflow at b = 63, and both engines must agree exactly). */
+  val PHashBits = 60
+
+  /** m5: PERCEPTUAL HASH over the binary content — the blockhash
+    * algorithm (split the payload into [[PHashBits]] equal spans; bit
+    * b = "span b's mean byte value exceeds the global mean"), the
+    * image-dedup fingerprint a crawl pipeline computes during decode.
+    * Runs through the same typed mapPartitions codec path as m3 (a
+    * real deployment hashes decoded pixel blocks in the same
+    * iterator). All-INTEGER arithmetic — the mean comparison is
+    * cross-multiplied (span_sum × n > total × span_len) — so, unlike
+    * m3's FP entropy, every value is DuckDB-replayable: this is the
+    * m-series' first fully oracle-hashed operator. (The oracle
+    * replays bytes through character codes, valid because the corpus
+    * is pure ASCII — checked: octet_length(encode(text)) = length(text)
+    * for every row at every SF.) */
+  def m5PerceptualHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("media_type"), col("content"))
+      .as[MediaRow]
+      .mapPartitions(_.map(r => (r.doc_id, blockHash(r.content), r.content.length.toLong)))
+      .toDF("doc_id", "phash", "n_bytes")
+  }
+
+  /** The m5 codec core: 60-bit blockhash of a byte payload. */
+  private[operators] def blockHash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += bytes(i) & 0xff; i += 1 }
+    var h = 0L
+    var b = 0
+    while (b < PHashBits) {
+      val lo = b * n / PHashBits
+      val hi = (b + 1) * n / PHashBits
+      var s = 0L
+      i = lo
+      while (i < hi) { s += bytes(i) & 0xff; i += 1 }
+      if (hi > lo && s * n > total * (hi - lo)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
+  def m5OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |b AS (SELECT doc_id, n, text,
+       |  list_sum(list_transform(range(1, n + 1),
+       |    i -> ascii(substr(text, CAST(i AS INT), 1)))) AS total FROM d)
+       |SELECT doc_id,
+       |  CAST(coalesce(list_sum(list_transform(range($PHashBits), blk ->
+       |    CASE WHEN n * list_sum(list_transform(
+       |          range(blk * n // $PHashBits + 1, (blk + 1) * n // $PHashBits + 1),
+       |          i -> ascii(substr(text, CAST(i AS INT), 1)))) >
+       |        total * ((blk + 1) * n // $PHashBits - blk * n // $PHashBits)
+       |    THEN (CAST(1 AS BIGINT) << blk) ELSE 0 END)), 0) AS BIGINT) AS phash,
+       |  CAST(n AS BIGINT) AS n_bytes
+       |FROM b""".stripMargin
+
   /** m3 as a DataFrame battery entry (histogram dropped: entropy is
     * the scalar summary; the full vector is exercised in the spec). */
   def m3FeatureSummary(spark: SparkSession, dir: String): DataFrame =

@@ -95,6 +95,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m5 blockhash: known values, span math, and hash stability") {
+    import Multimodal.{blockHash, PHashBits}
+    // uniform payload: no span's mean strictly exceeds the global mean
+    assert(blockHash(Array.fill(120)(42.toByte)) == 0L)
+    assert(blockHash(Array.emptyByteArray) == 0L)
+    // strictly ascending bytes: exactly the upper spans set their bit
+    val asc = blockHash(Array.tabulate(240)(_.toByte))
+    assert(java.lang.Long.bitCount(asc) > 0 && asc >>> PHashBits == 0L,
+      f"ascending hash out of range: $asc%x")
+    // payloads shorter than the span count still hash (empty spans = 0 bit)
+    val tiny = blockHash(Array[Byte](1, 9))
+    assert(tiny >>> PHashBits == 0L)
+    // bit b set iff span-b mean exceeds global mean — check against a
+    // direct per-bit recomputation on a pseudo-random payload
+    val rnd = Array.tabulate(333)(i => ((i * 2654435761L) % 251).toByte)
+    val n = rnd.length
+    val total = rnd.map(_ & 0xff).map(_.toLong).sum
+    val expected = (0 until PHashBits).foldLeft(0L) { (acc, b) =>
+      val lo = b * n / PHashBits; val hi = (b + 1) * n / PHashBits
+      val s = (lo until hi).map(i => (rnd(i) & 0xff).toLong).sum
+      if (hi > lo && s * n > total * (hi - lo)) acc | (1L << b) else acc
+    }
+    assert(blockHash(rnd) == expected)
+  }
+
   test("stored media table prunes content for metadata-only queries") {
     // The at-scale claim: once media lives in parquet, a query on
     // meta/doc_id must not read the (huge) content column chunks.
