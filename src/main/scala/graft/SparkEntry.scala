@@ -57,6 +57,9 @@ object SparkEntry {
     // bit-identical across engines → driver rows-only check;
     // ApproxPercentileSpec pins the error bound vs the exact anchor.
     "q31_approx_percentiles" -> (C.q31ApproxPercentiles _),
+    // q36 likewise: HLL sketches differ across engines → rows-only;
+    // ApproxDistinctSpec pins the estimate against the exact count.
+    "q36_approx_distinct" -> (C.q36ApproxDistinct _),
     // ---- events / streaming-shaped (batch forms) ----
     "e1_tumbling_counts" -> (EventOps.tumblingCounts _),
     "e2_json_props" -> (EventOps.jsonProps _),

@@ -482,6 +482,23 @@ object CoreQueries {
         min(col("l_extendedprice")).as("lo"),
         max(col("l_extendedprice")).as("hi"))
 
+  /** q36: APPROX COUNT DISTINCT — the HyperLogLog++ sketch tier next
+    * to q10's exact COUNT(DISTINCT). At 100 TB this is the cardinality
+    * path: fixed-size sketches (≲1.5 KB at rsd 0.01) merge map-side,
+    * so the exchange carries one sketch per group per partition
+    * instead of re-shuffling every distinct value the way q10/q34
+    * must. No DuckDB oracle by design (HLL implementations differ
+    * across engines); ApproxDistinctSpec pins the estimate against
+    * the exact count within the sketch's published error bound, and
+    * the exact per-group row counts anchor the grouping itself. */
+  def q36ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+
   /** CASE + CAST + BETWEEN battery (reference recipe/new.rs:218-270). */
   def q27CaseCast(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
