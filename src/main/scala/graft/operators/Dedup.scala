@@ -72,15 +72,24 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
                    maxDf: Int = MaxShingleDf): DataFrame = {
     // NOTE (measured, not assumed): buckets feeds both branches below
-    // and recomputes per consumer (no exchange reuse in this build),
-    // but an eager localCheckpoint here does NOT help — 2.8-3.0 s
-    // warm either way at sf0.1; the materialization cost offsets the
-    // saved recompute. Left unmaterialized deliberately.
+    // and recomputes per consumer. AQE's stage reuse does not fire on
+    // this shape (verified: the same self-join reuses its exchange
+    // only with AQE off), an EAGER localCheckpoint does not pay (the
+    // separate materialization pass offsets the saved recompute —
+    // round-2 measurement), but a LAZY one does: the first consumer
+    // materializes the capped posting lists in passing and the second
+    // reads them back — 3.0 → 1.9 s warm at sf0.1 (min of 3). The
+    // cached RDD is GC-tracked (ContextCleaner unpersists it when the
+    // frame is unreferenced), unlike DataFrame.persist whose
+    // CacheManager entry would outlive the call. Lineage truncation
+    // is the same availability trade dupGroups already makes with its
+    // eager per-round checkpoints.
     val buckets = shingles(spark, dir)
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= maxDf)
       .select(col("ds"))
+      .localCheckpoint(false)
     val counts = buckets.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = buckets
