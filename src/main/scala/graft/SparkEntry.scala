@@ -91,6 +91,7 @@ object SparkEntry {
     "d7_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "d8_contamination" -> ((s: SparkSession, d: String) => Dedup.contamination(s, d)),
     "d9_canonical_select" -> ((s: SparkSession, d: String) => Dedup.canonicalSelect(s, d)),
+    "d10_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     // ---- engine facade round trips (SURVEY.md §2.10–§2.11) ----
     "g1_ddl_roundtrip" -> (GlueQueries.g1DdlRoundtrip _),
     "g2_insert_select" -> (GlueQueries.g2InsertSelect _),
@@ -421,6 +422,7 @@ object SparkEntry {
     "d8_contamination" -> Dedup.contaminationOracleSql("graft_v1"),
     "s8_pq_topk" -> Similarity.pqTopKOracleSql(0L, 10),
     "d9_canonical_select" -> Dedup.canonicalSelectOracleSql(0.25),
+    "d10_semantic_dedup" -> Similarity.semanticDedupOracleSql(0.4),
     "t9_corpus_freq" -> TextOps.corpusFreqScoreOracleSql,
     "m5_perceptual_hash" -> Multimodal.m5OracleSql,
     // m3 and m4 have no oracle entries on purpose: their outputs come

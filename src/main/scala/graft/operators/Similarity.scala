@@ -342,6 +342,46 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Cluster-size cap for [[semanticDedup]]: in-cluster pair
+    * generation is quadratic in cluster size, so a degenerate
+    * clustering (everything in one cell) must fail soft, like d2's
+    * DF cap and d3's band cap. SemDeDup at scale keeps cells small
+    * by growing k with the corpus (k ∝ n), so a binding cap signals
+    * a mis-sized k, not normal data. */
+  val MaxSemCluster = 10000
+
+  /** d10: SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the trained
+    * k-means index, then compare pairs ONLY within a cluster — the
+    * trained-centroid complement of d5's random-hyperplane buckets
+    * (data-adapted cells catch near-dups that straddle a random
+    * hyperplane). Reuses the MATERIALIZED IVF index (s4): cluster
+    * membership comes from the cid-partitioned posting lists, so the
+    * dedup pass reads the index, groups each cell once, and generates
+    * pairs inside the (capped) cell locally — identical scale shape
+    * to d2/d3, one shuffle on cid, never an embedding self-join.
+    * Exact within-cell cosine, fold order matching the oracle. */
+  def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                    maxCluster: Int = MaxSemCluster): DataFrame = {
+    val idx = indexCache.computeIfAbsent(dir, _ => buildIndex(spark, dir))
+    val lists = spark.read
+      .schema("vec_id LONG, v ARRAY<DOUBLE>, nrm DOUBLE, cid LONG")
+      .parquet(idx.path)
+    lists
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v"), col("nrm")))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxCluster)
+      .select(col("cid"), explode(expr(
+        """flatten(transform(ms, (a, i) ->
+          |  transform(slice(ms, i + 2, size(ms) - i - 1), b ->
+          |    named_struct('id_a', a.vec_id, 'id_b', b.vec_id,
+          |      'cos_sim', aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
+          |        cast(0.0 as double), (acc, x) -> acc + x) / (a.nrm * b.nrm)))))""".stripMargin)).as("p"))
+      .select(col("cid"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.cos_sim").as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   // ------------------------------------------------------------------
   // s8: product quantization (PQ) — the compression tier of ANN
   // ------------------------------------------------------------------
@@ -555,6 +595,21 @@ object Similarity {
        |r AS (SELECT vec_id, cid,
        |  row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn FROM a),
        |va AS (SELECT vec_id, cid FROM r WHERE rn = 1)""".stripMargin
+  }
+
+  /** d10 oracle: the trained assignment (va) joined back to the
+    * vectors, in-cluster pairs under the size cap, exact cosine in
+    * the same fold order. */
+  def semanticDedupOracleSql(threshold: Double, maxCluster: Int = MaxSemCluster): String = {
+    val cos = s"list_sum(list_transform(range(1, ${Dim + 1}), " +
+      "i -> m1.v[i] * m2.v[i])) / (m1.nrm * m2.nrm)"
+    s"""$trainedIndexCtes,
+       |m AS (SELECT va.cid, n.vec_id, n.v, n.nrm FROM va JOIN n ON n.vec_id = va.vec_id),
+       |sz AS (SELECT cid, count(*) AS cn FROM m GROUP BY cid)
+       |SELECT m1.cid, m1.vec_id AS id_a, m2.vec_id AS id_b, $cos AS cos_sim
+       |FROM m m1 JOIN m m2 ON m1.cid = m2.cid AND m1.vec_id < m2.vec_id
+       |JOIN sz ON sz.cid = m1.cid
+       |WHERE sz.cn BETWEEN 2 AND $maxCluster AND $cos >= $threshold""".stripMargin
   }
 
   /** Trained-index probe + re-rank for one query. */

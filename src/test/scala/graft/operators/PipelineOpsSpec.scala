@@ -101,6 +101,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d10 semantic dedup: within-cluster pairs only, exact cosines, soft cap") {
+    import org.apache.spark.sql.functions.col
+    val e = Similarity.vectors(spark, dir)
+    val assign = Similarity.ivfAssign(e, Similarity.trainCentroids(e))
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = e.select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1).toIndexedSeq, r.getDouble(2))).toMap
+    val thr = 0.2 // lower than battery so the check is non-vacuous at sf0.001
+    val got = Similarity.semanticDedup(spark, dir, threshold = thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // brute-force expectation: all within-cluster pairs above threshold
+    val expected = (for {
+      (a, (va, na)) <- vecs.toSeq
+      (b, (vb, nb)) <- vecs.toSeq
+      if a < b && assign(a) == assign(b)
+      cos = (0 until va.length).foldLeft(0.0)((acc, i) => acc + va(i) * vb(i)) / (na * nb)
+      if cos >= thr
+    } yield (assign(a), a, b)).toSet
+    assert(got.map(g => (g._1, g._2, g._3)).toSet == expected)
+    got.foreach { case (cid, a, b, cos) =>
+      assert(assign(a) == cid && assign(b) == cid)
+      val (va, na) = vecs(a); val (vb, nb) = vecs(b)
+      val direct = (0 until va.length).foldLeft(0.0)((acc, i) => acc + va(i) * vb(i)) / (na * nb)
+      assert(math.abs(cos - direct) <= 1e-12)
+    }
+    // cap binds: no cluster fits in size 1, result must be empty
+    assert(Similarity.semanticDedup(spark, dir, threshold = thr, maxCluster = 1).isEmpty)
+  }
+
   test("narrow sigExpr equals the explode/groupBy minhash signatures") {
     import org.apache.spark.sql.functions._
     val fromAgg = Dedup.minhashSignatures(spark, dir).collect()
