@@ -18,6 +18,19 @@ object Tables {
   /** Small dimension tables that should always be broadcast in joins. */
   val smallDims: Set[String] = Set("region", "nation", "supplier")
 
+  /** Schema cache keyed by (dir, table). Without an explicit schema,
+    * EVERY spark.read.parquet launches a footer-inference job at
+    * DataFrame-build time (verified with the status tracker — one job
+    * even for a single file); with it, building a scan costs zero
+    * jobs. A battery query builds each of its tables once per run, so
+    * this removes a ~50–100 ms job per table per query. The testdata
+    * is immutable for a round; a changed dir misses the cache key. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def cachedSchema(spark: SparkSession, path: String): StructType =
+    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
@@ -26,15 +39,19 @@ object Tables {
       // long and truncate to a µs timestamp; the DuckDB oracles use
       // epoch_us(ts), which truncates identically, so values match.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
+      val path = s"$dir/events.parquet"
+      spark.read.schema(cachedSchema(spark, path)).parquet(path)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    } else {
+      val path = s"$dir/$name.parquet"
+      spark.read.schema(cachedSchema(spark, path)).parquet(path)
+    }
 
   /** Raw events schema (ts as nanos-long) for the streaming reader,
     * which must declare the on-disk schema, not the converted one. */
   def rawEventsSchema(spark: SparkSession, dir: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet").schema
+    cachedSchema(spark, s"$dir/events.parquet")
   }
 
   /** Register every table as a temp view (for SQL-path queries).

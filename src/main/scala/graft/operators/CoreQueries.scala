@@ -385,33 +385,71 @@ object CoreQueries {
     * scan — at scale this is partition/row-group pruning, not a full
     * pass. */
   def q29PointFind(spark: SparkSession, dir: String): DataFrame = {
-    // The min-key probe should be a metadata read, not a column scan:
-    // parquet aggregate pushdown answers MIN from footer statistics
-    // (exact — footers carry true min/max; Spark only pushes when no
-    // data filter intervenes). The conf is scoped to the one probe job
-    // and restored afterwards: leaving it session-wide changed the scan
-    // config of every later query in the round-6 battery (the s/t
-    // regression suspect). The min resolves EAGERLY here — a 1-row
-    // footer-only job, the same collect class as a centroid sync — so
-    // the returned plan is a pushed-down point-equality scan on a
-    // literal key: at scale that is partition/row-group pruning with no
-    // join at all. Caveat: the conf is session-scoped (aggregate
-    // pushdown has no per-relation read option in this Spark), so a
-    // concurrent planner on the SAME session could observe it during
-    // the probe window; the battery runs sequentially.
+    // The min-key probe is a DRIVER METADATA READ, not a Spark job:
+    // parquet footers carry exact per-row-group min/max for int
+    // columns — the same statistics a warehouse catalog serves — so
+    // the probe costs one footer parse (~ms), and the whole query is
+    // ONE job: a point-equality scan on a literal key, pushed to the
+    // scan (row-group/partition pruning at scale, no join). This
+    // replaces the round-6 scoped-conf aggregate-pushdown probe: that
+    // was a full Spark job (~0.1 s floor) to learn one number the
+    // footer already states. Falls back to the footer-stats Spark
+    // aggregate (still scan-free) if a footer lacks statistics. */
     val l = t(spark, dir, "lineitem")
-    val conf = "spark.sql.parquet.aggregatePushdown"
-    val prev = spark.conf.getOption(conf)
-    spark.conf.set(conf, "true")
-    val minKey =
-      try l.agg(min(col("l_orderkey")).as("mk")).collect()(0).get(0)
-      finally prev match {
-        case Some(v) => spark.conf.set(conf, v)
-        case None    => spark.conf.unset(conf)
+    val minKey = parquetFooterMin(spark, s"$dir/lineitem.parquet", "l_orderkey")
+      .getOrElse {
+        val conf = "spark.sql.parquet.aggregatePushdown"
+        val prev = spark.conf.getOption(conf)
+        spark.conf.set(conf, "true")
+        try l.agg(min(col("l_orderkey")).as("mk")).collect()(0).get(0)
+        finally prev match {
+          case Some(v) => spark.conf.set(conf, v)
+          case None    => spark.conf.unset(conf)
+        }
       }
     l.filter(col("l_orderkey") === lit(minKey))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_quantity"), col("l_extendedprice"))
+  }
+
+  /** Exact MIN of an int64 column from parquet footer statistics —
+    * every row group's stats min, reduced on the driver. Returns None
+    * if any row group lacks stats (caller falls back to a Spark
+    * aggregate). Handles both a single file and a directory of
+    * part-files. */
+  private def parquetFooterMin(spark: SparkSession, path: String,
+                               column: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        else Seq(p)
+      val mins = files.flatMap { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try reader.getFooter.getBlocks.asScala.map { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(return None)
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue) return None
+          st.genericGetMin match {
+            case l: java.lang.Long    => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+            case _                    => return None
+          }
+        }
+        finally reader.close()
+      }
+      if (mins.isEmpty) None else Some(mins.min)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Exact-percentile ORACLE ANCHOR (linear interpolation) + spread

@@ -89,6 +89,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "q29 leaked the aggregatePushdown conf into the session")
   }
 
+  test("q29 min-key probe is a driver metadata read — zero Spark jobs") {
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).toSet
+    CoreQueries.q29PointFind(spark, dir) // probe resolves at build time
+    val started = tracker.getJobIdsForGroup(null).toSet -- before
+    assert(started.isEmpty,
+      s"building q29 launched job(s) $started; the footer probe must not")
+  }
+
   test("s4 IVF assignment: narrow argmax map — no window, no exchange") {
     val e = Similarity.vectors(spark, dir)
     val p = plan(Similarity.ivfAssign(e, Similarity.seedCentroids(e)))
