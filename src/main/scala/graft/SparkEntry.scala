@@ -68,6 +68,7 @@ object SparkEntry {
     "e5_asof_join" -> (EventOps.asofJoin _),
     "e6_range_join" -> ((s: SparkSession, d: String) => EventOps.rangeJoin(s, d)),
     "e7_retention" -> (EventOps.retention _),
+    "e8_trailing_velocity" -> (EventOps.trailingVelocity _),
     // ---- text analysis ----
     "t1_token_stats" -> (TextOps.tokenStats _),
     "t2_quality_score" -> (TextOps.qualityScore _),
@@ -410,6 +411,7 @@ object SparkEntry {
     "t8_token_budget" -> TextOps.tokenBudgetOracleSql(2000L, "graft_v1"),
     "d7_incremental_dedup" -> Dedup.incrementalDedupOracleSql("src19", 0.25),
     "e7_retention" -> EventOps.retentionOracleSql,
+    "e8_trailing_velocity" -> EventOps.trailingVelocityOracleSql,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n_copies

@@ -172,6 +172,43 @@ object EventOps {
       |  CAST(count(*) AS BIGINT) AS n_active
       |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** e8: trailing-window VELOCITY features — for every event, the
+    * count and (cent-integral) value sum of the SAME user's events in
+    * the preceding hour, plus a burst flag: the feature-engineering
+    * shape an abuse/fraud/rate-limit pipeline computes per event. A
+    * RANGE-interval frame over event time does it in one shuffle on
+    * user_id + one spillable frame walk — the naive formulation is an
+    * inequality SELF-JOIN (quadratic per user; at 100 TB the thing
+    * this operator exists to avoid). The frame's upper bound is
+    * exclusive (−1 µs), so same-timestamp peers stay out and the
+    * frame is a deterministic SET; with cents kept integral, every
+    * aggregate is order-independent and the oracle hash-matches. */
+  def trailingVelocity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, -1)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n_prev_hour", count(lit(1)).over(w))
+      .withColumn("cents_prev_hour", coalesce(sum(col("cents")).over(w), lit(0L)))
+      .withColumn("burst", col("n_prev_hour") >= 3)
+      .select(col("event_id"), col("user_id"), col("n_prev_hour"),
+        col("cents_prev_hour"), col("burst"))
+  }
+
+  def trailingVelocityOracleSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_prev_hour,
+      |  CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS cents_prev_hour,
+      |  (count(*) OVER w) >= 3 AS burst
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |  RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)""".stripMargin
+
   /** Streaming source over the events parquet: file source (the
     * directory is glob-filtered to the events file), nanos→µs ts. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {

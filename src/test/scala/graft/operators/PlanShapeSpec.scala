@@ -191,6 +191,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"frequency agg lost its map-side combine:\n$p")
   }
 
+  test("e8 trailing velocity: RANGE frame through one shuffle, never a self-join") {
+    val p = plan(graft.streaming.EventOps.trailingVelocity(spark, dir))
+    assert(p.contains("Window"), s"no window frame stage in e8:\n$p")
+    assert(!p.contains("Join"), s"e8 degenerated to an inequality self-join:\n$p")
+    val finalTree = p.split("== Initial Plan ==")(0)
+    assert(finalTree.linesIterator.count(_.contains("Exchange (")) == 1,
+      s"e8 shuffled more than once:\n$p")
+  }
+
   test("d7 incremental dedup: no cross product; exact path shuffles digests, not text") {
     val p = plan(Dedup.incrementalDedup(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
