@@ -209,6 +209,44 @@ object EventOps {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
       |  RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)""".stripMargin
 
+  /** Streaming twin of [[trailingVelocity]]: per-user state holds the
+    * last hour's (ts, cents) history; each event emits its trailing
+    * features and is folded into state — continuous per-event feature
+    * computation, the form an online abuse detector actually runs.
+    * Within a batch the group walks in (ts, event_id) order; state
+    * prunes to the trailing hour after every event, so per-user state
+    * is bounded by the user's one-hour event volume. Same-timestamp
+    * peers are excluded on the walk exactly like the batch frame's
+    * exclusive −1 µs bound. Assumes per-user event-time-ordered
+    * arrival ACROSS batches (the same contract as [[streamingAsof]]);
+    * StreamingSpec proves set-equality to the batch e8. */
+  def streamingTrailingVelocity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val hourUs = 3600000000L
+    val typed = eventStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, events, state) =>
+          var hist = state.getOption.getOrElse(List.empty) // (ts_us, cents) asc
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Boolean)]
+          events.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, tsUs, eventId, cents) =>
+            val win = hist.filter(h => h._1 >= tsUs - hourUs && h._1 <= tsUs - 1)
+            val n = win.size.toLong
+            out += ((eventId, user, n, win.iterator.map(_._2).sum, n >= 3))
+            hist = (hist :+ (tsUs, cents)).filter(_._1 > tsUs - hourUs)
+          }
+          state.update(hist)
+          out.iterator
+      }
+      .toDF("event_id", "user_id", "n_prev_hour", "cents_prev_hour", "burst")
+  }
+
   /** Streaming source over the events parquet: file source (the
     * directory is glob-filtered to the events file), nanos→µs ts. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {

@@ -30,6 +30,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming trailing velocity equals the batch RANGE-frame features") {
+    val dir = SparkFixture.Sf0001
+    runToMemory(EventOps.streamingTrailingVelocity(spark, dir), "stream_e8", "append")
+    val streamed = spark.table("stream_e8").collect().map(_.toSeq).toSet
+    val batch = EventOps.trailingVelocity(spark, dir).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming incremental dedup classifies exactly like uncapped batch d7") {
     val dir = SparkFixture.Sf0001
     val stream = spark.readStream
