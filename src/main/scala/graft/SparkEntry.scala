@@ -124,6 +124,7 @@ object SparkEntry {
     "s6_batch_knn" -> ((s: SparkSession, d: String) => Similarity.batchKnn(s, d)),
     "s7_ivf_batch_knn" -> ((s: SparkSession, d: String) => Similarity.ivfBatchKnn(s, d)),
     "s8_pq_topk" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    "s9_pq_rerank" -> ((s: SparkSession, d: String) => Similarity.pqRerank(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -423,6 +424,7 @@ object SparkEntry {
     "d6_dup_groups" -> Dedup.dupGroupsOracleSql(0.25),
     "d8_contamination" -> Dedup.contaminationOracleSql("graft_v1"),
     "s8_pq_topk" -> Similarity.pqTopKOracleSql(0L, 10),
+    "s9_pq_rerank" -> Similarity.pqRerankOracleSql(0L, 10, 50),
     "d9_canonical_select" -> Dedup.canonicalSelectOracleSql(0.25),
     "d10_semantic_dedup" -> Similarity.semanticDedupOracleSql(0.4),
     "t9_corpus_freq" -> TextOps.corpusFreqScoreOracleSql,

@@ -498,6 +498,66 @@ object Similarity {
        |ORDER BY adist ASC, c.vec_id ASC LIMIT $k""".stripMargin
   }
 
+  /** s9: TWO-STAGE retrieval — PQ candidates, exact re-rank (the
+    * FAISS `refine` pattern; how production ANN actually serves):
+    * stage 1 scans 8-byte codes with s8's ADC projection and keeps
+    * `candidates` ids; stage 2 recomputes EXACT cosine for that tiny
+    * set only and returns the top k. The candidate frame (vec_id,
+    * adist) is ≤`candidates` rows, so it BROADCASTs back onto the
+    * corpus scan — stage 2 is one broadcast semi-join + TakeOrdered,
+    * no driver round trip, no shuffle. At 100 TB: stage 1 reads the
+    * compressed index (64× smaller), stage 2 touches `candidates`
+    * full vectors — the memory/recall trade PQ exists for. */
+  def pqRerank(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10,
+               candidates: Int = 50): DataFrame = {
+    val cands = pqTopK(spark, dir, qid, candidates).select(col("vec_id"), col("adist"))
+    val e = vectors(spark, dir)
+    val q = e.filter(col("vec_id") === qid)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    e.join(broadcast(cands), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("adist"),
+        (dot / (col("nrm") * col("qn"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Oracle: s8's replay limited to the candidate set, joined back to
+    * the vectors for the exact-cosine re-rank. */
+  def pqRerankOracleSql(qid: Long, k: Int, candidates: Int): String = {
+    val adChain = (1 to PqM).map(m => s"t.dss[$m][c.cs[$m] + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |cb AS (
+       |  SELECT r.m, CAST(s.vec_id AS INT) AS j,
+       |    list_slice(s.v, r.m * $PqSub + 1, r.m * $PqSub + $PqSub) AS c
+       |  FROM e s, range($PqM) r(m) WHERE s.vec_id < $PqK),
+       |dists AS (
+       |  SELECT e.vec_id, cb.m, cb.j,
+       |    list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+       |      (e.v[cb.m * $PqSub + i] - cb.c[i]) * (e.v[cb.m * $PqSub + i] - cb.c[i]))) AS d
+       |  FROM e, cb),
+       |enc AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |codes AS (SELECT vec_id, list(code ORDER BY m) AS cs FROM enc GROUP BY vec_id),
+       |qd AS (SELECT m, list(d ORDER BY j) AS ds FROM dists WHERE vec_id = $qid GROUP BY m),
+       |qdt AS (SELECT list(ds ORDER BY m) AS dss FROM qd),
+       |cand AS (
+       |  SELECT c.vec_id, $adChain AS adist
+       |  FROM codes c, qdt t WHERE c.vec_id <> $qid
+       |  ORDER BY adist ASC, c.vec_id ASC LIMIT $candidates),
+       |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = $qid)
+       |SELECT n.vec_id, cand.adist,
+       |  list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn) AS cos_sim
+       |FROM n JOIN cand ON n.vec_id = cand.vec_id, q
+       |ORDER BY cos_sim DESC, n.vec_id ASC LIMIT $k""".stripMargin
+  }
+
   /** Bucket histogram — sanity view of LSH spread (skew check). */
   def lshBucketStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")

@@ -145,6 +145,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     fromExpr.foreach { case (id, sig) => assert(sig == fromAgg(id), s"doc $id") }
   }
 
+  test("s9 PQ re-rank: candidates from stage 1, exact cosines, ordered") {
+    import org.apache.spark.sql.functions.col
+    val cands = Similarity.pqTopK(spark, dir, 0L, 50).collect()
+      .map(_.getLong(0)).toSet
+    val exact = Similarity.bruteTopK(spark, dir, 0L, 1000).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Similarity.pqRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.length == 10)
+    // every result came from the PQ candidate set
+    got.foreach { case (id, _) => assert(cands.contains(id), s"vec $id not a candidate") }
+    // re-ranked cosines are the exact ones (same values brute force computes)
+    got.foreach { case (id, cos) =>
+      assert(math.abs(cos - exact(id)) <= 1e-12, s"vec $id cosine drifted") }
+    // descending, vec_id tiebreak
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
   test("t9 corpus-frequency score matches a driver-side brute force") {
     val allToks = docs.flatMap(_._2.trim.split("\\s+"))
     val freq = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
