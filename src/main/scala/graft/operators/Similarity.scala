@@ -503,21 +503,35 @@ object Similarity {
     * stage 1 scans 8-byte codes with s8's ADC projection and keeps
     * `candidates` ids; stage 2 recomputes EXACT cosine for that tiny
     * set only and returns the top k. The candidate frame (vec_id,
-    * adist) is ≤`candidates` rows, so it BROADCASTs back onto the
-    * corpus scan — stage 2 is one broadcast semi-join + TakeOrdered,
-    * no driver round trip, no shuffle. At 100 TB: stage 1 reads the
-    * compressed index (64× smaller), stage 2 touches `candidates`
-    * full vectors — the memory/recall trade PQ exists for. */
+    * adist) resolves on the DRIVER — ≤`candidates` (id, adist) pairs,
+    * the same sync class as the IVF probe sets — and stage 2 is one
+    * id-pruned scan (`isin` pushes to the parquet reader) +
+    * TakeOrdered. (First cut kept stage 1 lazy and broadcast it into
+    * a join; materializing a TakeOrdered subtree inside a broadcast
+    * exchange re-planned stage 1 per sample and measured 7.5 s — the
+    * driver sync is the honest, fast shape, and it is exactly how a
+    * serving system uses an ANN index: candidates out, fetch, rank.)
+    * At 100 TB: stage 1 reads the compressed index (64× smaller),
+    * stage 2 touches `candidates` full vectors — the memory/recall
+    * trade PQ exists for. */
   def pqRerank(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10,
                candidates: Int = 50): DataFrame = {
-    val cands = pqTopK(spark, dir, qid, candidates).select(col("vec_id"), col("adist"))
+    // Collect the stage-1 rows WHOLE: re-projecting (vec_id, adist)
+    // here lets CollapseProject inline the shared `cs` codes column
+    // into every ADC lookup of the pruned plan — 8× the encode work
+    // per row, measured 1.8 → 9.1 s at sf0.1. Full rows keep `cs`
+    // referenced twice, which blocks the collapse; the extra column
+    // costs nothing on ≤50 collected rows.
+    val cands = pqTopK(spark, dir, qid, candidates).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+    val adistOf = map(cands.flatMap { case (id, ad) => Seq(lit(id), lit(ad)) }: _*)
     val e = vectors(spark, dir)
     val q = e.filter(col("vec_id") === qid)
       .select(col("v").as("qv"), col("nrm").as("qn"))
     val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
-    e.join(broadcast(cands), "vec_id")
+    e.filter(col("vec_id").isin(cands.map(_._1): _*))
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("adist"),
+      .select(col("vec_id"), element_at(adistOf, col("vec_id")).as("adist"),
         (dot / (col("nrm") * col("qn"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
