@@ -28,11 +28,16 @@ object Bench {
     // and measure the same path a 100 TB run uses. Session warm-up
     // (JIT/codegen) comes from the first queries themselves.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    // Two samples per query, report the min — the same idea as the
+    // Three samples per query, report the min — the same idea as the
     // reference's criterion harness (multiple samples + reduction,
     // benches/bench.rs:211-216): one transient host stall (observed
     // 30 s+ cgroup throttles) otherwise lands on whichever query is
-    // running and dominates its number.
+    // running and dominates its number. Round-7 full runs saw stall
+    // bursts hit 2-3 DIFFERENT queries per run for 5-10x their
+    // isolated times (verified by immediate isolated re-runs), and
+    // with two samples both often landed inside one burst; the third
+    // sample materially improves the escape odds at ~40% extra
+    // battery runtime.
     // Optional comma-separated query filter — lets a fresh JVM A/B one
     // query in isolation (regression triage) without the whole battery.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -40,7 +45,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val samples = (1 to 2).map { _ =>
+        val samples = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch {
