@@ -32,31 +32,40 @@ object Bench {
     // reference's criterion harness (multiple samples + reduction,
     // benches/bench.rs:211-216): one transient host stall (observed
     // 30 s+ cgroup throttles) otherwise lands on whichever query is
-    // running and dominates its number. Round-7 full runs saw stall
-    // bursts hit 2-3 DIFFERENT queries per run for 5-10x their
-    // isolated times (verified by immediate isolated re-runs), and
-    // with two samples both often landed inside one burst; the third
-    // sample materially improves the escape odds at ~40% extra
-    // battery runtime.
+    // running and dominates its number. Round-7 lesson: CONSECUTIVE
+    // samples of one query do NOT escape a burst that outlasts the
+    // query (BENCH_r07 recorded 84x inflations on unchanged code), so
+    // the samples must be de-correlated in time — run the WHOLE
+    // battery three times (pass-major order) and take each query's
+    // min across passes. A stall burst then pollutes one pass of one
+    // region, never all three samples of the queries under it.
     // Optional comma-separated query filter — lets a fresh JVM A/B one
     // query in isolation (regression triage) without the whole battery.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val battery = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val samples = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch {
-            case e: Throwable =>
-              if (!failed.contains(name)) failed += name
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> samples.min
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    for (pass <- 1 to 3; (name, fn) <- battery) {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          if (!failed.contains(name)) failed += name
+          System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
       }
+      val dt = (System.nanoTime() - t0) / 1e9
+      samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+    }
+    val results = battery.map { case (name, _) =>
+      val ss = samples(name)
+      // Self-diagnostic: a >5x spread between a query's fastest and
+      // slowest pass is the signature of a host throttle burst — log
+      // it so the artifact shows the noise instead of hiding it.
+      if (ss.min > 0 && ss.max / ss.min > 5.0)
+        System.err.println(s"[bench] $name sample spread ${ss.map(v => f"$v%.3f").mkString("/")} s (max/min=${f"${ss.max / ss.min}%.1f"}x) — likely host stall burst")
+      name -> ss.min
+    }
     // The driver captures a bounded tail of this output: the stdout
     // line is rounded to ms so all entries fit (BENCH_r06 lost its
     // tail to full-precision doubles); full precision goes to stderr.

@@ -23,8 +23,11 @@ object Tables {
     * DataFrame-build time (verified with the status tracker — one job
     * even for a single file); with it, building a scan costs zero
     * jobs. A battery query builds each of its tables once per run, so
-    * this removes a ~50–100 ms job per table per query. The testdata
-    * is immutable for a round; a changed dir misses the cache key. */
+    * this removes a ~50–100 ms job per table per query. The key is the
+    * path alone: a DIFFERENT dir misses the cache, but regenerating
+    * data in place at the same path serves the stale schema for the
+    * rest of the JVM — in-place regeneration requires a JVM restart
+    * (acceptable: testdata is immutable within a round). */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 

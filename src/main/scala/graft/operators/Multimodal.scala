@@ -205,10 +205,22 @@ object Multimodal {
       var s = 0L
       i = lo
       while (i < hi) { s += bytes(i) & 0xff; i += 1 }
-      if (hi > lo && s * n > total * (hi - lo)) h |= 1L << b
+      // 128-bit cross-multiplied mean comparison: s*n and total*(hi-lo)
+      // overflow signed 64-bit once the payload passes ~1.4 GB
+      // (255·n²/60 > 2^63), which would silently corrupt hash bits at
+      // the sizes the 100 TB media framing implies. Both products are
+      // non-negative, so (high word, unsigned low word) compares exactly.
+      if (hi > lo && cmp128(s, n.toLong, total, (hi - lo).toLong) > 0) h |= 1L << b
       b += 1
     }
     h
+  }
+
+  /** Exact comparison of a*b vs c*d for non-negative longs. */
+  private def cmp128(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b); val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
   }
 
   def m5OracleSql: String =

@@ -194,8 +194,8 @@ object TextOps {
        |  FROM documents),
        |c AS (
        |  SELECT doc_id, lang, n_tokens,
-       |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
        |  FROM d)
        |SELECT doc_id, lang, n_tokens, cum_before
        |FROM c WHERE cum_before < $budgetTokens""".stripMargin

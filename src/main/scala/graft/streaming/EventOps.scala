@@ -239,7 +239,11 @@ object EventOps {
             val win = hist.filter(h => h._1 >= tsUs - hourUs && h._1 <= tsUs - 1)
             val n = win.size.toLong
             out += ((eventId, user, n, win.iterator.map(_._2).sum, n >= 3))
-            hist = (hist :+ (tsUs, cents)).filter(_._1 > tsUs - hourUs)
+            // Prune INCLUSIVE of tsUs - hourUs: the window filter above
+            // and the batch RANGE frame both use an inclusive lower
+            // bound, so a later event with the SAME timestamp still
+            // needs the peer sitting exactly one hour before it.
+            hist = (hist :+ (tsUs, cents)).filter(_._1 >= tsUs - hourUs)
           }
           state.update(hist)
           out.iterator

@@ -90,6 +90,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q29 min-key probe is a driver metadata read — zero Spark jobs") {
+    // Warm the schema cache first: on a cold Tables.schemaCache the
+    // frame build itself runs the one-off footer-inference job, which
+    // this test must not count against the probe (order-independence).
+    graft.Tables.t(spark, dir, "lineitem").schema
     val tracker = spark.sparkContext.statusTracker
     val before = tracker.getJobIdsForGroup(null).toSet
     CoreQueries.q29PointFind(spark, dir) // probe resolves at build time

@@ -13,10 +13,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
+    # Type-sensitive like the driver's hasher: a float renders with an
+    # "f:" tag so HUGEINT-widened oracle results (float64 after
+    # fetchdf) FAIL against Spark's BIGINT instead of silently
+    # normalizing — round 7's t8 escaped the local gate exactly here.
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.10g}"
+            return "f:nan"
+        return f"f:{v:.10g}"
     return str(v)
 
 def main():
