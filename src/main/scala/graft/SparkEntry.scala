@@ -79,6 +79,7 @@ object SparkEntry {
     "t7_stratified_sample" -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
     "t8_token_budget" -> ((s: SparkSession, d: String) => TextOps.tokenBudget(s, d)),
     "t9_corpus_freq" -> (TextOps.corpusFreqScore _),
+    "t10_bpe_tokens" -> (TextOps.bpeTokenCounts _),
     // ---- dedup ----
     "d1_exact_dedup" -> (Dedup.exactDedup _),
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -428,6 +429,7 @@ object SparkEntry {
     "d9_canonical_select" -> Dedup.canonicalSelectOracleSql(0.25),
     "d10_semantic_dedup" -> Similarity.semanticDedupOracleSql(0.4),
     "t9_corpus_freq" -> TextOps.corpusFreqScoreOracleSql,
+    "t10_bpe_tokens" -> TextOps.bpeTokenCountsOracleSql,
     "m5_perceptual_hash" -> Multimodal.m5OracleSql,
     // m3 and m4 have no oracle entries on purpose: their outputs come
     // from the typed mapPartitions codec path (not SQL-expressible —

@@ -336,4 +336,117 @@ object TextOps {
       |    AND CAST(top_word_n AS DOUBLE) / n_words <= 0.20
       |    AND CAST(top_bigram_n AS DOUBLE) / greatest(n_words - 1, 1) <= 0.20 AS keep
       |FROM c""".stripMargin
+
+  // ------------------------------------------------------------------
+  // t10: BPE-tokenizer token counts
+  // ------------------------------------------------------------------
+
+  /** Symbol separator for the BPE working representation. U+0001 never
+    * appears in the corpus (checked: zero non-printable bytes at every
+    * SF) and survives both engines' string functions unmangled. */
+  private val BpeSep = "\u0001"
+
+  /** Rank-ordered BPE merge table: 48 high-frequency English merges
+    * (digraph/affix pairs — the prefix of what `learn_bpe` emits on an
+    * English corpus). A real deployment loads a published vocab (e.g.
+    * a GPT-2-style merges.txt) into exactly this shape; the table is
+    * inline so the operator and its oracle stay self-contained. Later
+    * rules may reference symbols formed by earlier ones ("th e",
+    * "an d", "f or", "at ion"), which is what makes this BPE rather
+    * than a digraph counter. */
+  val BpeMerges: Seq[String] = Seq(
+    "t h", "th e", "i n", "a n", "an d", "e r", "o n", "r e", "o r", "e n",
+    "a t", "o u", "e d", "i s", "i t", "a l", "a r", "s t", "t o", "n t",
+    "c h", "s h", "o f", "in g", "f or", "e s", "l l", "q u", "w h", "o w",
+    "e a", "l e", "m e", "w e", "c k", "g h", "i on", "at ion", "t er",
+    "er s", "u n", "u s", "o m", "b e", "c om", "d e", "p r", "p l")
+
+  /** Merge rules compiled to (pattern, replacement) over the
+    * separator-delimited symbol string: `⟦a⟧b⟦` → `⟦ab⟧` (⟦ = U+0001).
+    * Each applied merge removes exactly ONE separator character, so
+    * tokens(w) = length(folded) − length(w) − 1 with no second pass
+    * over the folded string. */
+  private val bpeRules: Seq[(String, String)] = BpeMerges.map { m =>
+    val Array(a, b) = m.split(" ")
+    (BpeSep + a + BpeSep + b + BpeSep, BpeSep + a + b + BpeSep)
+  }
+
+  /** t10: MODEL-token counts per document via greedy BPE over the
+    * inline merge table — the question a training-data user asks
+    * first ("how many tokens is this corpus?") that the whitespace
+    * counts of t1/t8 cannot answer. Tokenization semantics, identical
+    * in both engines: lowercase, split on \s+, represent each word as
+    * U+0001-separated characters, then apply each merge rule once in
+    * rank order as a plain left-to-right non-overlapping string
+    * replace (Spark `replace` and DuckDB `replace` share these
+    * semantics exactly, which is what makes the operator
+    * oracle-hashable; the one-pass-per-rule discipline is documented —
+    * it undercounts only on same-pair runs like "aaaa", absent from
+    * natural text).
+    *
+    * 100 TB shape: the merge table is a constant array literal (the
+    * vocab analogue of t9's broadcast — it ships inside the task
+    * binary, never shuffles), the fold is a runtime `aggregate` over
+    * that constant (expression tree stays small — no 48-deep codegen
+    * nest), and the whole operator is a narrow projection: zero
+    * shuffle at any corpus size. */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(
+      split(trim(lower(col("text"))), "\\s+"), w => length(w) > lit(0))
+    val tokCount = (w: org.apache.spark.sql.Column) => {
+      val repr = concat(lit(BpeSep), array_join(split(w, ""), BpeSep), lit(BpeSep))
+      val folded = aggregate(
+        typedLit(bpeRules), repr,
+        (acc, m) => replace(acc, m.getField("_1"), m.getField("_2")))
+      (length(folded) - length(w) - lit(1)).cast("long")
+    }
+    t(spark, dir, "documents")
+      .select(col("doc_id"), words.as("words"))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        coalesce(
+          aggregate(transform(col("words"), tokCount), lit(0L), (a, x) => a + x),
+          lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** A string literal for DuckDB that may contain U+0001: emitted as
+    * `chr(1)`-spliced concatenation. */
+  private def duckStr(s: String): String = {
+    val toks = s.split("\u0001", -1).zipWithIndex.flatMap { case (seg, i) =>
+      (if (i > 0) Seq("chr(1)") else Seq.empty) ++
+        (if (seg.nonEmpty) Seq(s"'$seg'") else Seq.empty)
+    }
+    if (toks.isEmpty) "''" else toks.mkString(" || ")
+  }
+
+  def bpeTokenCountsOracleSql: String = {
+    val repr = "chr(1) || array_to_string(list_transform(range(1, length(w) + 1), " +
+      "i -> substr(w, CAST(i AS INT), 1)), chr(1)) || chr(1)"
+    val folded = bpeRules.foldLeft(repr) { case (acc, (p, r)) =>
+      s"replace($acc, ${duckStr(p)}, ${duckStr(r)})"
+    }
+    s"""WITH wx AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      x -> x <> '')) AS w
+       |  FROM documents),
+       |tc AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    sum(length($folded) - length(w) - 1) AS n_bpe
+       |  FROM wx GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(tc.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(tc.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id""".stripMargin
+  }
+
+  /** The t10 tokenizer as a plain Scala function — the single source
+    * of truth the spec pins both engines against. */
+  private[operators] def bpeTokenCountScala(word: String): Int = {
+    val w = word.toLowerCase
+    val repr = BpeSep + w.toCharArray.mkString(BpeSep) + BpeSep
+    val folded = bpeRules.foldLeft(repr) { case (acc, (p, r)) => acc.replace(p, r) }
+    folded.length - w.length - 1
+  }
 }

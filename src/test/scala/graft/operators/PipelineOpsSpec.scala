@@ -163,6 +163,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("t10 BPE tokenizer: known merges, bounds, Spark = Scala reference") {
+    // hand-checked words through the rank-ordered merge table
+    assert(TextOps.bpeTokenCountScala("the") == 1)      // t h → th; th e → the
+    assert(TextOps.bpeTokenCountScala("theory") == 3)   // the | or | y
+    assert(TextOps.bpeTokenCountScala("and") == 1)      // a n → an; an d → and
+    assert(TextOps.bpeTokenCountScala("for") == 1)      // o r → or; f or → for
+    assert(TextOps.bpeTokenCountScala("nation") == 2)   // n | ation (o-n, a-t, i-on, at-ion)
+    assert(TextOps.bpeTokenCountScala("xyz") == 3)      // no merges apply
+    assert(TextOps.bpeTokenCountScala("q") == 1)        // single char
+    val expected = docs.map { case (id, text, _) =>
+      val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      id -> (ws.length.toLong, ws.map(TextOps.bpeTokenCountScala(_).toLong).sum)
+    }.toMap
+    val got = TextOps.bpeTokenCounts(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // bounds: 1 ≤ tokens(w) ≤ len(w) for every nonempty word ⇒ per doc
+    // n_words ≤ n_bpe_tokens ≤ total chars
+    got.foreach { case (id, (nw, nb)) =>
+      assert(nb >= nw, s"doc $id: fewer BPE tokens than words") }
+  }
+
   test("t9 corpus-frequency score matches a driver-side brute force") {
     val allToks = docs.flatMap(_._2.trim.split("\\s+"))
     val freq = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
