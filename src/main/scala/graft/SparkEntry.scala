@@ -94,6 +94,7 @@ object SparkEntry {
     "d8_contamination" -> ((s: SparkSession, d: String) => Dedup.contamination(s, d)),
     "d9_canonical_select" -> ((s: SparkSession, d: String) => Dedup.canonicalSelect(s, d)),
     "d10_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
+    "d11_paragraph_dedup" -> (Dedup.paragraphDedup _),
     // ---- engine facade round trips (SURVEY.md §2.10–§2.11) ----
     "g1_ddl_roundtrip" -> (GlueQueries.g1DdlRoundtrip _),
     "g2_insert_select" -> (GlueQueries.g2InsertSelect _),
@@ -428,6 +429,7 @@ object SparkEntry {
     "s9_pq_rerank" -> Similarity.pqRerankOracleSql(0L, 10, 50),
     "d9_canonical_select" -> Dedup.canonicalSelectOracleSql(0.25),
     "d10_semantic_dedup" -> Similarity.semanticDedupOracleSql(0.4),
+    "d11_paragraph_dedup" -> Dedup.paragraphDedupOracleSql,
     "t9_corpus_freq" -> TextOps.corpusFreqScoreOracleSql,
     "t10_bpe_tokens" -> TextOps.bpeTokenCountsOracleSql,
     "m5_perceptual_hash" -> Multimodal.m5OracleSql,

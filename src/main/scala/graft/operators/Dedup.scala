@@ -652,4 +652,85 @@ object Dedup {
        |  list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos_sim
        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $threshold""".stripMargin
+
+  // ------------------------------------------------------------------
+  // d11: paragraph/span-level exact dedup
+  // ------------------------------------------------------------------
+
+  /** Words per span for d11. Lee et al. 2022 dedup 50-token windows;
+    * 10 fits this corpus's 10–110-word documents while keeping the
+    * same machinery. */
+  val SpanWords = 10
+
+  /** d11: SUB-document exact dedup — the boilerplate/template remover
+    * (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better"; CCNet's paragraph dedup) that whole-document
+    * d1–d10 cannot see: a crawl's nav bars, license headers and
+    * templates repeat ACROSS documents that are not themselves dups.
+    * Two-level split: blank-line paragraphs first (`\n\s*\n` — the
+    * natural unit when the corpus has them; this corpus is
+    * single-line, so it passes through whole), then each paragraph
+    * re-chunked into non-overlapping [[SpanWords]]-word spans so a
+    * span is a bounded unit regardless of paragraph length. A span is
+    * boilerplate when its exact fingerprint appears in ≥2 DISTINCT
+    * documents. Output: per-document span counts + boilerplate
+    * fraction — the score a cleaning pass thresholds on.
+    *
+    * 100 TB shape: the explode multiplies rows by ~n_words/10 but
+    * each carries only (doc_id, 32-char md5) — the text itself never
+    * shuffles (d1's digests-not-text discipline). The frequency agg
+    * partial-combines map-side; the spans⋈freq join shuffles both
+    * sides on fp, co-partitioned with the agg's exchange (AQE reuses
+    * it). No pair enumeration anywhere — unlike d2's posting lists
+    * there is no quadratic blowup to cap: a span repeated k times
+    * costs k rows, never k². */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupOn(t(spark, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** Core of d11 over any (doc_id, text) frame — the spec drives this
+    * with synthetic multi-paragraph strings the corpus lacks. */
+  private[operators] def paragraphDedupOn(docs: DataFrame): DataFrame = {
+    val w = SpanWords
+    val spans = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\n\\s*\\n")).as("para"))
+      .select(col("doc_id"),
+        filter(split(trim(col("para")), "\\s+"), x => length(x) > lit(0)).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), ceil(size(col("ws")) / lit(w.toDouble)).cast("int")),
+        c => md5(concat_ws(" ", slice(col("ws"), (c - lit(1)) * w + lit(1), lit(w))))
+      )).as("fp"))
+    val freq = spans.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    spans.join(freq, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans").cast("double")).as("dup_frac"))
+  }
+
+  def paragraphDedupOracleSql: String = {
+    val w = SpanWords
+    s"""WITH p AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\n\\s*\\n')) AS para
+       |  FROM documents),
+       |wd AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(para), '\\s+'), x -> x <> '') AS ws
+       |  FROM p WHERE len(list_filter(string_split_regex(trim(para), '\\s+'), x -> x <> '')) > 0),
+       |s AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, CAST(ceil(len(ws) / $w.0) AS BIGINT) + 1),
+       |    c -> md5(array_to_string(list_slice(ws, (c - 1) * $w + 1, c * $w), ' ')))) AS fp
+       |  FROM wd),
+       |f AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM s GROUP BY fp),
+       |d AS (
+       |  SELECT s.doc_id, count(*) AS n_spans,
+       |    sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+       |  FROM s JOIN f USING (fp) GROUP BY s.doc_id)
+       |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       |  CAST(n_dup AS BIGINT) AS n_dup_spans,
+       |  CAST(n_dup AS DOUBLE) / n_spans AS dup_frac
+       |FROM d""".stripMargin
+  }
 }

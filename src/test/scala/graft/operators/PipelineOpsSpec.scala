@@ -163,6 +163,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("d11 paragraph dedup: blank-line split, span chunking, cross-doc boilerplate") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // exactly one span
+    val rows = Seq(
+      (1L, boiler + "\n\n" + (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, boiler + "\n\n" + (1 to 10).map(i => s"c$i").mkString(" ")),
+      (3L, (1 to 5).map(i => s"d$i").mkString(" ")),   // short doc: 1 span
+      (4L, boiler + "\n\n" + boiler),                   // boiler twice
+      (5L, (1 to 15).map(i => s"e$i").mkString(" ")),   // 15 words: 2 spans
+      (6L, "f1 f2 f3\n\nf4 f5 f6"),                    // 2 paras → 2 spans
+      (7L, "f1 f2 f3 f4 f5 f6"))                        // 1 para → 1 DIFFERENT span
+    val got = Dedup.paragraphDedupOn(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 1L)), s"docA: ${got(1L)}") // boiler in docs 1,2,4
+    assert(got(2L) == ((2L, 1L)))
+    assert(got(3L) == ((1L, 0L)))
+    assert(got(4L) == ((2L, 2L)))                       // both spans are boiler
+    assert(got(5L) == ((2L, 0L)))                       // 10+5 word chunks, unique
+    assert(got(6L) == ((2L, 0L)))                       // para split ≠ flat split
+    assert(got(7L) == ((1L, 0L)))
+  }
+
   test("t10 BPE tokenizer: known merges, bounds, Spark = Scala reference") {
     // hand-checked words through the rank-ordered merge table
     assert(TextOps.bpeTokenCountScala("the") == 1)      // t h → th; th e → the
