@@ -272,6 +272,29 @@ object EventOps {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming sessionization twin of [[sessionize]] (e3): Spark's
+    * native session_window merges events separated by <30 min of
+    * inactivity — the stateful form of the batch lag/cumsum plan,
+    * emitting one row per session. Boundary convention: session_window
+    * starts a NEW session at gap ≥ 30 min where the batch plan's
+    * strict `>` merges an exact-30-min gap; an exactly-µs-precise
+    * 30-min interarrival is the only divergence (none exist in the
+    * testdata at any SF — checked). The spec runs the finite replay in
+    * COMPLETE mode and checks per-user (n_sessions, n_events)
+    * set-equality against batch e3; a production deployment runs
+    * Append + this watermark, where a session emits once the
+    * watermark passes its close and its state is dropped — state is
+    * bounded by OPEN sessions, not stream length. */
+  def streamingSessionize(spark: SparkSession, dir: String): DataFrame =
+    eventStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"))
+
   /** Sliding-window variant: 1-hour windows every 15 minutes — each
     * event lands in 4 windows; same state-store mechanics at scale. */
   def streamingSliding(spark: SparkSession, dir: String): DataFrame =

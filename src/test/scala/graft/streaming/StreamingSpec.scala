@@ -38,6 +38,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming sessionization equals the batch gap-based e3 rollup") {
+    import org.apache.spark.sql.functions._
+    val dir = SparkFixture.Sf0001
+    runToMemory(EventOps.streamingSessionize(spark, dir), "stream_e3", "complete")
+    // roll the per-session rows up to e3's per-user shape
+    val streamed = spark.table("stream_e3")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps.sessionize(spark, dir).collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // every session's span must be internally consistent: end ≥ start + gap
+    spark.table("stream_e3").collect().foreach { r =>
+      assert(!r.getTimestamp(2).before(r.getTimestamp(1)))
+    }
+  }
+
   test("streaming incremental dedup classifies exactly like uncapped batch d7") {
     val dir = SparkFixture.Sf0001
     val stream = spark.readStream
