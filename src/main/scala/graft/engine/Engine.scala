@@ -501,7 +501,7 @@ class Engine(val spark: SparkSession) {
                |OPTIONS (url '$url', dbtable '$dbtable')""".stripMargin)
           val cols = spark.table(s"`$db`.`$local`").schema.map(f =>
             ColumnMeta(f.name, f.dataType))
-          meta.put(db, local, TableMeta(cols))
+          meta.put(db, local, TableMeta(cols, jdbc = true))
         }
       }
     } finally conn.close()
@@ -749,6 +749,9 @@ class Engine(val spark: SparkSession) {
       case re(rawName, setPart, wherePart) =>
         val (db, tbl) = resolve(rawName)
         val tm = requireMeta(db, tbl)
+        if (tm.jdbc) throw new EngineException(
+          s"UPDATE on JDBC-mounted table $db.$tbl is not supported (INSERT is); " +
+            "run the update in the external database")
         val cond = Option(wherePart).map(dialectExpr).getOrElse(lit(true))
         val assigns: Map[String, Column] = splitTop(setPart, ',').map { a =>
           val eq = a.indexOf('=')
@@ -838,6 +841,9 @@ class Engine(val spark: SparkSession) {
       case re(rawName, wherePart) =>
         val (db, tbl) = resolve(rawName)
         val tm = requireMeta(db, tbl)
+        if (tm.jdbc) throw new EngineException(
+          s"DELETE on JDBC-mounted table $db.$tbl is not supported (INSERT is); " +
+            "run the delete in the external database")
         val t = spark.table(s"`$db`.`$tbl`")
         // A foldable condition (no WHERE, or WHERE 1=1 style) turns
         // the keep-filter into a constant — the optimizer then

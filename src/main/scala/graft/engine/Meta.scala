@@ -44,7 +44,15 @@ final case class TableMeta(
       * src/database/auto_increment.rs:6-33 keeps per-column counters;
       * single counter per table covers the reference's single
       * auto-column usage). */
-    autoCounter: Long = 1L) {
+    autoCounter: Long = 1L,
+    /** True for tables mounted from an external JDBC database. INSERT
+      * writes through Spark's JDBC relation; UPDATE/DELETE are
+      * rejected loudly — the copy-on-write DML path is file-granular
+      * parquet machinery (input_file_name() is EMPTY on a JDBC scan,
+      * which would silently match zero files), and the reference's
+      * ODBC backend is likewise read-mostly (odbc/base.rs: "no writes
+      * of consequence"). */
+    jdbc: Boolean = false) {
   def schema: StructType = StructType(columns.map(_.sparkField))
   def column(name: String): Option[ColumnMeta] =
     columns.find(_.name.equalsIgnoreCase(name))

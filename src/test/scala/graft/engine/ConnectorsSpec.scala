@@ -41,6 +41,22 @@ class ConnectorsSpec extends AnyFunSuite {
       rs.next()
       assert(rs.getInt(1) == 4)
     } finally check.close()
+    // UPDATE/DELETE must fail LOUDLY, not silently no-op: the
+    // copy-on-write DML path is parquet-file machinery and
+    // input_file_name() is empty on a JDBC scan (would match 0 files)
+    val ue = intercept[EngineException](
+      g.execute("UPDATE jdb.ext_parts SET pname = 'x' WHERE id = 1"))
+    assert(ue.getMessage.contains("JDBC"))
+    val de = intercept[EngineException](
+      g.execute("DELETE FROM jdb.ext_parts WHERE id = 1"))
+    assert(de.getMessage.contains("JDBC"))
+    // and the external table is untouched
+    val check2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = check2.createStatement().executeQuery("SELECT COUNT(*) FROM ext_parts")
+      rs.next()
+      assert(rs.getInt(1) == 4)
+    } finally check2.close()
   }
 
   test("insert as CTE source returns the written rows") {
