@@ -80,6 +80,7 @@ object SparkEntry {
     "t8_token_budget" -> ((s: SparkSession, d: String) => TextOps.tokenBudget(s, d)),
     "t9_corpus_freq" -> (TextOps.corpusFreqScore _),
     "t10_bpe_tokens" -> (TextOps.bpeTokenCounts _),
+    "t8b_bpe_budget" -> ((s: SparkSession, d: String) => TextOps.tokenBudgetBpe(s, d)),
     // ---- dedup ----
     "d1_exact_dedup" -> (Dedup.exactDedup _),
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -432,6 +433,7 @@ object SparkEntry {
     "d11_paragraph_dedup" -> Dedup.paragraphDedupOracleSql,
     "t9_corpus_freq" -> TextOps.corpusFreqScoreOracleSql,
     "t10_bpe_tokens" -> TextOps.bpeTokenCountsOracleSql,
+    "t8b_bpe_budget" -> TextOps.tokenBudgetBpeOracleSql(3000L, "graft_v1"),
     "m5_perceptual_hash" -> Multimodal.m5OracleSql,
     // m3 and m4 have no oracle entries on purpose: their outputs come
     // from the typed mapPartitions codec path (not SQL-expressible —

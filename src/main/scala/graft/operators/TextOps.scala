@@ -390,25 +390,31 @@ object TextOps {
     * that constant (expression tree stays small — no 48-deep codegen
     * nest), and the whole operator is a narrow projection: zero
     * shuffle at any corpus size. */
-  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
-    val words = filter(
-      split(trim(lower(col("text"))), "\\s+"), w => length(w) > lit(0))
-    val tokCount = (w: org.apache.spark.sql.Column) => {
-      val repr = concat(lit(BpeSep), array_join(split(w, ""), BpeSep), lit(BpeSep))
-      val folded = aggregate(
-        typedLit(bpeRules), repr,
-        (acc, m) => replace(acc, m.getField("_1"), m.getField("_2")))
-      (length(folded) - length(w) - lit(1)).cast("long")
-    }
+  /** Lowercased, empty-filtered word array — shared by t10/t8b. */
+  private def bpeWords: org.apache.spark.sql.Column =
+    filter(split(trim(lower(col("text"))), "\\s+"), w => length(w) > lit(0))
+
+  /** Per-word BPE token count as a column expression (t10 core). */
+  private def bpeTokCol(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val repr = concat(lit(BpeSep), array_join(split(w, ""), BpeSep), lit(BpeSep))
+    val folded = aggregate(
+      typedLit(bpeRules), repr,
+      (acc, m) => replace(acc, m.getField("_1"), m.getField("_2")))
+    (length(folded) - length(w) - lit(1)).cast("long")
+  }
+
+  /** Per-document BPE token total. */
+  private def bpeDocTokens: org.apache.spark.sql.Column =
+    coalesce(
+      aggregate(transform(bpeWords, bpeTokCol _), lit(0L), (a, x) => a + x),
+      lit(0L))
+
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"), words.as("words"))
       .select(
         col("doc_id"),
-        size(col("words")).cast("long").as("n_words"),
-        coalesce(
-          aggregate(transform(col("words"), tokCount), lit(0L), (a, x) => a + x),
-          lit(0L)).as("n_bpe_tokens"))
-  }
+        size(bpeWords).cast("long").as("n_words"),
+        bpeDocTokens.as("n_bpe_tokens"))
 
   /** A string literal for DuckDB that may contain U+0001: emitted as
     * `chr(1)`-spliced concatenation. */
@@ -439,6 +445,56 @@ object TextOps {
        |  CAST(coalesce(tc.n_words, 0) AS BIGINT) AS n_words,
        |  CAST(coalesce(tc.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
        |FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id""".stripMargin
+  }
+
+  /** t8b: the t8 budget fill restated in MODEL tokens — same greedy
+    * per-language salted-hash order, but the packed quantity is t10's
+    * BPE count, so the budget is denominated in the unit a
+    * pretraining mix actually reasons about (the round-7 verdict's
+    * point: a 2000-WORD budget means nothing to a token-bought
+    * training run). Same plan shape as t8: narrow per-doc token
+    * expression, ONE shuffle on lang, a spillable running ROWS-frame
+    * window — the t10 fold adds per-row CPU, never a shuffle. */
+  def tokenBudgetBpe(spark: SparkSession, dir: String, budgetTokens: Long = 3000L,
+                     salt: String = "graft_v1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), bpeDocTokens.as("n_tokens"), h.as("h"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budgetTokens)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
+  }
+
+  def tokenBudgetBpeOracleSql(budgetTokens: Long, salt: String): String = {
+    val repr = "chr(1) || array_to_string(list_transform(range(1, length(w) + 1), " +
+      "i -> substr(w, CAST(i AS INT), 1)), chr(1)) || chr(1)"
+    val folded = bpeRules.foldLeft(repr) { case (acc, (p, r)) =>
+      s"replace($acc, ${duckStr(p)}, ${duckStr(r)})"
+    }
+    s"""WITH wx AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      x -> x <> '')) AS w
+       |  FROM documents),
+       |tc AS (
+       |  SELECT doc_id, sum(length($folded) - length(w) - 1) AS n_bpe
+       |  FROM wx GROUP BY doc_id),
+       |d AS (
+       |  SELECT dd.doc_id, dd.lang,
+       |    CAST(coalesce(tc.n_bpe, 0) AS BIGINT) AS n_tokens,
+       |    ('0x' || substr(md5('$salt' || ':' || CAST(dd.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents dd LEFT JOIN tc ON dd.doc_id = tc.doc_id),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM d)
+       |SELECT doc_id, lang, n_tokens, cum_before
+       |FROM c WHERE cum_before < $budgetTokens""".stripMargin
   }
 
   /** The t10 tokenizer as a plain Scala function — the single source

@@ -226,4 +226,33 @@ class PlanShapeSpec extends AnyFunSuite {
         s"query $q has ranks ${ranks.mkString(",")}")
     }
   }
+
+  test("t10 BPE counts: pure narrow projection — no exchange, no join") {
+    val p = plan(TextOps.bpeTokenCounts(spark, dir))
+    assert(!p.contains("Exchange"), s"t10 shuffles:\n$p")
+    assert(!p.contains("Join"), s"t10 joins:\n$p")
+    // the scan reads only the two columns used
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("lang"), s"t10 did not prune the scan: $read")
+  }
+
+  test("t8b BPE budget: t8's one-shuffle window shape, fold adds no exchange") {
+    val p = plan(TextOps.tokenBudgetBpe(spark, dir))
+    assert(!p.contains("Join"), s"t8b joins:\n$p")
+    assert(p.contains("Window"), s"t8b lost the running window:\n$p")
+    // exactly ONE exchange: hashpartitioning on lang for the window.
+    // Count tree nodes in the AQE FINAL plan only — the formatted dump
+    // repeats the same exchange in the "Initial Plan" rendering.
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val exchanges = finalPlan.linesIterator.count(_.contains("- Exchange"))
+    assert(exchanges == 1, s"t8b has $exchanges exchanges (want 1):\n$p")
+  }
+
+  test("d11 span dedup: digest join, never a cross product") {
+    val p = plan(Dedup.paragraphDedup(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d11 degenerated to a cross product:\n$p")
+    // the span⋈freq join carries fingerprints, not document text
+    assert(p.contains("partial_count"), s"freq agg lost map-side combine:\n$p")
+  }
 }
