@@ -346,20 +346,8 @@ object TextOps {
     * SF) and survives both engines' string functions unmangled. */
   private val BpeSep = "\u0001"
 
-  /** Rank-ordered BPE merge table: 48 high-frequency English merges
-    * (digraph/affix pairs — the prefix of what `learn_bpe` emits on an
-    * English corpus). A real deployment loads a published vocab (e.g.
-    * a GPT-2-style merges.txt) into exactly this shape; the table is
-    * inline so the operator and its oracle stay self-contained. Later
-    * rules may reference symbols formed by earlier ones ("th e",
-    * "an d", "f or", "at ion"), which is what makes this BPE rather
-    * than a digraph counter. */
-  val BpeMerges: Seq[String] = Seq(
-    "t h", "th e", "i n", "a n", "an d", "e r", "o n", "r e", "o r", "e n",
-    "a t", "o u", "e d", "i s", "i t", "a l", "a r", "s t", "t o", "n t",
-    "c h", "s h", "o f", "in g", "f or", "e s", "l l", "q u", "w h", "o w",
-    "e a", "l e", "m e", "w e", "c k", "g h", "i on", "at ion", "t er",
-    "er s", "u n", "u s", "o m", "b e", "c om", "d e", "p r", "p l")
+  /** The merge table lives with the hot-path expression. */
+  val BpeMerges: Seq[String] = graft.functions.Bpe.Merges
 
   /** Merge rules compiled to (pattern, replacement) over the
     * separator-delimited symbol string: `⟦a⟧b⟦` → `⟦ab⟧` (⟦ = U+0001).
@@ -375,39 +363,28 @@ object TextOps {
     * inline merge table — the question a training-data user asks
     * first ("how many tokens is this corpus?") that the whitespace
     * counts of t1/t8 cannot answer. Tokenization semantics, identical
-    * in both engines: lowercase, split on \s+, represent each word as
-    * U+0001-separated characters, then apply each merge rule once in
-    * rank order as a plain left-to-right non-overlapping string
-    * replace (Spark `replace` and DuckDB `replace` share these
-    * semantics exactly, which is what makes the operator
-    * oracle-hashable; the one-pass-per-rule discipline is documented —
-    * it undercounts only on same-pair runs like "aaaa", absent from
-    * natural text).
+    * in both engines: lowercase, split on \s+, then apply each merge
+    * rule once in rank order as a left-to-right non-overlapping
+    * replace (Spark and DuckDB replace share these semantics, which
+    * is what makes the operator oracle-hashable; the
+    * one-pass-per-rule discipline undercounts only on same-pair runs
+    * like "aaaa", absent from natural text).
     *
-    * 100 TB shape: the merge table is a constant array literal (the
-    * vocab analogue of t9's broadcast — it ships inside the task
-    * binary, never shuffles), the fold is a runtime `aggregate` over
-    * that constant (expression tree stays small — no 48-deep codegen
-    * nest), and the whole operator is a narrow projection: zero
-    * shuffle at any corpus size. */
-  /** Lowercased, empty-filtered word array — shared by t10/t8b. */
+    * 100 TB shape: the merge table ships in the task binary (the
+    * vocab analogue of t9's broadcast), the per-row count is ONE
+    * codegen'd native expression ([[graft.functions.BpeDocTokenCount]]
+    * — a zero-allocation span walk; the interpreted HOF fold it
+    * replaced cost ~2 s at sf0.1), and the whole operator is a
+    * narrow projection: zero shuffle at any corpus size. */
+  /** Lowercased, empty-filtered word array — t10's n_words. */
   private def bpeWords: org.apache.spark.sql.Column =
     filter(split(trim(lower(col("text"))), "\\s+"), w => length(w) > lit(0))
 
-  /** Per-word BPE token count as a column expression (t10 core). */
-  private def bpeTokCol(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val repr = concat(lit(BpeSep), array_join(split(w, ""), BpeSep), lit(BpeSep))
-    val folded = aggregate(
-      typedLit(bpeRules), repr,
-      (acc, m) => replace(acc, m.getField("_1"), m.getField("_2")))
-    (length(folded) - length(w) - lit(1)).cast("long")
-  }
-
-  /** Per-document BPE token total. */
+  /** Per-document BPE token total: the native codegen'd expression. */
   private def bpeDocTokens: org.apache.spark.sql.Column =
-    coalesce(
-      aggregate(transform(bpeWords, bpeTokCol _), lit(0L), (a, x) => a + x),
-      lit(0L))
+    org.apache.spark.sql.graft.Shims.column(
+      graft.functions.BpeDocTokenCount(
+        org.apache.spark.sql.graft.Shims.expression(col("text"))))
 
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")

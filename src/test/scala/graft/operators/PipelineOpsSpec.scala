@@ -194,6 +194,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(TextOps.bpeTokenCountScala("nation") == 2)   // n | ation (o-n, a-t, i-on, at-ion)
     assert(TextOps.bpeTokenCountScala("xyz") == 3)      // no merges apply
     assert(TextOps.bpeTokenCountScala("q") == 1)        // single char
+    // the native span-walk expression must equal the separator-string
+    // reference EXACTLY — including the boundary-blocking quirk on
+    // same-pair runs ("llll": the pair right after a merge can't
+    // match in the same pass) and multi-char merged symbols
+    // ("" excluded: both paths only ever see \s+-split nonempty words,
+    // and the reference's length formula is meaningless on "")
+    val adversarial = Seq("llll", "llllll", "ststst", "thththth", "thethethe",
+      "ananan", "forfor", "ationation", "qu", "a", "the")
+    adversarial.foreach { w =>
+      assert(graft.functions.Bpe.wordTokens(w) == TextOps.bpeTokenCountScala(w),
+        s"span walk diverges from replace semantics on '$w'")
+    }
+    docs.flatMap(_._2.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty).distinct.foreach { w =>
+      assert(graft.functions.Bpe.wordTokens(w) == TextOps.bpeTokenCountScala(w),
+        s"span walk diverges on corpus word '$w'")
+    }
     val expected = docs.map { case (id, text, _) =>
       val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
       id -> (ws.length.toLong, ws.map(TextOps.bpeTokenCountScala(_).toLong).sum)
