@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreQueries => C, Dedup, GlueQueries, Multimodal, Similarity, Skew, TextOps}
+import graft.operators.{CoreQueries => C, CorpusPrep, Dedup, GlueQueries, Multimodal, Similarity, Skew, TextOps}
 import graft.streaming.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -81,6 +81,7 @@ object SparkEntry {
     "t9_corpus_freq" -> (TextOps.corpusFreqScore _),
     "t10_bpe_tokens" -> (TextOps.bpeTokenCounts _),
     "t8b_bpe_budget" -> ((s: SparkSession, d: String) => TextOps.tokenBudgetBpe(s, d)),
+    "c1_corpus_prep" -> ((s: SparkSession, d: String) => CorpusPrep.cleanCorpus(s, d)),
     // ---- dedup ----
     "d1_exact_dedup" -> (Dedup.exactDedup _),
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -434,6 +435,7 @@ object SparkEntry {
     "t9_corpus_freq" -> TextOps.corpusFreqScoreOracleSql,
     "t10_bpe_tokens" -> TextOps.bpeTokenCountsOracleSql,
     "t8b_bpe_budget" -> TextOps.tokenBudgetBpeOracleSql(3000L, "graft_v1"),
+    "c1_corpus_prep" -> CorpusPrep.cleanCorpusOracleSql("graft_v1"),
     "m5_perceptual_hash" -> Multimodal.m5OracleSql,
     // m3 and m4 have no oracle entries on purpose: their outputs come
     // from the typed mapPartitions codec path (not SQL-expressible —

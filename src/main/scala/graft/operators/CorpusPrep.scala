@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** c1: the END-TO-END corpus-prep pipeline — the composition a
+  * training-data user actually runs, chaining four tiers this library
+  * provides separately: t6's Gopher repetition gate, d1's exact-dedup
+  * canonical election, t5's deterministic train/val/test split and
+  * t10's BPE token count, emitting one row per KEPT canonical
+  * document with its split assignment and model-token count. Proves
+  * the operators compose (same expressions, same thresholds — the
+  * spec cross-checks against the standalone tiers) and that the
+  * composition collapses into a minimal plan.
+  *
+  * 100 TB shape — this is the point: every tier except dedup is a
+  * NARROW per-row expression, so the whole pipeline is ONE projection
+  * followed by ONE shuffle (the fp window for canonical election,
+  * carrying doc_id + 32-char digest + a handful of small columns,
+  * never re-shuffling text downstream) and a filter. Running the
+  * tiers as separate passes would scan the corpus four times and
+  * shuffle twice; composed, it is one scan + one shuffle. Dedup
+  * before/after the quality gate is order-independent here: exact
+  * dups have identical text, hence identical keep flags. */
+object CorpusPrep {
+
+  /** t6's keep signal as a pure expression over `text` — the same
+    * formulas and thresholds as [[TextOps.repetitionColumns]]
+    * (spec-pinned equal per document). */
+  private def t6Keep: Column = {
+    val ws = split(trim(col("text")), "\\s+")
+    val bg = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val nWords = size(ws).cast("long")
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    val topWord = TextOps.modeCount(ws)
+    val topBigram = when(size(bg) > 0, TextOps.modeCount(bg)).otherwise(lit(0L))
+    val sumWordLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+    val meanWordLen = sumWordLen.cast("double") / nWords.cast("double")
+    val ttr = nDistinct.cast("double") / nWords.cast("double")
+    val topWordFrac = topWord.cast("double") / nWords.cast("double")
+    val topBigramFrac =
+      topBigram.cast("double") / greatest(nWords - 1, lit(1L)).cast("double")
+    meanWordLen.between(3.0, 10.0) && ttr >= 0.10 &&
+      topWordFrac <= 0.20 && topBigramFrac <= 0.20
+  }
+
+  def cleanCorpus(spark: SparkSession, dir: String,
+                  salt: String = "graft_v1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id"))) % 100
+    val splitCol =
+      when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    val nBpe = org.apache.spark.sql.graft.Shims.column(
+      graft.functions.BpeDocTokenCount(
+        org.apache.spark.sql.graft.Shims.expression(col("text"))))
+    val w = Window.partitionBy(col("fp"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"),
+        t6Keep.as("keep"), splitCol.as("split"), nBpe.as("n_bpe_tokens"))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("keep") && col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("lang"), col("split"), col("n_bpe_tokens"))
+  }
+
+  def cleanCorpusOracleSql(salt: String): String = {
+    // t10's per-word fold, replayed at word granularity (nested-lambda
+    // capture is avoided the same way as the t10/t8b oracles)
+    val repr = "chr(1) || array_to_string(list_transform(range(1, length(w) + 1), " +
+      "i -> substr(w, CAST(i AS INT), 1)), chr(1)) || chr(1)"
+    val folded = TextOps.bpeOracleFold(repr)
+    s"""WITH bw AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      x -> x <> '')) AS w
+       |  FROM documents),
+       |bt AS (
+       |  SELECT doc_id, sum(length($folded) - length(w) - 1) AS n_bpe
+       |  FROM bw GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id, lang, md5(text) AS fp,
+       |    ('0x' || substr(md5('$salt' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS hb,
+       |    string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang, fp, hb, ws,
+       |    CASE WHEN len(ws) >= 2 THEN
+       |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+       |    ELSE [] END AS bgs
+       |  FROM sig),
+       |c AS (
+       |  SELECT doc_id, lang, fp, hb,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+       |    CAST(list_max(list_transform(list_distinct(ws),
+       |      x -> len(list_filter(ws, y -> y = x)))) AS BIGINT) AS top_word_n,
+       |    CAST(CASE WHEN len(bgs) > 0 THEN
+       |      list_max(list_transform(list_distinct(bgs),
+       |        x -> len(list_filter(bgs, y -> y = x))))
+       |    ELSE 0 END AS BIGINT) AS top_bigram_n,
+       |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_word_len
+       |  FROM bg),
+       |k AS (
+       |  SELECT doc_id, lang, fp, hb,
+       |    (CAST(sum_word_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+       |      AND CAST(n_distinct AS DOUBLE) / n_words >= 0.10
+       |      AND CAST(top_word_n AS DOUBLE) / n_words <= 0.20
+       |      AND CAST(top_bigram_n AS DOUBLE) / greatest(n_words - 1, 1) <= 0.20 AS keep,
+       |    min(doc_id) OVER (PARTITION BY fp) AS keep_id
+       |  FROM c)
+       |SELECT k.doc_id, k.lang,
+       |  CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END AS split,
+       |  CAST(coalesce(bt.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM k LEFT JOIN bt ON k.doc_id = bt.doc_id
+       |WHERE k.keep AND k.doc_id = k.keep_id""".stripMargin
+  }
+}

@@ -257,7 +257,7 @@ object TextOps {
     * `prev`, which makes the condition NULL → run restarts at 1.
     * (The oracle keeps the naive per-distinct count: the integer
     * result is algorithm-independent.) */
-  private def modeCount(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def modeCount(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     aggregate(
       array_sort(arr),
       struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
@@ -403,12 +403,17 @@ object TextOps {
     if (toks.isEmpty) "''" else toks.mkString(" || ")
   }
 
+  /** The rank-ordered merge fold as generated DuckDB SQL — shared by
+    * every oracle that replays t10's tokenizer (t10, t8b, c1). */
+  private[operators] def bpeOracleFold(repr: String): String =
+    bpeRules.foldLeft(repr) { case (acc, (p, r)) =>
+      s"replace($acc, ${duckStr(p)}, ${duckStr(r)})"
+    }
+
   def bpeTokenCountsOracleSql: String = {
     val repr = "chr(1) || array_to_string(list_transform(range(1, length(w) + 1), " +
       "i -> substr(w, CAST(i AS INT), 1)), chr(1)) || chr(1)"
-    val folded = bpeRules.foldLeft(repr) { case (acc, (p, r)) =>
-      s"replace($acc, ${duckStr(p)}, ${duckStr(r)})"
-    }
+    val folded = bpeOracleFold(repr)
     s"""WITH wx AS (
        |  SELECT doc_id,
        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
@@ -449,9 +454,7 @@ object TextOps {
   def tokenBudgetBpeOracleSql(budgetTokens: Long, salt: String): String = {
     val repr = "chr(1) || array_to_string(list_transform(range(1, length(w) + 1), " +
       "i -> substr(w, CAST(i AS INT), 1)), chr(1)) || chr(1)"
-    val folded = bpeRules.foldLeft(repr) { case (acc, (p, r)) =>
-      s"replace($acc, ${duckStr(p)}, ${duckStr(r)})"
-    }
+    val folded = bpeOracleFold(repr)
     s"""WITH wx AS (
        |  SELECT doc_id,
        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),

@@ -185,6 +185,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(7L) == ((1L, 0L)))
   }
 
+  test("c1 corpus prep composes the standalone tiers exactly") {
+    val c1 = CorpusPrep.cleanCorpus(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    // membership: kept == (t6 keep) ∩ (d1 canonical keeper)
+    val keep = TextOps.repetitionFilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    val keepers = Dedup.exactDedup(spark, dir).collect()
+      .map(_.getAs[Long]("keep_id")).toSet
+    val expectedIds = keep.collect { case (id, true) if keepers(id) => id }.toSet
+    assert(c1.keySet == expectedIds,
+      s"membership diverges: extra=${c1.keySet -- expectedIds} missing=${expectedIds -- c1.keySet}")
+    // per-doc values: split == t5, tokens == t10
+    val t5 = TextOps.splitAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val t10 = TextOps.bpeTokenCounts(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    c1.foreach { case (id, (split, nBpe)) =>
+      assert(split == t5(id), s"doc $id split diverges from t5")
+      assert(nBpe == t10(id), s"doc $id token count diverges from t10")
+    }
+    assert(c1.nonEmpty)
+  }
+
   test("t10 BPE tokenizer: known merges, bounds, Spark = Scala reference") {
     // hand-checked words through the rank-ordered merge table
     assert(TextOps.bpeTokenCountScala("the") == 1)      // t h → th; th e → the

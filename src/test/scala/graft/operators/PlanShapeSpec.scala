@@ -248,6 +248,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"t8b has $exchanges exchanges (want 1):\n$p")
   }
 
+  test("c1 corpus prep: four tiers collapse to one scan + one shuffle") {
+    val p = plan(CorpusPrep.cleanCorpus(spark, dir))
+    assert(!p.contains("Join"), s"c1 joins (tiers did not fuse):\n$p")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val exchanges = finalPlan.linesIterator.count(_.contains("- Exchange"))
+    assert(exchanges == 1, s"c1 has $exchanges exchanges (want 1 — the fp window):\n$p")
+    // one scan of documents, not four
+    val scans = finalPlan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"c1 scans $scans times (want 1):\n$p")
+  }
+
   test("d11 span dedup: digest join, never a cross product") {
     val p = plan(Dedup.paragraphDedup(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
