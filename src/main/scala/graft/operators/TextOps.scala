@@ -477,6 +477,66 @@ object TextOps {
        |FROM c WHERE cum_before < $budgetTokens""".stripMargin
   }
 
+  /** t11: SEQUENCE PACKING — the final step between a curated corpus
+    * and a training run: concatenate documents (per language, in the
+    * same deterministic salted-hash order as t5/t7/t8) into one token
+    * stream and chunk it into fixed-size training contexts; each
+    * document lands at (example_id, offset) = (cum ÷ ctx, cum mod
+    * ctx) of its language's stream — the GPT-style pack-and-chunk
+    * where documents straddle context boundaries rather than pad.
+    * All-integer outputs over t10's BPE counts, so the oracle
+    * hash-matches bit-for-bit.
+    *
+    * 100 TB shape: identical to t8/t8b — one shuffle on lang, one
+    * spillable running ROWS frame; the division/modulo are free
+    * row-local arithmetic on the frame's output. */
+  def sequencePack(spark: SparkSession, dir: String, ctxTokens: Long = 512L,
+                   salt: String = "graft_v1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
+    val nBpe = org.apache.spark.sql.graft.Shims.column(
+      graft.functions.BpeDocTokenCount(
+        org.apache.spark.sql.graft.Shims.expression(col("text"))))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), nBpe.as("n_tokens"), h.as("h"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        // integer `div`, not double `/`+cast: exact past 2^53 tokens
+        expr(s"cum_before div $ctxTokens").as("example_id"),
+        (col("cum_before") % ctxTokens).as("offset"))
+  }
+
+  def sequencePackOracleSql(ctxTokens: Long, salt: String): String = {
+    val repr = "chr(1) || array_to_string(list_transform(range(1, length(w) + 1), " +
+      "i -> substr(w, CAST(i AS INT), 1)), chr(1)) || chr(1)"
+    val folded = bpeOracleFold(repr)
+    s"""WITH wx AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      x -> x <> '')) AS w
+       |  FROM documents),
+       |tc AS (
+       |  SELECT doc_id, sum(length($folded) - length(w) - 1) AS n_bpe
+       |  FROM wx GROUP BY doc_id),
+       |d AS (
+       |  SELECT dd.doc_id, dd.lang,
+       |    CAST(coalesce(tc.n_bpe, 0) AS BIGINT) AS n_tokens,
+       |    ('0x' || substr(md5('$salt' || ':' || CAST(dd.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents dd LEFT JOIN tc ON dd.doc_id = tc.doc_id),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM d)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(cum_before // $ctxTokens AS BIGINT) AS example_id,
+       |  CAST(cum_before % $ctxTokens AS BIGINT) AS offset
+       |FROM c""".stripMargin
+  }
+
   /** The t10 tokenizer as a plain Scala function — the single source
     * of truth the spec pins both engines against. */
   private[operators] def bpeTokenCountScala(word: String): Int = {

@@ -185,6 +185,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(7L) == ((1L, 0L)))
   }
 
+  test("t11 sequence packing: per-lang streams are contiguous, no gaps") {
+    // reconstruct each doc's stream position: cum = example_id*ctx + offset;
+    // within a language, sorted by cum, each doc must start exactly where
+    // the previous one ended (concatenate-and-chunk leaves no holes)
+    val ctx = 512L
+    val rows = TextOps.sequencePack(spark, dir, ctx).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3) * ctx + r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (lang, ds) =>
+      val sorted = ds.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"$lang stream does not start at 0")
+      sorted.sliding(2).foreach {
+        case Array((_, n, cum), (_, _, cum2)) =>
+          assert(cum + n == cum2, s"$lang stream has a gap at $cum")
+        case _ =>
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("c1 corpus prep composes the standalone tiers exactly") {
     val c1 = CorpusPrep.cleanCorpus(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
