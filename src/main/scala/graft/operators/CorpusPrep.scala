@@ -48,21 +48,51 @@ object CorpusPrep {
       topWordFrac <= 0.20 && topBigramFrac <= 0.20
   }
 
-  def cleanCorpus(spark: SparkSession, dir: String,
-                  salt: String = "graft_v1"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The narrow three-tier projection (quality gate + split + token
+    * count), source-agnostic: pure stateless expressions, so the same
+    * code runs on the batch frame and on a `readStream` of documents.
+    * Quality-filtering BEFORE canonical election is equivalent (exact
+    * dups share text, hence the keep flag) and keeps dropped docs out
+    * of the dedup shuffle/state. */
+  private def prepColumns(docs: DataFrame, salt: String): DataFrame = {
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id"))) % 100
     val splitCol =
       when(h < 80, "train").when(h < 90, "val").otherwise("test")
     val nBpe = org.apache.spark.sql.graft.Shims.column(
       graft.functions.BpeDocTokenCount(
         org.apache.spark.sql.graft.Shims.expression(col("text"))))
-    val w = Window.partitionBy(col("fp"))
-    t(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"),
         t6Keep.as("keep"), splitCol.as("split"), nBpe.as("n_bpe_tokens"))
+      .filter(col("keep"))
+  }
+
+  def cleanCorpus(spark: SparkSession, dir: String,
+                  salt: String = "graft_v1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp"))
+    prepColumns(t(spark, dir, "documents"), salt)
       .withColumn("keep_id", min(col("doc_id")).over(w))
-      .filter(col("keep") && col("doc_id") === col("keep_id"))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("lang"), col("split"), col("n_bpe_tokens"))
+  }
+
+  /** Streaming twin of [[cleanCorpus]]: the three narrow tiers run
+    * unchanged on the document stream; canonical election becomes
+    * `dropDuplicates(fp)` — FIRST-SEEN canonical, the convention a
+    * streaming ingest actually uses (it cannot wait for a lower
+    * doc_id that may never arrive; same contract as d7's twin). State
+    * is one 32-char fingerprint per distinct kept document. On the
+    * doc_id-ordered finite replay first-seen coincides with batch
+    * min-doc_id, so StreamingSpec asserts exact set-equality. */
+  def streamingCleanCorpus(spark: SparkSession, dir: String,
+                           salt: String = "graft_v1"): DataFrame = {
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    prepColumns(stream, salt)
+      .dropDuplicates("fp")
       .select(col("doc_id"), col("lang"), col("split"), col("n_bpe_tokens"))
   }
 

@@ -55,6 +55,18 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming corpus prep equals batch c1 on the ordered replay") {
+    val dir = SparkFixture.Sf0001
+    runToMemory(
+      graft.operators.CorpusPrep.streamingCleanCorpus(spark, dir), "stream_c1", "append")
+    val streamed = spark.table("stream_c1").collect().map(_.toSeq).toSet
+    val batch = graft.operators.CorpusPrep.cleanCorpus(spark, dir)
+      .collect().map(_.toSeq).toSet
+    // first-seen canonical == min-doc_id canonical because the replay
+    // file is doc_id-ordered (a checked testdata property)
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming incremental dedup classifies exactly like uncapped batch d7") {
     val dir = SparkFixture.Sf0001
     val stream = spark.readStream
