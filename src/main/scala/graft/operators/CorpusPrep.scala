@@ -27,25 +27,39 @@ object CorpusPrep {
 
   /** t6's keep signal as a pure expression over `text` — the same
     * formulas and thresholds as [[TextOps.repetitionColumns]]
-    * (spec-pinned equal per document). */
+    * (spec-pinned equal per document).
+    *
+    * The word and bigram arrays are bound ONCE via lambda scoping
+    * (`transform(array(x), ws -> …)` evaluates x once and names it):
+    * without this, PushPredicateThroughNonJoin inlines the keep alias
+    * into the pushed-down Filter and substitutes the split/transform
+    * sub-expressions PER REFERENCE — the first c1 build re-split each
+    * document ~16 times and re-ran the mode-count aggregates in the
+    * filter, 12.3 s at sf0.1 against ~1.5 s for the tiers it
+    * composes. With the binding, the pushed predicate is one
+    * single-evaluation expression (0.9 s). */
   private def t6Keep: Column = {
-    val ws = split(trim(col("text")), "\\s+")
-    val bg = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val nWords = size(ws).cast("long")
-    val nDistinct = size(array_distinct(ws)).cast("long")
-    val topWord = TextOps.modeCount(ws)
-    val topBigram = when(size(bg) > 0, TextOps.modeCount(bg)).otherwise(lit(0L))
-    val sumWordLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
-    val meanWordLen = sumWordLen.cast("double") / nWords.cast("double")
-    val ttr = nDistinct.cast("double") / nWords.cast("double")
-    val topWordFrac = topWord.cast("double") / nWords.cast("double")
-    val topBigramFrac =
-      topBigram.cast("double") / greatest(nWords - 1, lit(1L)).cast("double")
-    meanWordLen.between(3.0, 10.0) && ttr >= 0.10 &&
-      topWordFrac <= 0.20 && topBigramFrac <= 0.20
+    val wsExpr = split(trim(col("text")), "\\s+")
+    element_at(transform(array(wsExpr), ws => {
+      val bgExpr = when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1),
+          i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      element_at(transform(array(bgExpr), bg => {
+        val nWords = size(ws).cast("long")
+        val nDistinct = size(array_distinct(ws)).cast("long")
+        val topWord = TextOps.modeCount(ws)
+        val topBigram = when(size(bg) > 0, TextOps.modeCount(bg)).otherwise(lit(0L))
+        val sumWordLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+        val meanWordLen = sumWordLen.cast("double") / nWords.cast("double")
+        val ttr = nDistinct.cast("double") / nWords.cast("double")
+        val topWordFrac = topWord.cast("double") / nWords.cast("double")
+        val topBigramFrac =
+          topBigram.cast("double") / greatest(nWords - 1, lit(1L)).cast("double")
+        meanWordLen.between(3.0, 10.0) && ttr >= 0.10 &&
+          topWordFrac <= 0.20 && topBigramFrac <= 0.20
+      }), 1)
+    }), 1)
   }
 
   /** The narrow three-tier projection (quality gate + split + token
@@ -58,12 +72,10 @@ object CorpusPrep {
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id"))) % 100
     val splitCol =
       when(h < 80, "train").when(h < 90, "val").otherwise("test")
-    val nBpe = org.apache.spark.sql.graft.Shims.column(
-      graft.functions.BpeDocTokenCount(
-        org.apache.spark.sql.graft.Shims.expression(col("text"))))
     docs
       .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"),
-        t6Keep.as("keep"), splitCol.as("split"), nBpe.as("n_bpe_tokens"))
+        t6Keep.as("keep"), splitCol.as("split"),
+        TextOps.bpeDocTokens.as("n_bpe_tokens"))
       .filter(col("keep"))
   }
 

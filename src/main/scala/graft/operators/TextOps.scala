@@ -380,11 +380,15 @@ object TextOps {
   private def bpeWords: org.apache.spark.sql.Column =
     filter(split(trim(lower(col("text"))), "\\s+"), w => length(w) > lit(0))
 
-  /** Per-document BPE token total: the native codegen'd expression. */
-  private def bpeDocTokens: org.apache.spark.sql.Column =
-    org.apache.spark.sql.graft.Shims.column(
-      graft.functions.BpeDocTokenCount(
-        org.apache.spark.sql.graft.Shims.expression(col("text"))))
+  /** Per-document BPE token total: the native codegen'd expression.
+    * Null text coalesces to 0 — the convention every oracle's LEFT
+    * JOIN + coalesce emits. */
+  private[operators] def bpeDocTokens: org.apache.spark.sql.Column =
+    coalesce(
+      org.apache.spark.sql.graft.Shims.column(
+        graft.functions.BpeDocTokenCount(
+          org.apache.spark.sql.graft.Shims.expression(col("text")))),
+      lit(0L))
 
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -494,14 +498,11 @@ object TextOps {
                    salt: String = "graft_v1"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
-    val nBpe = org.apache.spark.sql.graft.Shims.column(
-      graft.functions.BpeDocTokenCount(
-        org.apache.spark.sql.graft.Shims.expression(col("text"))))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("h").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), nBpe.as("n_tokens"), h.as("h"))
+      .select(col("doc_id"), col("lang"), bpeDocTokens.as("n_tokens"), h.as("h"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         // integer `div`, not double `/`+cast: exact past 2^53 tokens
