@@ -83,6 +83,7 @@ object SparkEntry {
     "t8b_bpe_budget" -> ((s: SparkSession, d: String) => TextOps.tokenBudgetBpe(s, d)),
     "c1_corpus_prep" -> ((s: SparkSession, d: String) => CorpusPrep.cleanCorpus(s, d)),
     "t11_sequence_pack" -> ((s: SparkSession, d: String) => TextOps.sequencePack(s, d)),
+    "t12_fixed_k_sample" -> ((s: SparkSession, d: String) => TextOps.fixedKSample(s, d)),
     // ---- dedup ----
     "d1_exact_dedup" -> (Dedup.exactDedup _),
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -438,6 +439,7 @@ object SparkEntry {
     "t8b_bpe_budget" -> TextOps.tokenBudgetBpeOracleSql(3000L, "graft_v1"),
     "c1_corpus_prep" -> CorpusPrep.cleanCorpusOracleSql("graft_v1"),
     "t11_sequence_pack" -> TextOps.sequencePackOracleSql(512L, "graft_v1"),
+    "t12_fixed_k_sample" -> TextOps.fixedKSampleOracleSql(50, "graft_k1"),
     "m5_perceptual_hash" -> Multimodal.m5OracleSql,
     // m3 and m4 have no oracle entries on purpose: their outputs come
     // from the typed mapPartitions codec path (not SQL-expressible —

@@ -538,6 +538,38 @@ object TextOps {
        |FROM c""".stripMargin
   }
 
+  /** t12: FIXED-K per-stratum sampling — "exactly k documents per
+    * language", the eval-set construction t7's rate-based sampling
+    * cannot give (rates yield binomial counts, not exact k).
+    * Deterministic: rank by the salted portable hash (doc_id
+    * tiebreak), keep rank ≤ k — the same reproducibility contract as
+    * t5/t7, and adding documents only ever displaces the highest
+    * hashes. One shuffle on lang + a spillable window sort, the s6
+    * per-group top-k shape; k rows per stratum survive. */
+  def fixedKSample(spark: SparkSession, dir: String, k: Int = 50,
+                   salt: String = "graft_k1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
+  def fixedKSampleOracleSql(k: Int, salt: String): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5('$salt' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk
+       |  FROM h)
+       |SELECT doc_id, lang, rk FROM r WHERE rk <= $k""".stripMargin
+
   /** The t10 tokenizer as a plain Scala function — the single source
     * of truth the spec pins both engines against. */
   private[operators] def bpeTokenCountScala(word: String): Int = {
