@@ -1052,6 +1052,9 @@ class Engine(val spark: SparkSession) {
     sql match {
       case re(rawName) =>
         val (db, tbl) = resolve(rawName)
+        if (meta.get(db, tbl).exists(_.jdbc)) throw new EngineException(
+          s"TRUNCATE on JDBC-mounted table $db.$tbl is not supported (INSERT is); " +
+            "truncate in the external database")
         meta.get(db, tbl).flatMap(_.csvPath) match {
           case Some(path) =>
             rewriteCsvFile(db, tbl, path, spark.table(s"`$db`.`$tbl`").limit(0))

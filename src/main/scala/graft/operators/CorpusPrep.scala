@@ -94,9 +94,12 @@ object CorpusPrep {
     * `dropDuplicates(fp)` — FIRST-SEEN canonical, the convention a
     * streaming ingest actually uses (it cannot wait for a lower
     * doc_id that may never arrive; same contract as d7's twin). State
-    * is one 32-char fingerprint per distinct kept document. On the
-    * doc_id-ordered finite replay first-seen coincides with batch
-    * min-doc_id, so StreamingSpec asserts exact set-equality. */
+    * is one 32-char fingerprint per distinct kept document. Which
+    * group member survives is an ARRIVAL-ORDER artifact (the dedup
+    * shuffle does not preserve source row order across >1 input
+    * partition), so StreamingSpec asserts equality on the
+    * canonical-independent projection — group count and each group's
+    * shared (lang, token count) — not on doc_id. */
   def streamingCleanCorpus(spark: SparkSession, dir: String,
                            salt: String = "graft_v1"): DataFrame = {
     val stream = spark.readStream
@@ -109,19 +112,9 @@ object CorpusPrep {
   }
 
   def cleanCorpusOracleSql(salt: String): String = {
-    // t10's per-word fold, replayed at word granularity (nested-lambda
-    // capture is avoided the same way as the t10/t8b oracles)
-    val repr = "chr(1) || array_to_string(list_transform(range(1, length(w) + 1), " +
-      "i -> substr(w, CAST(i AS INT), 1)), chr(1)) || chr(1)"
-    val folded = TextOps.bpeOracleFold(repr)
-    s"""WITH bw AS (
-       |  SELECT doc_id,
-       |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-       |      x -> x <> '')) AS w
-       |  FROM documents),
-       |bt AS (
-       |  SELECT doc_id, sum(length($folded) - length(w) - 1) AS n_bpe
-       |  FROM bw GROUP BY doc_id),
+    // t10's per-word fold, replayed through the SHARED wx/tc CTE pair
+    // (nested-lambda capture avoided the same way as the t10 oracle)
+    s"""WITH ${TextOps.bpeTokensCteSql},
        |sig AS (
        |  SELECT doc_id, lang, md5(text) AS fp,
        |    ('0x' || substr(md5('$salt' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS hb,
@@ -155,8 +148,8 @@ object CorpusPrep {
        |  FROM c)
        |SELECT k.doc_id, k.lang,
        |  CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val' ELSE 'test' END AS split,
-       |  CAST(coalesce(bt.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
-       |FROM k LEFT JOIN bt ON k.doc_id = bt.doc_id
+       |  CAST(coalesce(tc.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM k LEFT JOIN tc ON k.doc_id = tc.doc_id
        |WHERE k.keep AND k.doc_id = k.keep_id""".stripMargin
   }
 }

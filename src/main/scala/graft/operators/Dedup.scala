@@ -678,12 +678,16 @@ object Dedup {
     *
     * 100 TB shape: the explode multiplies rows by ~n_words/10 but
     * each carries only (doc_id, 32-char md5) — the text itself never
-    * shuffles (d1's digests-not-text discipline). The frequency agg
-    * partial-combines map-side; the spans⋈freq join shuffles both
-    * sides on fp, co-partitioned with the agg's exchange (AQE reuses
-    * it). No pair enumeration anywhere — unlike d2's posting lists
-    * there is no quadratic blowup to cap: a span repeated k times
-    * costs k rows, never k². */
+    * shuffles (d1's digests-not-text discipline). The distinct-doc
+    * count per fingerprint is a WINDOW set-collect over the fp
+    * partition, not a spans⋈freq self-join: the join form re-ran the
+    * whole scan+explode subtree on both sides (two document scans;
+    * the exchanges hash different plans so ReusedExchange never
+    * fires), while the window form is ONE scan and two digest-only
+    * exchanges (fp window, then doc_id rollup). Per-partition heap is
+    * O(distinct docs sharing the span) — linear, the k rows a
+    * repeated span costs anyway; no pair enumeration, no quadratic
+    * blowup to cap. */
   def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
     paragraphDedupOn(t(spark, dir, "documents").select(col("doc_id"), col("text")))
 
@@ -700,9 +704,9 @@ object Dedup {
         sequence(lit(1), ceil(size(col("ws")) / lit(w.toDouble)).cast("int")),
         c => md5(concat_ws(" ", slice(col("ws"), (c - lit(1)) * w + lit(1), lit(w))))
       )).as("fp"))
-    val freq = spans.groupBy(col("fp"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    spans.join(freq, "fp")
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    spans
+      .withColumn("nd", size(collect_set(col("doc_id")).over(byFp)).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))

@@ -408,17 +408,23 @@ object TextOps {
   }
 
   /** The rank-ordered merge fold as generated DuckDB SQL — shared by
-    * every oracle that replays t10's tokenizer (t10, t8b, c1). */
+    * every oracle that replays t10's tokenizer (t10, t8b, t11, c1). */
   private[operators] def bpeOracleFold(repr: String): String =
     bpeRules.foldLeft(repr) { case (acc, (p, r)) =>
       s"replace($acc, ${duckStr(p)}, ${duckStr(r)})"
     }
 
-  def bpeTokenCountsOracleSql: String = {
-    val repr = "chr(1) || array_to_string(list_transform(range(1, length(w) + 1), " +
+  /** The per-word separator-string representation (lambda var `w`). */
+  private val bpeWordReprSql: String =
+    "chr(1) || array_to_string(list_transform(range(1, length(w) + 1), " +
       "i -> substr(w, CAST(i AS INT), 1)), chr(1)) || chr(1)"
-    val folded = bpeOracleFold(repr)
-    s"""WITH wx AS (
+
+  /** The shared word-unnest + per-doc token-sum CTE pair (`wx`/`tc`) —
+    * ONE definition so the four tokenizer-replaying oracles cannot
+    * silently desynchronize. */
+  private[operators] def bpeTokensCteSql: String = {
+    val folded = bpeOracleFold(bpeWordReprSql)
+    s"""wx AS (
        |  SELECT doc_id,
        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
        |      x -> x <> '')) AS w
@@ -426,12 +432,15 @@ object TextOps {
        |tc AS (
        |  SELECT doc_id, count(*) AS n_words,
        |    sum(length($folded) - length(w) - 1) AS n_bpe
-       |  FROM wx GROUP BY doc_id)
+       |  FROM wx GROUP BY doc_id)""".stripMargin
+  }
+
+  def bpeTokenCountsOracleSql: String =
+    s"""WITH ${bpeTokensCteSql}
        |SELECT d.doc_id,
        |  CAST(coalesce(tc.n_words, 0) AS BIGINT) AS n_words,
        |  CAST(coalesce(tc.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
        |FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id""".stripMargin
-  }
 
   /** t8b: the t8 budget fill restated in MODEL tokens — same greedy
     * per-language salted-hash order, but the packed quantity is t10's
@@ -455,18 +464,8 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
   }
 
-  def tokenBudgetBpeOracleSql(budgetTokens: Long, salt: String): String = {
-    val repr = "chr(1) || array_to_string(list_transform(range(1, length(w) + 1), " +
-      "i -> substr(w, CAST(i AS INT), 1)), chr(1)) || chr(1)"
-    val folded = bpeOracleFold(repr)
-    s"""WITH wx AS (
-       |  SELECT doc_id,
-       |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-       |      x -> x <> '')) AS w
-       |  FROM documents),
-       |tc AS (
-       |  SELECT doc_id, sum(length($folded) - length(w) - 1) AS n_bpe
-       |  FROM wx GROUP BY doc_id),
+  def tokenBudgetBpeOracleSql(budgetTokens: Long, salt: String): String =
+    s"""WITH ${bpeTokensCteSql},
        |d AS (
        |  SELECT dd.doc_id, dd.lang,
        |    CAST(coalesce(tc.n_bpe, 0) AS BIGINT) AS n_tokens,
@@ -479,7 +478,6 @@ object TextOps {
        |  FROM d)
        |SELECT doc_id, lang, n_tokens, cum_before
        |FROM c WHERE cum_before < $budgetTokens""".stripMargin
-  }
 
   /** t11: SEQUENCE PACKING — the final step between a curated corpus
     * and a training run: concatenate documents (per language, in the
@@ -511,17 +509,7 @@ object TextOps {
   }
 
   def sequencePackOracleSql(ctxTokens: Long, salt: String): String = {
-    val repr = "chr(1) || array_to_string(list_transform(range(1, length(w) + 1), " +
-      "i -> substr(w, CAST(i AS INT), 1)), chr(1)) || chr(1)"
-    val folded = bpeOracleFold(repr)
-    s"""WITH wx AS (
-       |  SELECT doc_id,
-       |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-       |      x -> x <> '')) AS w
-       |  FROM documents),
-       |tc AS (
-       |  SELECT doc_id, sum(length($folded) - length(w) - 1) AS n_bpe
-       |  FROM wx GROUP BY doc_id),
+    s"""WITH ${bpeTokensCteSql},
        |d AS (
        |  SELECT dd.doc_id, dd.lang,
        |    CAST(coalesce(tc.n_bpe, 0) AS BIGINT) AS n_tokens,
@@ -573,7 +561,9 @@ object TextOps {
   /** The t10 tokenizer as a plain Scala function — the single source
     * of truth the spec pins both engines against. */
   private[operators] def bpeTokenCountScala(word: String): Int = {
-    val w = word.toLowerCase
+    // Locale.ROOT like Bpe.docTokens — default-locale lowercasing
+    // diverges on e.g. Turkish dotless-i JVMs
+    val w = word.toLowerCase(java.util.Locale.ROOT)
     val repr = BpeSep + w.toCharArray.mkString(BpeSep) + BpeSep
     val folded = bpeRules.foldLeft(repr) { case (acc, (p, r)) => acc.replace(p, r) }
     folded.length - w.length - 1

@@ -50,6 +50,9 @@ class ConnectorsSpec extends AnyFunSuite {
     val de = intercept[EngineException](
       g.execute("DELETE FROM jdb.ext_parts WHERE id = 1"))
     assert(de.getMessage.contains("JDBC"))
+    val te = intercept[EngineException](
+      g.execute("TRUNCATE TABLE jdb.ext_parts"))
+    assert(te.getMessage.contains("JDBC"))
     // and the external table is untouched
     val check2 = java.sql.DriverManager.getConnection(url)
     try {

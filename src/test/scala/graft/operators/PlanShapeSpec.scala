@@ -259,11 +259,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans == 1, s"c1 scans $scans times (want 1):\n$p")
   }
 
-  test("d11 span dedup: digest join, never a cross product") {
+  test("d11 span dedup: one scan, digest-only window — no self-join") {
     val p = plan(Dedup.paragraphDedup(spark, dir))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"d11 degenerated to a cross product:\n$p")
-    // the span⋈freq join carries fingerprints, not document text
-    assert(p.contains("partial_count"), s"freq agg lost map-side combine:\n$p")
+    // the round-8 review found the original spans⋈freq self-join
+    // re-ran the scan+explode subtree twice; the window form must not
+    assert(!p.contains("Join"), s"d11 self-joins (double scan):\n$p")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val scans = finalPlan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"d11 scans documents $scans times (want 1):\n$p")
   }
 }

@@ -55,16 +55,27 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("streaming corpus prep equals batch c1 on the ordered replay") {
+  test("streaming corpus prep equals batch c1 modulo canonical choice") {
+    import org.apache.spark.sql.functions.col
     val dir = SparkFixture.Sf0001
     runToMemory(
       graft.operators.CorpusPrep.streamingCleanCorpus(spark, dir), "stream_c1", "append")
-    val streamed = spark.table("stream_c1").collect().map(_.toSeq).toSet
-    val batch = graft.operators.CorpusPrep.cleanCorpus(spark, dir)
-      .collect().map(_.toSeq).toSet
-    // first-seen canonical == min-doc_id canonical because the replay
-    // file is doc_id-ordered (a checked testdata property)
-    assert(streamed.nonEmpty && streamed == batch)
+    val streamed = spark.table("stream_c1").collect()
+    val batch = graft.operators.CorpusPrep.cleanCorpus(spark, dir).collect()
+    // dropDuplicates keeps an ARBITRARY member of each dup group once
+    // rows shuffle across >1 input partition — so compare the
+    // canonical-INDEPENDENT projection: dup-group count plus each
+    // group's shared (lang, n_bpe_tokens); doc_id and the doc_id-keyed
+    // split are convention-dependent and excluded.
+    assert(streamed.nonEmpty && streamed.length == batch.length)
+    assert(
+      streamed.map(r => (r.getString(1), r.getLong(3))).sorted.toSeq ==
+        batch.map(r => (r.getString(1), r.getLong(3))).sorted.toSeq)
+    // every streamed survivor must itself pass the quality gate
+    val qualityIds = graft.operators.TextOps.repetitionFilter(spark, dir)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    streamed.foreach(r => assert(qualityIds(r.getLong(0)),
+      s"streamed doc ${r.getLong(0)} failed the quality gate"))
   }
 
   test("streaming incremental dedup classifies exactly like uncapped batch d7") {
