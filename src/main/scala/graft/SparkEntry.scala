@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreQueries => C, CorpusPrep, Dedup, GlueQueries, Multimodal, Similarity, Skew, TextOps}
+import graft.operators.{CoreQueries => C, CorpusPrep, Dedup, GlueQueries, Multimodal, Pii, Similarity, Skew, TextOps}
 import graft.streaming.EventOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -84,6 +84,10 @@ object SparkEntry {
     "c1_corpus_prep" -> ((s: SparkSession, d: String) => CorpusPrep.cleanCorpus(s, d)),
     "t11_sequence_pack" -> ((s: SparkSession, d: String) => TextOps.sequencePack(s, d)),
     "t12_fixed_k_sample" -> ((s: SparkSession, d: String) => TextOps.fixedKSample(s, d)),
+    "t13_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.shuffleShard(s, d)),
+    "t14_mixture_sample" -> ((s: SparkSession, d: String) => TextOps.mixtureSample(s, d)),
+    "p1_pii_scan" -> (Pii.piiScan _),
+    "p2_pii_positive" -> (Pii.piiPositive _),
     // ---- dedup ----
     "d1_exact_dedup" -> (Dedup.exactDedup _),
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -440,6 +444,10 @@ object SparkEntry {
     "c1_corpus_prep" -> CorpusPrep.cleanCorpusOracleSql("graft_v1"),
     "t11_sequence_pack" -> TextOps.sequencePackOracleSql(512L, "graft_v1"),
     "t12_fixed_k_sample" -> TextOps.fixedKSampleOracleSql(50, "graft_k1"),
+    "t13_shuffle_shard" -> TextOps.shuffleShardOracleSql(64, "graft_sh1"),
+    "t14_mixture_sample" -> TextOps.mixtureSampleOracleSql(60L, "graft_m1"),
+    "p1_pii_scan" -> Pii.piiScanOracleSql,
+    "p2_pii_positive" -> Pii.piiPositiveOracleSql,
     "m5_perceptual_hash" -> Multimodal.m5OracleSql,
     // m3 and m4 have no oracle entries on purpose: their outputs come
     // from the typed mapPartitions codec path (not SQL-expressible —

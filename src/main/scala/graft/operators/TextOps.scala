@@ -558,6 +558,92 @@ object TextOps {
        |  FROM h)
        |SELECT doc_id, lang, rk FROM r WHERE rk <= $k""".stripMargin
 
+  /** t13: deterministic corpus SHUFFLE-SHARDING — assign every
+    * document a (shard, pos) address in a reproducible random
+    * permutation, the layout a training job reads (webdataset /
+    * tfrecord sharding: N shard files, each internally shuffled,
+    * readers stream shards independently). shard = portable hash mod
+    * N gives balanced shards; pos = rank of the hash WITHIN the
+    * shard gives the in-shard shuffle order. Crucially there is no
+    * global sort and no single-partition window: the only wide op is
+    * one shuffle on `shard`, and each window partition holds
+    * ~corpus/N rows — at 100 TB you raise N to hold per-shard size
+    * at the target file size (1k–100k shards) and the plan is
+    * unchanged. Deterministic tie-break by doc_id. */
+  def shuffleShard(spark: SparkSession, dir: String, shards: Int = 64,
+                   salt: String = "graft_sh1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)).cast("long"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  def shuffleShardOracleSql(shards: Int, salt: String): String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('$salt' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents)
+       |SELECT doc_id, h % $shards AS shard,
+       |  CAST(row_number() OVER (PARTITION BY h % $shards ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+       |FROM h""".stripMargin
+
+  /** t14: MEASURED data-mixture construction — build a training mix
+    * that hits target per-source proportions of a fixed document
+    * budget, with keep-rates derived from the OBSERVED source sizes
+    * (the DoReMi/Pile move: the mixture spec is in proportions, the
+    * corpus is whatever it is, the engine closes the gap). Two
+    * phases: a source-cardinality aggregate (rows = #sources, tiny)
+    * joined broadcast back onto the corpus, then the same pure
+    * (salt, doc_id) hash filter as t5/t7 — so membership is still
+    * deterministic and growth-stable FOR A GIVEN rate table, and the
+    * whole plan is one tiny agg + one broadcast join + a narrow
+    * filter: 100 TB-safe, no corpus shuffle. Rates are integer ppm
+    * (floor division) so Spark and the oracle agree bit-for-bit;
+    * a source whose target exceeds its size caps at keep-all. */
+  val MixtureWeights: Seq[(String, Int)] = // target % of the budget
+    Seq("src0" -> 30, "src1" -> 25, "src2" -> 20, "src3" -> 15, "src4" -> 10)
+
+  def mixtureSample(spark: SparkSession, dir: String, budget: Long = 60L,
+                    salt: String = "graft_m1"): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val wExpr = MixtureWeights.foldRight(lit(0L): org.apache.spark.sql.Column) {
+      case ((s0, w0), acc) => when(col("source") === s0, lit(w0.toLong)).otherwise(acc)
+    }
+    val rates = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+      .withColumn("w", wExpr)
+      .filter(col("w") > 0)
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr("(1000000 * " + budget + " * w) div (100 * cnt)")))
+      .select(col("source"), col("rate_ppm"))
+    val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id"))) % 1000000L
+    docs.join(broadcast(rates), "source")
+      .filter(h < col("rate_ppm"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  def mixtureSampleOracleSql(budget: Long, salt: String): String = {
+    val vals = MixtureWeights.map { case (s0, w0) => s"('$s0', $w0)" }.mkString(", ")
+    s"""WITH w(source, w) AS (VALUES $vals),
+       |c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+       |r AS (
+       |  SELECT c.source,
+       |    least(1000000, (1000000 * $budget * w.w) // (100 * c.cnt)) AS rate_ppm
+       |  FROM c JOIN w USING (source)),
+       |h AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5('$salt' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS hb
+       |  FROM documents)
+       |SELECT h.doc_id, h.source
+       |FROM h JOIN r ON h.source = r.source
+       |WHERE h.hb < r.rate_ppm""".stripMargin
+  }
+
   /** The t10 tokenizer as a plain Scala function — the single source
     * of truth the spec pins both engines against. */
   private[operators] def bpeTokenCountScala(word: String): Int = {

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Positive-match coverage for the PII detector/redactor. The p1
+  * battery entry proves no-false-positives over natural prose and
+  * byte-identical pass-through; p2 proves engine agreement on
+  * constructed PII; this spec pins the DETECTION semantics on
+  * crafted edge cases the corpus can't contain. */
+class PiiSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.session
+  private val dir = SparkFixture.Sf0001
+
+  private def redactOne(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(Pii.redact(col("t"))).head().getString(0)
+  }
+
+  test("emails, IPs and phones are each detected and redacted") {
+    assert(redactOne("mail a.b+c@ex-1.co or x@y.io now") ==
+      "mail <EMAIL> or <EMAIL> now")
+    assert(redactOne("ping 10.0.255.1 and 1.2.3.4.") ==
+      "ping <IP> and <IP>.")
+    assert(redactOne("call 555-123-4567 or 555.111.2222") ==
+      "call <PHONE> or <PHONE>")
+  }
+
+  test("mixed text redacts in email -> IP -> phone order") {
+    assert(redactOne("u9@h.example.com from 1.2.3.4 call 800-555-0100") ==
+      "<EMAIL> from <IP> call <PHONE>")
+  }
+
+  test("near-misses survive: bare @, short TLD, decimals, 5-digit runs") {
+    for (s <- Seq("a@b no tld", "version 1.2 and 3.4", "zip 12345-6789",
+                  "ratio 1.5 of 3", "at 12.34.56 sharp"))
+      assert(redactOne(s) == s, s"false positive on: $s")
+  }
+
+  test("structural recall: out-of-range IPv4 shape still redacts") {
+    assert(redactOne("odd 999.999.999.999 addr") == "odd <IP> addr")
+  }
+
+  test("p2 constructed rows all carry exactly one of each PII class") {
+    val agg = Pii.piiPositive(spark, dir)
+      .agg(min("n_emails"), max("n_emails"), min("n_ips"), max("n_ips"),
+        min("n_phones"), max("n_phones"), count(lit(1)))
+      .head()
+    assert(agg.getLong(6) > 0)
+    for (i <- 0 until 6)
+      assert(agg.getLong(i) == 1L, s"field $i expected exactly 1 match per row")
+  }
+
+  test("p1 over the prose corpus: zero matches, text byte-identical") {
+    val joined = Pii.piiScan(spark, dir)
+      .join(graft.Tables.t(spark, dir, "documents"), "doc_id")
+    val bad = joined.filter(
+      col("n_emails") =!= 0 || col("n_ips") =!= 0 || col("n_phones") =!= 0 ||
+        col("redacted_md5") =!= md5(col("text"))).count()
+    assert(bad == 0L)
+  }
+}

@@ -268,4 +268,33 @@ class PlanShapeSpec extends AnyFunSuite {
     val scans = finalPlan.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"d11 scans documents $scans times (want 1):\n$p")
   }
+
+  test("t13 shuffle-shard: windows partition by shard, never a global sort") {
+    val p = plan(TextOps.shuffleShard(spark, dir))
+    // pos must come from a per-shard window (hashpartitioning on
+    // shard), NOT a single-partition global row_number — the former
+    // scales with shard count, the latter funnels 100 TB through one
+    // task
+    assert(p.contains("hashpartitioning(shard"),
+      s"t13 does not partition its window by shard:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"t13 collapses to a single partition:\n$p")
+  }
+
+  test("t14 mixture: rate table broadcasts, corpus never shuffles") {
+    val p = plan(TextOps.mixtureSample(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"t14 rate join did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"t14 shuffled the corpus for a #sources-row rate table:\n$p")
+  }
+
+  test("p1 PII scan: pure narrow projection — no exchange, no join") {
+    val p = plan(Pii.piiScan(spark, dir))
+    assert(!p.contains("Exchange"), s"p1 shuffles:\n$p")
+    assert(!p.contains("Join"), s"p1 joins:\n$p")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"p1 did not prune the scan: $read")
+  }
 }
