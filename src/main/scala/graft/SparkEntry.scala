@@ -88,6 +88,7 @@ object SparkEntry {
     "t14_mixture_sample" -> ((s: SparkSession, d: String) => TextOps.mixtureSample(s, d)),
     "p1_pii_scan" -> (Pii.piiScan _),
     "p2_pii_positive" -> (Pii.piiPositive _),
+    "m6_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.phashDups(s, d)),
     // ---- dedup ----
     "d1_exact_dedup" -> (Dedup.exactDedup _),
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -448,6 +449,7 @@ object SparkEntry {
     "t14_mixture_sample" -> TextOps.mixtureSampleOracleSql(60L, "graft_m1"),
     "p1_pii_scan" -> Pii.piiScanOracleSql,
     "p2_pii_positive" -> Pii.piiPositiveOracleSql,
+    "m6_phash_dup" -> Multimodal.phashDupsOracleSql(20, graft.operators.Dedup.MaxBandBucket),
     "m5_perceptual_hash" -> Multimodal.m5OracleSql,
     // m3 and m4 have no oracle entries on purpose: their outputs come
     // from the typed mapPartitions codec path (not SQL-expressible —

@@ -238,6 +238,79 @@ object Multimodal {
        |  CAST(n AS BIGINT) AS n_bytes
        |FROM b""".stripMargin
 
+  /** m6: perceptual NEAR-DUPLICATE detection over binary media — the
+    * image-dedup tier of a multimodal pipeline (the LAION recipe:
+    * perceptual hash, then hamming-ball grouping), composed from m5's
+    * blockhash and d3's banded-LSH machinery. The 60-bit hash splits
+    * into 4 bands × 15 bits: by pigeonhole, any pair within hamming
+    * distance 3 shares at least one exact band, so banding is a
+    * LOSSLESS candidate generator at that radius and a recall-tuned
+    * one beyond. Candidates pair only inside band buckets (one
+    * shuffle on the 15-bit band key, Σ n_b² work, never n²; buckets
+    * past the d3 cap drop whole — byte-identical payloads that d1
+    * already collapses), then exact popcount(xor) verifies. The
+    * corpus-wide threshold here is tuned to the synthetic corpus'
+    * hash distribution (min observed distance 10); real imagery
+    * uses 3–6. */
+  val PhashBands = 4
+  val PhashBandBits: Int = PHashBits / PhashBands // 15
+
+  def phashDups(spark: SparkSession, dir: String, maxHamming: Int = 20,
+                maxBucket: Int = Dedup.MaxBandBucket): DataFrame = {
+    val mask = (1L << PhashBandBits) - 1
+    val bands = m5PerceptualHash(spark, dir)
+      .select(col("doc_id"), col("phash"),
+        explode(array((0 until PhashBands).map { b =>
+          struct(lit(b).as("band_id"),
+            shiftright(col("phash"), b * PhashBandBits)
+              .bitwiseAND(mask).as("band_key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("phash"), col("bk.band_id"), col("bk.band_key"))
+    bands
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("phash")))).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+      // all (i < j) pairs inside the bucket; ms sorted by doc_id so
+      // id_a < id_b by construction (the d3 pair-generation shape)
+      .select(explode(expr(
+        """flatten(transform(ms, (a, i) ->
+          |  transform(slice(ms, i + 2, size(ms) - i - 1), b ->
+          |    named_struct('id_a', a.doc_id, 'id_b', b.doc_id,
+          |      'hamming', bit_count(a.phash ^ b.phash)))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").cast("long").as("hamming"))
+      .distinct() // a pair sharing k bands appears k times, same hamming
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def phashDupsOracleSql(maxHamming: Int, maxBucket: Int): String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |b0 AS (SELECT doc_id, n, text,
+       |  list_sum(list_transform(range(1, n + 1),
+       |    i -> ascii(substr(text, CAST(i AS INT), 1)))) AS total FROM d),
+       |ph AS (SELECT doc_id,
+       |  CAST(coalesce(list_sum(list_transform(range($PHashBits), blk ->
+       |    CASE WHEN n * list_sum(list_transform(
+       |          range(blk * n // $PHashBits + 1, (blk + 1) * n // $PHashBits + 1),
+       |          i -> ascii(substr(text, CAST(i AS INT), 1)))) >
+       |        total * ((blk + 1) * n // $PHashBits - blk * n // $PHashBits)
+       |    THEN (CAST(1 AS BIGINT) << blk) ELSE 0 END)), 0) AS BIGINT) AS phash
+       |  FROM b0),
+       |bands AS (
+       |  SELECT doc_id, phash, b,
+       |    (phash >> (b * $PhashBandBits)) & ${(1L << PhashBandBits) - 1} AS bv
+       |  FROM ph, range($PhashBands) t(b)),
+       |buck AS (
+       |  SELECT b, bv FROM bands GROUP BY b, bv
+       |  HAVING count(*) > 1 AND count(*) <= $maxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.phash, c.phash)) AS BIGINT) AS hamming
+       |  FROM bands a
+       |  JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+       |  JOIN buck k ON a.b = k.b AND a.bv = k.bv)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= $maxHamming""".stripMargin
+
   /** m3 as a DataFrame battery entry (histogram dropped: entropy is
     * the scalar summary; the full vector is exercised in the spec). */
   def m3FeatureSummary(spark: SparkSession, dir: String): DataFrame =

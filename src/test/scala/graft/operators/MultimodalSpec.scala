@@ -120,6 +120,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(blockHash(rnd) == expected)
   }
 
+  test("m6 phash dups: exactly the band-sharing pairs within the radius") {
+    // Brute-force arbitration in the driver (50 docs at sf0.001):
+    // m6 must emit precisely the pairs that (a) share at least one
+    // 15-bit band of their blockhash and (b) have popcount(xor) <=
+    // the radius — banding loses only pairs sharing NO band.
+    import Multimodal.{PhashBands, PhashBandBits}
+    val maxH = 20
+    val hashes = Multimodal.m5PerceptualHash(spark, dir)
+      .select(col("doc_id"), col("phash")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val mask = (1L << PhashBandBits) - 1
+    val expected = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      (ida, ha) = hashes(i); (idb, hb) = hashes(j)
+      if (0 until PhashBands).exists(b =>
+        ((ha >> (b * PhashBandBits)) & mask) == ((hb >> (b * PhashBandBits)) & mask))
+      h = java.lang.Long.bitCount(ha ^ hb)
+      if h <= maxH
+    } yield (ida, idb, h.toLong)).toSet
+    val got = Multimodal.phashDups(spark, dir, maxH).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"m6 mismatch: extra=${got -- expected} missing=${expected -- got}")
+    // the guarantee the banding is built on: radius <= 3 is lossless
+    // (any such pair differs in <= 3 of 4 bands, so one band matches)
+    for ((ida, idb, _) <- expected if java.lang.Long.bitCount(
+        hashes.find(_._1 == ida).get._2 ^ hashes.find(_._1 == idb).get._2) <= PhashBands - 1)
+      assert(got.exists(p => p._1 == ida && p._2 == idb))
+  }
+
   test("stored media table prunes content for metadata-only queries") {
     // The at-scale claim: once media lives in parquet, a query on
     // meta/doc_id must not read the (huge) content column chunks.

@@ -289,6 +289,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"t14 shuffled the corpus for a #sources-row rate table:\n$p")
   }
 
+  test("m6 phash dups: in-bucket pair generation — no join, no cross product") {
+    val p = plan(Multimodal.phashDups(spark, dir))
+    // pairs come from explode inside band buckets (the d3 shape), so
+    // the plan must contain NO join of any kind — a self-join here
+    // would recompute the mapPartitions hash pass twice and a cross
+    // product would be n²
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"m6 pairs via join instead of in-bucket explode:\n$p")
+  }
+
   test("p1 PII scan: pure narrow projection — no exchange, no join") {
     val p = plan(Pii.piiScan(spark, dir))
     assert(!p.contains("Exchange"), s"p1 shuffles:\n$p")
