@@ -89,6 +89,7 @@ object SparkEntry {
     "p1_pii_scan" -> (Pii.piiScan _),
     "p2_pii_positive" -> (Pii.piiPositive _),
     "m6_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.phashDups(s, d)),
+    "t15_corpus_card" -> (TextOps.corpusCard _),
     // ---- dedup ----
     "d1_exact_dedup" -> (Dedup.exactDedup _),
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -450,6 +451,7 @@ object SparkEntry {
     "p1_pii_scan" -> Pii.piiScanOracleSql,
     "p2_pii_positive" -> Pii.piiPositiveOracleSql,
     "m6_phash_dup" -> Multimodal.phashDupsOracleSql(20, graft.operators.Dedup.MaxBandBucket),
+    "t15_corpus_card" -> TextOps.corpusCardOracleSql,
     "m5_perceptual_hash" -> Multimodal.m5OracleSql,
     // m3 and m4 have no oracle entries on purpose: their outputs come
     // from the typed mapPartitions codec path (not SQL-expressible —

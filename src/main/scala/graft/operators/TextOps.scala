@@ -644,6 +644,37 @@ object TextOps {
        |WHERE h.hb < r.rate_ppm""".stripMargin
   }
 
+  /** t15: the CORPUS CARD — the per-(lang, source) summary table a
+    * pipeline publishes with every dataset release (datasheet /
+    * data-card row counts: docs, whitespace tokens, chars, length
+    * extremes). One scan, one map-side-combined aggregate whose
+    * output is #strata rows — at 100 TB this is the cheapest wide op
+    * in the battery (the exchange carries a few hundred partial-agg
+    * rows per task). Every output stays integral so the oracle
+    * hash-matches without float formatting hazards; means/ratios are
+    * the caller's division away. */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars_total"),
+        min(col("chars")).as("min_chars"),
+        max(col("chars")).as("max_chars"))
+
+  val corpusCardOracleSql: String =
+    """SELECT lang, source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
+      |  CAST(min(length(text)) AS BIGINT) AS min_chars,
+      |  CAST(max(length(text)) AS BIGINT) AS max_chars
+      |FROM documents
+      |GROUP BY lang, source""".stripMargin
+
   /** The t10 tokenizer as a plain Scala function — the single source
     * of truth the spec pins both engines against. */
   private[operators] def bpeTokenCountScala(word: String): Int = {
