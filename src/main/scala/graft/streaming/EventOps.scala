@@ -391,6 +391,45 @@ object EventOps {
       .toDF("user_id", "event_id", "ts_us", "purchase_value", "view_value")
   }
 
+  /** Streaming twin for e4's funnel: per-user state is the earliest
+    * timestamp of each stage seen so far — three longs per user,
+    * trivially bounded however long the stream runs. Stage booleans
+    * (viewed / clicked-after-view / purchased-after-click, strict
+    * ordering like batch e4) are emitted in update mode. They are NOT
+    * monotone — an earlier click arriving late can flip
+    * clicked_after_view back to false — so each emission carries
+    * n_seen, the count of this user's events processed, which IS
+    * monotone: the spec selects each user's max-n_seen row as the
+    * final snapshot, making the contract exact under any batch split
+    * (min-updates are order-independent). The batch global rollup is
+    * a four-column aggregate over this frame. */
+  def streamingFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val typed = eventStream(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, Long)]
+    val M = Long.MaxValue
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long),
+        (Long, Long, Boolean, Boolean, Boolean)](GroupStateTimeout.NoTimeout) {
+        case (user, events, state) =>
+          var (n, v, c, p) = state.getOption.getOrElse((0L, M, M, M))
+          events.foreach { e =>
+            n += 1
+            e._2 match {
+              case "view" => if (e._3 < v) v = e._3
+              case "click" => if (e._3 < c) c = e._3
+              case "purchase" => if (e._3 < p) p = e._3
+              case _ => ()
+            }
+          }
+          state.update((n, v, c, p))
+          (user, n, v != M, v != M && c != M && c > v, c != M && p != M && p > c)
+      }
+      .toDF("user_id", "n_seen", "viewed", "clicked_after_view", "purchased_after_click")
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user
     * event count + latest event time (the KeyValueGroupedDataset
     * state path a gap-sessionizer builds on; update-mode emission

@@ -180,6 +180,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming funnel stages equal the batch per-user funnel frame") {
+    val dir = SparkFixture.Sf0001
+    runToMemory(EventOps.streamingFunnel(spark, dir), "stream_funnel", "update")
+    import org.apache.spark.sql.functions._
+    // final snapshot per user = the max-n_seen emission (n_seen is
+    // monotone; the stage booleans themselves are not)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_seen").desc)
+    val streamed = spark.table("stream_funnel")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("user_id", "viewed", "clicked_after_view", "purchased_after_click")
+      .collect().map(_.toSeq).toSet
+    val firstOf = (typ: String) =>
+      min(when(col("event_type") === typ, col("ts"))).as(s"first_$typ")
+    val batch = graft.Tables.t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+      .select(col("user_id"),
+        col("first_view").isNotNull.as("viewed"),
+        coalesce(col("first_click") > col("first_view"), lit(false)).as("cav"),
+        coalesce(col("first_purchase") > col("first_click"), lit(false)).as("pac"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming as-of attribution equals the batch as-of join") {
     val dir = SparkFixture.Sf0001
     runToMemory(EventOps.streamingAsof(spark, dir), "stream_asof", "append")
