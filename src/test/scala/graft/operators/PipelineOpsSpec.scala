@@ -265,6 +265,50 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(nb >= nw, s"doc $id: fewer BPE tokens than words") }
   }
 
+  test("t13 shuffle-shard: permutation is total, balanced, growth-stable") {
+    val rows = TextOps.shuffleShard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // total: every doc addressed exactly once
+    assert(rows.map(_._1).distinct.length == docs.length && rows.length == docs.length)
+    // within each shard, pos is exactly 0..n-1 (a dense training index)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // shard assignment is a pure (salt, doc_id) function: recomputing
+    // it over a corpus PREFIX changes nobody's shard (growth
+    // stability — new docs never re-shard old ones). pos may shift.
+    val half = docs.map(_._1).sorted.take(docs.length / 2).toSet
+    val fullShard = rows.map(r => r._1 -> r._2).toMap
+    val prefixShard = TextOps.shuffleShard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => half.contains(p._1)).toMap
+    assert(prefixShard.forall { case (id, s) => fullShard(id) == s })
+  }
+
+  test("t14 mixture: rates follow the weight spec, membership is pure") {
+    val kept = TextOps.mixtureSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    // only weighted sources appear
+    val weighted = TextOps.MixtureWeights.map(_._1).toSet
+    assert(bySource.keySet.subsetOf(weighted))
+    // driver-side replay of the rate arithmetic: counts, integer-ppm
+    // rates, hash filter — must reproduce the kept set exactly
+    val srcOf = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val counts = srcOf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val budget = 60L
+    val rate = TextOps.MixtureWeights.map { case (s, w) =>
+      s -> math.min(1000000L, 1000000L * budget * w / (100L * counts(s)))
+    }.toMap
+    val expected = srcOf.filter { case (id, s) =>
+      rate.get(s).exists(r => pHash(s"graft_m1:$id") % 1000000L < r)
+    }.toSet
+    assert(kept.toSet == expected && kept.nonEmpty)
+  }
+
   test("t9 corpus-frequency score matches a driver-side brute force") {
     val allToks = docs.flatMap(_._2.trim.split("\\s+"))
     val freq = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
