@@ -110,6 +110,67 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** d12: WINNOWING fingerprint matching (Schleimer et al. 2003 —
+    * the MOSS local-fingerprinting algorithm; public-domain spec).
+    * Hash every word [[WinnowK]]-gram, slide a window of [[WinnowW]]
+    * consecutive hashes, keep each window's minimum: the selected
+    * ~2/(W+1) fraction of gram hashes carries a GUARANTEE d2's full
+    * posting set buys with 2.5× the index — any shared word run of
+    * length ≥ W + K − 1 produces at least one shared fingerprint
+    * (both docs' windows over that run select the same minimum), and
+    * nothing shorter than K is ever detected. Selection is one
+    * narrow higher-order expression per doc (the gram-hash array is
+    * bound ONCE via lambda scoping — the c1 lesson: a plain column
+    * reference would re-inline the transform per consumer); matching
+    * reuses d2's capped posting-list shape — group by fingerprint,
+    * DF cap bounds the quadratic term, pairs generated inside each
+    * list, never a self-join. Shuffles carry 8-byte fingerprints. */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  private def winnowFps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= WinnowK)
+      .select(col("doc_id"), explode(expr(
+        s"""flatten(transform(array(
+           |  transform(sequence(1, size(w) - ${WinnowK - 1}), i ->
+           |    cast(conv(substring(md5(concat_ws(' ', slice(w, i, $WinnowK))), 1, 15), 16, 10) as bigint))),
+           |  hs -> array_distinct(transform(sequence(1, greatest(size(hs) - ${WinnowW - 1}, 1)), j ->
+           |    array_min(slice(hs, j, $WinnowW))))))""".stripMargin)).as("fp"))
+
+  def winnowDups(spark: SparkSession, dir: String, minShared: Long = 2L,
+                 maxDf: Int = MaxShingleDf): DataFrame =
+    winnowFps(spark, dir)
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
+          |    named_struct('id_a', a, 'id_b', b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
+  def winnowDupsOracleSql(minShared: Long, maxDf: Int): String =
+    s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+       |g AS (SELECT doc_id,
+       |  list_transform(range(1, len(ws) - ${WinnowK - 1} + 1), i ->
+       |    ('0x' || substr(md5(array_to_string(list_slice(ws, i, i + ${WinnowK - 1}), ' ')), 1, 15))::BIGINT) AS hs
+       |  FROM w WHERE len(ws) >= $WinnowK),
+       |f AS (SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(hs) - ${WinnowW - 1}, 1) + 1), j ->
+       |    list_min(list_slice(hs, j, j + ${WinnowW - 1}))))) AS fp
+       |  FROM g),
+       |posting AS (SELECT fp FROM f GROUP BY fp
+       |  HAVING count(*) > 1 AND count(*) <= $maxDf),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  JOIN posting p ON a.fp = p.fp
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= $minShared""".stripMargin
+
   /** Per-doc MinHash signature (NumHashes portable permutations).
     * One narrow pass over shingles + one groupBy(doc_id). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {

@@ -265,6 +265,48 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(nb >= nw, s"doc $id: fewer BPE tokens than words") }
   }
 
+  private def winnowOf(words: Seq[String]): Set[Long] =
+    if (words.length < Dedup.WinnowK) Set.empty
+    else {
+      val hs = words.sliding(Dedup.WinnowK).map(g => pHash(g.mkString(" "))).toVector
+      val wins = math.max(hs.length - (Dedup.WinnowW - 1), 1)
+      (0 until wins).map(j => hs.slice(j, j + Dedup.WinnowW).min).toSet
+    }
+
+  test("d12 winnowing pairs match a driver-side brute force") {
+    val fps = docs.map { case (id, text, _) =>
+      id -> winnowOf(text.trim.split("\\s+").toSeq)
+    }.filter(_._2.nonEmpty)
+    val postings = fps.flatMap { case (id, s) => s.map(fp => fp -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+      .filter { case (_, ds) => ds.length > 1 && ds.length <= Dedup.MaxShingleDf }
+    val expected = postings.toSeq
+      .flatMap { case (_, ds) => for (i <- ds.indices; j <- (i + 1) until ds.length) yield (ds(i), ds(j)) }
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2L)
+      .map { case ((a, b), n) => (a, b, n) }.toSet
+    val got = Dedup.winnowDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("d12 winnowing guarantee: a shared W+K-1 word run shares a fingerprint") {
+    // Schleimer et al.'s correctness property, exercised on crafted
+    // streams the corpus can't guarantee: two word sequences sharing
+    // a contiguous run of >= W + K - 1 words must select at least
+    // one common fingerprint, wherever the run sits in either doc.
+    val runLen = Dedup.WinnowW + Dedup.WinnowK - 1
+    val rng = new scala.util.Random(7)
+    def word(i: Int) = s"w${i}x${rng.nextInt(1000)}"
+    for (trial <- 0 until 25) {
+      val run = Seq.tabulate(runLen)(i => s"shared${trial}n$i")
+      val a = Seq.fill(rng.nextInt(20))(word(trial)) ++ run ++ Seq.fill(rng.nextInt(20))(word(trial + 1))
+      val b = Seq.fill(rng.nextInt(20))(word(trial + 2)) ++ run ++ Seq.fill(rng.nextInt(20))(word(trial + 3))
+      assert(winnowOf(a).intersect(winnowOf(b)).nonEmpty,
+        s"trial $trial: shared $runLen-word run produced no shared fingerprint")
+    }
+  }
+
   test("t13 shuffle-shard: permutation is total, balanced, growth-stable") {
     val rows = TextOps.shuffleShard(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
