@@ -572,6 +572,80 @@ object Similarity {
        |ORDER BY cos_sim DESC, n.vec_id ASC LIMIT $k""".stripMargin
   }
 
+  /** s10: SCALAR-QUANTIZED top-k (FAISS SQ8): per-dimension linear
+    * int8 quantization — the other point on the compression/recall
+    * curve from s8's PQ (4× smaller index vs 32×, far higher recall,
+    * no codebook training). Train = one tiny min/max aggregate (2×Dim
+    * doubles to the driver — the centroid sync class); encode =
+    * clamp(floor((x−mn)·255/(mx−mn))) as ONE narrow expression;
+    * search = asymmetric distance against the float query over
+    * RECONSTRUCTED values (mn + (code+0.5)·span/255), summed in
+    * index order via a left fold so the oracle's replay is
+    * bit-identical (the d5/s1 convention). A constant dimension
+    * (mx = mn) encodes 0 and reconstructs its midpoint. At 100 TB
+    * the scan reads the int8 index, never the float vectors. */
+  def sqTopK(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val e = vectors(spark, dir)
+    val aggs = (0 until Dim).flatMap { i =>
+      Seq(min(element_at(col("v"), i + 1)).as(s"mn$i"),
+        max(element_at(col("v"), i + 1)).as(s"mx$i"))
+    }
+    val mmRow = e.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val mns = (0 until Dim).map(i => mmRow.getDouble(2 * i))
+    val mxs = (0 until Dim).map(i => mmRow.getDouble(2 * i + 1))
+    val qv = e.filter(col("vec_id") === qid)
+      .select(col("v")).collect()(0).getSeq[Double](0).toIndexedSeq
+    val mnLit = array(mns.map(lit): _*)
+    val mxLit = array(mxs.map(lit): _*)
+    val codeExpr = transform(sequence(lit(0), lit(Dim - 1)), i => {
+      val mn = element_at(mnLit, i + 1); val mx = element_at(mxLit, i + 1)
+      val x = element_at(col("v"), i + 1)
+      when(mx > mn,
+        least(lit(255L), greatest(lit(0L),
+          floor((x - mn) * lit(255.0) / (mx - mn)))))
+        .otherwise(lit(0L))
+    })
+    val qLit = array(qv.map(lit): _*)
+    e.select(col("vec_id"), codeExpr.as("cs"))
+      .select(col("vec_id"),
+        array_join(transform(col("cs"), c => c.cast("string")), "-").as("code_str"),
+        aggregate(sequence(lit(0), lit(Dim - 1)), lit(0.0), (acc, i) => {
+          val mn = element_at(mnLit, i + 1); val mx = element_at(mxLit, i + 1)
+          val r = mn + (element_at(col("cs"), i + 1).cast("double") + lit(0.5)) *
+            (mx - mn) / lit(255.0)
+          val d = element_at(qLit, i + 1) - r
+          acc + d * d
+        }).as("adist"))
+      .filter(col("vec_id") =!= qid)
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Oracle: replay min/max training, encoding and the fixed-order
+    * reconstruction-distance sum from the same parquet. */
+  def sqTopKOracleSql(qid: Long, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |mm0 AS (
+       |  SELECT r.i AS i, min(e.v[r.i + 1]) AS mn, max(e.v[r.i + 1]) AS mx
+       |  FROM e, range($Dim) r(i) GROUP BY r.i),
+       |mm AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm0),
+       |codes AS (
+       |  SELECT e.vec_id, list_transform(range($Dim), i ->
+       |    CASE WHEN mm.mxs[i + 1] > mm.mns[i + 1]
+       |      THEN CAST(least(255, greatest(0,
+       |        floor((e.v[i + 1] - mm.mns[i + 1]) * 255.0 / (mm.mxs[i + 1] - mm.mns[i + 1])))) AS BIGINT)
+       |      ELSE 0 END) AS cs
+       |  FROM e, mm),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $qid)
+       |SELECT c.vec_id,
+       |  array_to_string(c.cs, '-') AS code_str,
+       |  list_sum(list_transform(range($Dim), i ->
+       |    (q.qv[i + 1] - (mm.mns[i + 1] + (c.cs[i + 1] + 0.5) * (mm.mxs[i + 1] - mm.mns[i + 1]) / 255.0))
+       |    * (q.qv[i + 1] - (mm.mns[i + 1] + (c.cs[i + 1] + 0.5) * (mm.mxs[i + 1] - mm.mns[i + 1]) / 255.0)))) AS adist
+       |FROM codes c, mm, q
+       |WHERE c.vec_id <> $qid
+       |ORDER BY adist ASC, c.vec_id ASC LIMIT $k""".stripMargin
+
   /** Bucket histogram — sanity view of LSH spread (skew check). */
   def lshBucketStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")

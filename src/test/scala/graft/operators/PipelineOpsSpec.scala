@@ -101,6 +101,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s10 SQ8: codes, reconstruction distances and top-k match a brute force") {
+    val vecs = t(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).sortBy(_._1)
+    val dim = vecs.head._2.length
+    val mns = (0 until dim).map(i => vecs.map(_._2(i)).min)
+    val mxs = (0 until dim).map(i => vecs.map(_._2(i)).max)
+    def code(v: IndexedSeq[Double], i: Int): Long =
+      if (mxs(i) > mns(i))
+        math.min(255L, math.max(0L, math.floor((v(i) - mns(i)) * 255.0 / (mxs(i) - mns(i))).toLong))
+      else 0L
+    val qv = vecs.find(_._1 == 0L).get._2
+    val expected = vecs.filter(_._1 != 0L).map { case (id, v) =>
+      val d = (0 until dim).foldLeft(0.0) { (acc, i) =>
+        val r = mns(i) + (code(v, i) + 0.5) * (mxs(i) - mns(i)) / 255.0
+        val diff = qv(i) - r
+        acc + diff * diff
+      }
+      (id, (0 until dim).map(i => code(v, i)).mkString("-"), d)
+    }.sortBy(p => (p._3, p._1)).take(10)
+    val got = Similarity.sqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == expected.toSeq)
+    // recall sanity: with 255 levels per dim, SQ8 top-10 should agree
+    // almost perfectly with the exact-L2 top-10
+    val exact = vecs.filter(_._1 != 0L).map { case (id, v) =>
+      id -> (0 until dim).foldLeft(0.0) { (acc, i) =>
+        val diff = qv(i) - v(i); acc + diff * diff
+      }
+    }.sortBy(p => (p._2, p._1)).take(10).map(_._1).toSet
+    assert(got.map(_._1).count(exact.contains) >= 8,
+      s"SQ8 top-10 overlaps exact-L2 top-10 in fewer than 8 ids")
+  }
+
   test("d10 semantic dedup: within-cluster pairs only, exact cosines, soft cap") {
     import org.apache.spark.sql.functions.col
     val e = Similarity.vectors(spark, dir)
