@@ -107,6 +107,7 @@ object SparkEntry {
     "d11_paragraph_dedup" -> (Dedup.paragraphDedup _),
     "d12_winnow_dups" -> ((s: SparkSession, d: String) => Dedup.winnowDups(s, d)),
     "s10_sq_topk" -> ((s: SparkSession, d: String) => Similarity.sqTopK(s, d)),
+    "m7_frame_dedup" -> (Multimodal.m7FrameDedup _),
     // ---- engine facade round trips (SURVEY.md §2.10–§2.11) ----
     "g1_ddl_roundtrip" -> (GlueQueries.g1DdlRoundtrip _),
     "g2_insert_select" -> (GlueQueries.g2InsertSelect _),
@@ -444,6 +445,7 @@ object SparkEntry {
     "d11_paragraph_dedup" -> Dedup.paragraphDedupOracleSql,
     "d12_winnow_dups" -> Dedup.winnowDupsOracleSql(2L, Dedup.MaxShingleDf),
     "s10_sq_topk" -> Similarity.sqTopKOracleSql(0L, 10),
+    "m7_frame_dedup" -> Multimodal.m7OracleSql,
     "t9_corpus_freq" -> TextOps.corpusFreqScoreOracleSql,
     "t10_bpe_tokens" -> TextOps.bpeTokenCountsOracleSql,
     "t8b_bpe_budget" -> TextOps.tokenBudgetBpeOracleSql(3000L, "graft_v1"),

@@ -238,6 +238,44 @@ object Multimodal {
        |  CAST(n AS BIGINT) AS n_bytes
        |FROM b""".stripMargin
 
+  /** m7: cross-video repeated-FRAME detection — frame-level exact
+    * dedup (the video analogue of d1: find boilerplate frames —
+    * intros, slates, black frames — shared across videos or repeated
+    * within one). Every FrameSize-byte frame is fingerprinted and
+    * the digests grouped: the output is the full frame-fingerprint
+    * inventory (occurrences, distinct videos, first doc), whose
+    * n_occurrences > 1 subset is the dup report — the d1 convention
+    * that keeps the oracle check non-vacuous on a corpus with no
+    * repeats. The shuffle carries 32-byte digests, never frame
+    * bytes; the explode is narrow. */
+  def m7FrameDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .filter(col("media_type") === "video" && col("meta.n_frames") >= 1)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, int(meta.n_frames) - 1),
+           |  i -> substring(content, i * $FrameSize + 1, $FrameSize))""".stripMargin)).as("frame"))
+      .select(col("doc_id"), md5(hex(col("frame"))).as("frame_md5"))
+      .groupBy(col("frame_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_videos"),
+        min(col("doc_id")).as("first_doc"))
+
+  def m7OracleSql: String =
+    s"""WITH v AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) // $FrameSize AS n_frames
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |fr AS (
+       |  SELECT doc_id,
+       |    md5(substr(hx, CAST(i * 2 * $FrameSize + 1 AS INT), ${2 * FrameSize})) AS frame_md5
+       |  FROM (SELECT doc_id, hx, unnest(range(0, n_frames)) AS i
+       |        FROM v WHERE n_frames >= 1))
+       |SELECT frame_md5,
+       |  count(*) AS n_occurrences,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+       |  CAST(min(doc_id) AS BIGINT) AS first_doc
+       |FROM fr GROUP BY frame_md5""".stripMargin
+
   /** m6: perceptual NEAR-DUPLICATE detection over binary media — the
     * image-dedup tier of a multimodal pipeline (the LAION recipe:
     * perceptual hash, then hamming-ball grouping), composed from m5's
