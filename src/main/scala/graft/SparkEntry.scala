@@ -88,6 +88,7 @@ object SparkEntry {
     "t14_mixture_sample" -> ((s: SparkSession, d: String) => TextOps.mixtureSample(s, d)),
     "p1_pii_scan" -> (Pii.piiScan _),
     "p2_pii_positive" -> (Pii.piiPositive _),
+    "p3_cc_luhn" -> (Pii.ccScrub _),
     "m6_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.phashDups(s, d)),
     "t15_corpus_card" -> (TextOps.corpusCard _),
     // ---- dedup ----
@@ -456,6 +457,7 @@ object SparkEntry {
     "t14_mixture_sample" -> TextOps.mixtureSampleOracleSql(60L, "graft_m1"),
     "p1_pii_scan" -> Pii.piiScanOracleSql,
     "p2_pii_positive" -> Pii.piiPositiveOracleSql,
+    "p3_cc_luhn" -> Pii.ccScrubOracleSql,
     "m6_phash_dup" -> Multimodal.phashDupsOracleSql(20, graft.operators.Dedup.MaxBandBucket),
     "t15_corpus_card" -> TextOps.corpusCardOracleSql,
     "m5_perceptual_hash" -> Multimodal.m5OracleSql,

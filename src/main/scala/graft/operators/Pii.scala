@@ -122,4 +122,132 @@ object Pii {
        |    '$Ipv4Re', '<IP>', 'g'),
        |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
        |FROM src""".stripMargin
+
+  // ---------------------------------------------------------------- p3
+
+  /** Credit-card (PAN) candidate shape: four groups of four digits
+    * with optional single `-`/space separators. Pure regex
+    * over-matches (any 16-digit run); p3's point is the CHECKSUM
+    * step regex cannot express. */
+  val CcRe = "\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{4}\\b"
+
+  /** Luhn checksum of a digits-only string: from the rightmost digit,
+    * every second digit is doubled (minus 9 when the double exceeds
+    * 9); a real PAN sums to 0 mod 10. Expressed as a higher-order
+    * `aggregate` over the character positions — a native Catalyst
+    * expression tree, no UDF, evaluated row-local with zero shuffle. */
+  private def luhnSum(ds: Column): Column =
+    aggregate(
+      sequence(lit(1), length(ds)),
+      lit(0),
+      (acc, i) => {
+        val d = ds.substr(i, lit(1)).cast("int")
+        val dbl = d * lit(2)
+        val dblAdj = when(dbl > 9, dbl - 9).otherwise(dbl)
+        acc + when(((length(ds) - i) % 2) === 1, dblAdj).otherwise(d)
+      })
+
+  def luhnValid(candidate: Column): Column =
+    luhnSum(regexp_replace(candidate, lit("[- ]"), lit(""))) % 10 === 0
+
+  /** Replace every Luhn-valid PAN candidate in a string column with
+    * `<CC>`; candidates that fail the checksum are left untouched. */
+  def ccRedact(text: Column): Column =
+    aggregate(
+      filter(regexp_extract_all(text, lit(CcRe), lit(0)), c => luhnValid(c)),
+      text,
+      (acc, c) => replace(acc, c, lit("<CC>")))
+
+  /** p3: Luhn-validated credit-card detection and redaction — the
+    * precision stage a pure-regex scrubber lacks. Candidates come
+    * from [[CcRe]]; only candidates whose digits pass the Luhn
+    * checksum are counted as PANs and replaced with `<CC>` (a random
+    * 16-digit string survives untouched, so invoices/ids are not
+    * mangled). Detection is validated POSITIVELY the p2 way: each
+    * lineitem row deterministically yields one VALID card (check
+    * digit computed by the same Luhn arithmetic in both engines) and
+    * one INVALID near-miss (check digit shifted by 5, which can
+    * never re-validate), so both engines must agree that
+    * n_candidates = 2, n_valid = 1, and on every byte of the
+    * redacted text.
+    *
+    * Plan shape: one narrow projection over the scan — candidate
+    * extraction, per-candidate checksum, and the redaction fold are
+    * all row-local array expressions. Zero shuffle, zero UDFs,
+    * embarrassingly parallel at 100 TB. */
+  def ccScrub(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") <= 1000)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"))
+    val pan15 = concat(
+      lit("4"),
+      lpad(pmod(col("l_orderkey"), lit(1000000)).cast("string"), 6, "0"),
+      lpad(pmod(col("l_partkey"), lit(10000)).cast("string"), 4, "0"),
+      lpad(pmod(col("l_suppkey"), lit(10000)).cast("string"), 4, "0"))
+    // Check digit for position 16: append a zero so the generic sum
+    // applies the 16-length doubling pattern to the first 15 digits.
+    val check = pmod(lit(10) - luhnSum(concat(pan15, lit("0"))) % 10, lit(10))
+    val valid16 = concat(pan15, check.cast("string"))
+    val invalid16 = concat(pan15, pmod(check + 5, lit(10)).cast("string"))
+    val validDashed = concat_ws("-",
+      valid16.substr(1, 4), valid16.substr(5, 4),
+      valid16.substr(9, 4), valid16.substr(13, 4))
+    val text = concat(
+      lit("invoice paid with card "), validDashed,
+      lit(" declined fallback "), invalid16,
+      lit(" total 118.50 ref "), col("l_orderkey"))
+    val withTxt = li.withColumn("txt", text)
+    val cands = regexp_extract_all(col("txt"), lit(CcRe), lit(0))
+    withTxt.select(
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("doc_id"),
+      size(cands).cast("long").as("n_candidates"),
+      size(filter(cands, c => luhnValid(c))).cast("long").as("n_valid"),
+      md5(ccRedact(col("txt"))).as("redacted_md5"))
+  }
+
+  /** DuckDB replay: same Luhn arithmetic via list lambdas; the
+    * redaction fold is `list_reduce` seeded by prepending the text. */
+  val ccScrubOracleSql: String = {
+    def luhn(ds: String): String =
+      s"""list_sum(list_transform(generate_series(1, len($ds)), i ->
+         |  CASE WHEN (len($ds) - i) % 2 = 1
+         |       THEN CASE WHEN 2*CAST(substr($ds,i,1) AS INT) > 9
+         |                 THEN 2*CAST(substr($ds,i,1) AS INT) - 9
+         |                 ELSE 2*CAST(substr($ds,i,1) AS INT) END
+         |       ELSE CAST(substr($ds,i,1) AS INT) END))""".stripMargin
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    '4' || lpad(CAST(l_orderkey % 1000000 AS VARCHAR), 6, '0')
+       |        || lpad(CAST(l_partkey % 10000 AS VARCHAR), 4, '0')
+       |        || lpad(CAST(l_suppkey % 10000 AS VARCHAR), 4, '0') AS pan15
+       |  FROM lineitem WHERE l_orderkey <= 1000),
+       |carded AS (
+       |  SELECT l_orderkey, l_linenumber, pan15,
+       |    (10 - ${luhn("(pan15 || '0')")} % 10) % 10 AS chk
+       |  FROM base),
+       |txts AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    'invoice paid with card '
+       |      || substr(pan15 || chk, 1, 4) || '-' || substr(pan15 || chk, 5, 4)
+       |      || '-' || substr(pan15 || chk, 9, 4) || '-' || substr(pan15 || chk, 13, 4)
+       |      || ' declined fallback ' || pan15 || ((chk + 5) % 10)
+       |      || ' total 118.50 ref ' || l_orderkey AS txt
+       |  FROM carded),
+       |scanned AS (
+       |  SELECT l_orderkey, l_linenumber, txt,
+       |    regexp_extract_all(txt, '$CcRe') AS cands
+       |  FROM txts),
+       |validated AS (
+       |  SELECT l_orderkey, l_linenumber, txt, cands,
+       |    list_filter(cands, c ->
+       |      ${luhn("regexp_replace(c, '[- ]', '', 'g')")} % 10 = 0) AS valids
+       |  FROM scanned)
+       |SELECT
+       |  CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS doc_id,
+       |  CAST(len(cands) AS BIGINT) AS n_candidates,
+       |  CAST(len(valids) AS BIGINT) AS n_valid,
+       |  md5(list_reduce(list_prepend(txt, valids),
+       |      (acc, c) -> replace(acc, c, '<CC>'))) AS redacted_md5
+       |FROM validated""".stripMargin
+  }
 }

@@ -61,4 +61,38 @@ class PiiSpec extends AnyFunSuite {
         col("redacted_md5") =!= md5(col("text"))).count()
     assert(bad == 0L)
   }
+
+  private def ccRedactOne(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(Pii.ccRedact(col("t"))).head().getString(0)
+  }
+
+  test("p3: Luhn-valid PANs redact in all separator formats") {
+    // 4539148803436467 is Luhn-valid (classic test PAN shape).
+    assert(ccRedactOne("pay 4539148803436467 now") == "pay <CC> now")
+    assert(ccRedactOne("pay 4539-1488-0343-6467 now") == "pay <CC> now")
+    assert(ccRedactOne("pay 4539 1488 0343 6467 now") == "pay <CC> now")
+  }
+
+  test("p3: checksum-failing 16-digit runs survive untouched") {
+    for (s <- Seq("ref 4539148803436468 id", "ref 1234-5678-9012-3456 id",
+                  "run 0000111122223333 x"))
+      assert(ccRedactOne(s) == s, s"false positive on: $s")
+  }
+
+  test("p3: shorter/longer digit runs are not candidates") {
+    for (s <- Seq("id 453914880343646 x", "id 45391488034364679 x",
+                  "tel 555-123-4567 x"))
+      assert(ccRedactOne(s) == s, s"non-PAN shape matched: $s")
+  }
+
+  test("p3 constructed rows: 2 candidates, exactly 1 valid, every row") {
+    val agg = Pii.ccScrub(spark, dir)
+      .agg(min("n_candidates"), max("n_candidates"),
+        min("n_valid"), max("n_valid"), count(lit(1)))
+      .head()
+    assert(agg.getLong(4) > 0)
+    assert(agg.getLong(0) == 2L && agg.getLong(1) == 2L)
+    assert(agg.getLong(2) == 1L && agg.getLong(3) == 1L)
+  }
 }

@@ -307,4 +307,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!read.contains("lang") && !read.contains("source"),
       s"p1 did not prune the scan: $read")
   }
+
+  test("p3 Luhn scrub: row-local array exprs — no exchange, no join") {
+    val p = plan(Pii.ccScrub(spark, dir))
+    assert(!p.contains("Exchange"), s"p3 shuffles:\n$p")
+    assert(!p.contains("Join"), s"p3 joins:\n$p")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("l_comment") && !read.contains("l_quantity"),
+      s"p3 did not prune the scan: $read")
+  }
 }
