@@ -675,6 +675,55 @@ object TextOps {
       |FROM documents
       |GROUP BY lang, source""".stripMargin
 
+  /** t16: VOCABULARY GROWTH stats — the Heaps-law datasheet row per
+    * language: type count (distinct words), token count, hapax
+    * legomena (corpus frequency exactly 1 — the OOV/misspelling
+    * mass a tokenizer team watches), and an integer-ppm type-token
+    * ratio. The word-frequency shuffle is the t9 corpus-freq shape:
+    * map-side combine collapses each partition's repeats before the
+    * exchange, so the shuffle carries per-partition DISTINCT words
+    * (vocab-bounded, Heaps-sublinear), never the corpus token
+    * stream; the second aggregate is #langs rows. The per-lang doc
+    * count rides a separate #langs-row aggregate joined back
+    * (broadcast). ttr_ppm uses integer `div` — exact and identical
+    * in both engines, no float hash hazard. */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val freq = docs
+      .select(col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = freq.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_types"),
+      sum(col("cnt")).as("n_tokens"),
+      count_if(col("cnt") === 1).as("n_hapax"))
+    val perLangDocs = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    vocab.join(broadcast(perLangDocs), "lang")
+      .select(col("lang"), col("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_types").cast("long").as("n_types"),
+        col("n_hapax").cast("long").as("n_hapax"),
+        expr("(n_types * 1000000L) div n_tokens").as("ttr_ppm"))
+  }
+
+  val vocabStatsOracleSql: String =
+    """WITH words AS (
+      |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |freq AS (
+      |  SELECT lang, w, count(*) AS cnt FROM words GROUP BY 1, 2),
+      |vocab AS (
+      |  SELECT lang,
+      |    CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS n_hapax
+      |  FROM freq GROUP BY 1),
+      |d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT v.lang, d.n_docs, v.n_tokens, v.n_types, v.n_hapax,
+      |  CAST((v.n_types * 1000000) // v.n_tokens AS BIGINT) AS ttr_ppm
+      |FROM vocab v JOIN d USING (lang)""".stripMargin
+
   /** The t10 tokenizer as a plain Scala function — the single source
     * of truth the spec pins both engines against. */
   private[operators] def bpeTokenCountScala(word: String): Int = {

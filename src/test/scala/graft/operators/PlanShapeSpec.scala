@@ -308,6 +308,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"p1 did not prune the scan: $read")
   }
 
+  test("t16 vocab growth: word shuffle is map-side combined; doc counts broadcast") {
+    val p = plan(TextOps.vocabStats(spark, dir))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"word-frequency agg is not partial before the exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"doc-count join did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"t16 sort-merge joins two tiny aggs:\n$p")
+  }
+
   test("p3 Luhn scrub: row-local array exprs — no exchange, no join") {
     val p = plan(Pii.ccScrub(spark, dir))
     assert(!p.contains("Exchange"), s"p3 shuffles:\n$p")
