@@ -379,4 +379,100 @@ object Multimodal {
       struct(lit(32).as("width"), lit(32).as("height")).as("image"),
       lit(0).as("sample_rate"), lit(0L).as("n_frames")))
   }
+
+  // ---------------------------------------------------------------- m8
+
+  /** m8 window width in bytes (one "audio frame" of samples). */
+  val EnergyWindow = 64
+
+  /** m8: ENERGY-BASED SILENCE SEGMENTATION over audio content — the
+    * VAD / silence-trimming stage an audio pipeline runs before
+    * transcription or chunking. The payload is cut into fixed
+    * [[EnergyWindow]]-byte windows; a window is "low-energy" when its
+    * byte sum falls strictly below the payload's global mean rate
+    * (cross-multiplied integer comparison — no float, exact for
+    * payloads to ~2^49 bytes at this window size); maximal runs of
+    * low windows are the "silence" segments (gaps-and-islands,
+    * computed row-locally). Output per audio row: window/low counts,
+    * segment count, and the longest silence run — the four numbers a
+    * trim/chunk policy consumes.
+    *
+    * Plan shape: narrow typed `mapPartitions` over (doc_id, content)
+    * — the same per-partition codec seam as m3/m5, where a real DSP
+    * (RMS over PCM samples) plugs in; zero shuffle, zero collect,
+    * embarrassingly parallel at 100 TB. The DuckDB oracle replays
+    * the exact integer arithmetic over the characters. */
+  def m8SilenceSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("media_type"), col("content"))
+      .as[MediaRow]
+      .mapPartitions(_.map(r => silenceStats(r.doc_id, r.content)))
+      .toDF("doc_id", "n_bytes", "n_windows", "n_low", "n_segments", "longest_low")
+  }
+
+  /** The m8 DSP core: (n_bytes, n_windows, n_low, n_segments,
+    * longest_low) for one payload. */
+  private[operators] def silenceStats(docId: Long, bytes: Array[Byte])
+      : (Long, Long, Long, Long, Long, Long) = {
+    val n = bytes.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += bytes(i) & 0xff; i += 1 }
+    val nw = (n + EnergyWindow - 1) / EnergyWindow
+    var nLow = 0L; var nSeg = 0L; var longest = 0L
+    var run = 0L
+    var w = 0
+    while (w < nw) {
+      val lo = w * EnergyWindow
+      val hi = math.min(lo + EnergyWindow, n)
+      var s = 0L
+      i = lo
+      while (i < hi) { s += bytes(i) & 0xff; i += 1 }
+      // low ⇔ window mean < global mean: s/(hi-lo) < total/n
+      val low = s * n < total * (hi - lo)
+      if (low) {
+        nLow += 1; run += 1
+        if (run == 1) nSeg += 1
+        if (run > longest) longest = run
+      } else run = 0
+      w += 1
+    }
+    (docId, n.toLong, nw.toLong, nLow, nSeg, longest)
+  }
+
+  def m8OracleSql: String = {
+    val W = EnergyWindow
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 3 = 1),
+       |tot AS (
+       |  SELECT doc_id, text, n,
+       |    list_sum(list_transform(range(1, n + 1),
+       |      i -> ascii(substr(text, CAST(i AS INT), 1)))) AS total,
+       |    (n + $W - 1) // $W AS nw
+       |  FROM d),
+       |win AS (
+       |  SELECT doc_id, n, nw,
+       |    list_transform(range(1, nw + 1), wi ->
+       |      CASE WHEN n * list_sum(list_transform(
+       |            range((wi - 1) * $W + 1, least(wi * $W, n) + 1),
+       |            i -> ascii(substr(text, CAST(i AS INT), 1))))
+       |          < total * (least(wi * $W, n) - (wi - 1) * $W)
+       |        THEN 1 ELSE 0 END) AS low
+       |  FROM tot)
+       |SELECT doc_id,
+       |  CAST(n AS BIGINT) AS n_bytes,
+       |  CAST(nw AS BIGINT) AS n_windows,
+       |  CAST(coalesce(list_sum(low), 0) AS BIGINT) AS n_low,
+       |  CAST(coalesce(list_sum(list_transform(range(1, nw + 1), i ->
+       |    CASE WHEN low[i] = 1 AND (i = 1 OR low[i - 1] = 0)
+       |      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_segments,
+       |  CAST(coalesce(list_max(list_transform(
+       |    list_filter(range(1, nw + 1), i ->
+       |      low[i] = 1 AND (i = nw OR low[i + 1] = 0)),
+       |    e -> e - coalesce(list_max(list_filter(range(1, nw + 1),
+       |      j -> j < e AND low[j] = 0)), 0))), 0) AS BIGINT) AS longest_low
+       |FROM win""".stripMargin
+  }
 }

@@ -162,4 +162,24 @@ class MultimodalSpec extends AnyFunSuite {
       .find(_.contains("ReadSchema")).getOrElse(physical)
     assert(!readSchema.contains("content"), s"content not pruned: $readSchema")
   }
+
+  test("m8 silence core: crafted payloads segment exactly") {
+    val W = Multimodal.EnergyWindow
+    def bytes(vals: Int*): Array[Byte] =
+      vals.flatMap(v => Array.fill(W)(v.toByte)).toArray
+    // windows: 10,10,200,10,200 — global mean 86; lows at 1,2,4
+    val (_, n, nw, nLow, nSeg, longest) =
+      Multimodal.silenceStats(1L, bytes(10, 10, 200, 10, 200))
+    assert(n == 5L * W && nw == 5 && nLow == 3 && nSeg == 2 && longest == 2)
+    // uniform payload: no window strictly below the mean
+    val u = Multimodal.silenceStats(2L, bytes(50, 50, 50))
+    assert(u._4 == 0 && u._5 == 0 && u._6 == 0)
+    // empty payload: zero windows, zero everything
+    val e = Multimodal.silenceStats(3L, Array.emptyByteArray)
+    assert(e == ((3L, 0L, 0L, 0L, 0L, 0L)))
+    // ragged tail: 1.5 windows, low tail half
+    val ragged = bytes(200) ++ Array.fill(W / 2)(10.toByte)
+    val rg = Multimodal.silenceStats(4L, ragged)
+    assert(rg._3 == 2 && rg._4 == 1 && rg._5 == 1 && rg._6 == 1)
+  }
 }
