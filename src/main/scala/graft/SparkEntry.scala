@@ -110,6 +110,7 @@ object SparkEntry {
     "d11_paragraph_dedup" -> (Dedup.paragraphDedup _),
     "d12_winnow_dups" -> ((s: SparkSession, d: String) => Dedup.winnowDups(s, d)),
     "s10_sq_topk" -> ((s: SparkSession, d: String) => Similarity.sqTopK(s, d)),
+    "s11_ivfpq_topk" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "m7_frame_dedup" -> (Multimodal.m7FrameDedup _),
     // ---- engine facade round trips (SURVEY.md §2.10–§2.11) ----
     "g1_ddl_roundtrip" -> (GlueQueries.g1DdlRoundtrip _),
@@ -448,6 +449,7 @@ object SparkEntry {
     "d11_paragraph_dedup" -> Dedup.paragraphDedupOracleSql,
     "d12_winnow_dups" -> Dedup.winnowDupsOracleSql(2L, Dedup.MaxShingleDf),
     "s10_sq_topk" -> Similarity.sqTopKOracleSql(0L, 10),
+    "s11_ivfpq_topk" -> Similarity.ivfPqTopKOracleSql(0L, 10),
     "m7_frame_dedup" -> Multimodal.m7OracleSql,
     "t9_corpus_freq" -> TextOps.corpusFreqScoreOracleSql,
     "t10_bpe_tokens" -> TextOps.bpeTokenCountsOracleSql,

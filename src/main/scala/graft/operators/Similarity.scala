@@ -416,6 +416,25 @@ object Similarity {
     * per-(m,j,i) scalar terms: that variant generated a ~10k-node
     * tree that blew janino's 64 KB method limit (whole-stage codegen
     * bailed to interpreted) and cost seconds of optimizer time. */
+  /** The query's ADC table as a 2D array literal: dtab(m)(j) =
+    * L2²(q_sub m, codebook(m)(j)), left-fold in index order —
+    * bit-identical to the corpus-side expression arithmetic and to
+    * the oracle's replay. Driver cost: one query-row collect plus
+    * PqM × PqK doubles (1 KB of literals). */
+  private def pqQueryDtabLit(e: DataFrame, cb: Seq[Seq[Seq[Double]]], qid: Long): Column = {
+    val qv = e.filter(col("vec_id") === qid)
+      .select(col("v")).collect()(0).getSeq[Double](0).toIndexedSeq
+    val dtab: Seq[Seq[Double]] = (0 until PqM).map { m =>
+      (0 until PqK).map { j =>
+        (0 until PqSub).foldLeft(0.0) { (acc, i) =>
+          val d = qv(m * PqSub + i) - cb(m)(j)(i)
+          acc + d * d
+        }
+      }
+    }
+    array(dtab.map(row => array(row.map(lit): _*)): _*)
+  }
+
   private def pqCodesExpr(cb: Seq[Seq[Seq[Double]]]): Column = {
     val cbLit = array(cb.map(cbM =>
       array(cbM.map(c => array(c.map(lit): _*)): _*)): _*)
@@ -442,20 +461,7 @@ object Similarity {
   def pqTopK(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame = {
     val e = vectors(spark, dir)
     val cb = pqCodebooks(e)
-    val qv = e.filter(col("vec_id") === qid)
-      .select(col("v")).collect()(0).getSeq[Double](0).toIndexedSeq
-    // Query ADC table: dtab(m)(j) = L2²(q_sub m, codebook(m)(j)),
-    // left-fold in index order — bit-identical to the corpus-side
-    // expression arithmetic and to the oracle's replay.
-    val dtab: Seq[Seq[Double]] = (0 until PqM).map { m =>
-      (0 until PqK).map { j =>
-        (0 until PqSub).foldLeft(0.0) { (acc, i) =>
-          val d = qv(m * PqSub + i) - cb(m)(j)(i)
-          acc + d * d
-        }
-      }
-    }
-    val dtabLit = array(dtab.map(row => array(row.map(lit): _*)): _*)
+    val dtabLit = pqQueryDtabLit(e, cb, qid)
     e.select(col("vec_id"), pqCodesExpr(cb).as("cs"))
       .select(col("vec_id"),
         array_join(transform(col("cs"), c => c.cast("string")), "-").as("code_str"),
@@ -645,6 +651,71 @@ object Similarity {
        |FROM codes c, mm, q
        |WHERE c.vec_id <> $qid
        |ORDER BY adist ASC, c.vec_id ASC LIMIT $k""".stripMargin
+
+  /** s11: IVF-PQ — the FAISS production index shape, composed from
+    * the battery's two tiers: s4's TRAINED inverted lists prune the
+    * scan to the query's NProbe cells (partition pruning on the
+    * materialized index), and s8's PQ codes + query ADC table score
+    * only the survivors. Codes are GLOBAL, not per-cell residual
+    * (FAISS `by_residual=false`), so s8's codebooks, encode
+    * expression and oracle replay compose unchanged with s4's
+    * trained assignment. At 100 TB this is the memory-AND-io-bound
+    * sweet spot the flat tiers bracket: the probe touches
+    * NProbe/NCentroids of the index files, each candidate costs
+    * PqM table lookups on an 8-byte code, and only (vec_id, cid,
+    * adist) ever moves. */
+  def ivfPqTopK(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val e = vectors(spark, dir)
+    val idx = indexCache.computeIfAbsent(dir, _ => buildIndex(spark, dir))
+    val lists = spark.read
+      .schema("vec_id LONG, v ARRAY<DOUBLE>, nrm DOUBLE, cid LONG")
+      .parquet(idx.path)
+    val probeIds = e.filter(col("vec_id") === qid)
+      .select(explode(probeCidsExpr(idx.cents)).as("cid"))
+      .collect().map(_.getLong(0)).toSeq
+    val cb = pqCodebooks(e)
+    val dtabLit = pqQueryDtabLit(e, cb, qid)
+    lists.filter(col("cid").isin(probeIds: _*) && col("vec_id") =!= qid)
+      .select(col("vec_id"), col("cid"), pqCodesExpr(cb).as("cs"))
+      .select(col("vec_id"), col("cid"),
+        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, m) =>
+          acc + element_at(element_at(dtabLit, m + 1),
+            element_at(col("cs"), m + 1) + 1)).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Oracle: the trained-index CTEs give the assignment + probe set;
+    * s8's PQ replay (CTEs renamed to avoid colliding with the
+    * training chain) scores the probed cells; same fixed-order ADC
+    * chain, same (adist, vec_id) tiebreak. */
+  def ivfPqTopKOracleSql(qid: Long, k: Int): String = {
+    val adChain = (1 to PqM).map(m => s"t.dss[$m][c.cs[$m] + 1]").mkString(" + ")
+    s"""$trainedIndexCtes,
+       |probes AS (SELECT cid FROM r WHERE vec_id = $qid AND rn <= $NProbe),
+       |pcb AS (
+       |  SELECT rm.m, CAST(s.vec_id AS INT) AS j,
+       |    list_slice(s.v, rm.m * $PqSub + 1, rm.m * $PqSub + $PqSub) AS c
+       |  FROM e s, range($PqM) rm(m) WHERE s.vec_id < $PqK),
+       |pdists AS (
+       |  SELECT e.vec_id, pcb.m, pcb.j,
+       |    list_sum(list_transform(range(1, ${PqSub + 1}), i ->
+       |      (e.v[pcb.m * $PqSub + i] - pcb.c[i]) * (e.v[pcb.m * $PqSub + i] - pcb.c[i]))) AS d
+       |  FROM e, pcb),
+       |penc AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |    FROM pdists) WHERE rn = 1),
+       |pcodes AS (SELECT vec_id, list(code ORDER BY m) AS cs FROM penc GROUP BY vec_id),
+       |pqd AS (SELECT m, list(d ORDER BY j) AS ds FROM pdists WHERE vec_id = $qid GROUP BY m),
+       |pqdt AS (SELECT list(ds ORDER BY m) AS dss FROM pqd)
+       |SELECT c.vec_id, va.cid, $adChain AS adist
+       |FROM pcodes c JOIN va ON c.vec_id = va.vec_id
+       |JOIN probes p ON va.cid = p.cid, pqdt t
+       |WHERE c.vec_id <> $qid
+       |ORDER BY adist ASC, c.vec_id ASC LIMIT $k""".stripMargin
+  }
 
   /** Bucket histogram — sanity view of LSH spread (skew check). */
   def lshBucketStats(spark: SparkSession, dir: String): DataFrame =
