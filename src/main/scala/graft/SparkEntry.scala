@@ -90,6 +90,7 @@ object SparkEntry {
     "p2_pii_positive" -> (Pii.piiPositive _),
     "p3_cc_luhn" -> (Pii.ccScrub _),
     "t16_vocab_growth" -> (TextOps.vocabStats _),
+    "t17_bigram_predict" -> (TextOps.bigramPredictability _),
     "m8_silence_segments" -> (Multimodal.m8SilenceSegments _),
     "m6_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.phashDups(s, d)),
     "t15_corpus_card" -> (TextOps.corpusCard _),
@@ -463,6 +464,7 @@ object SparkEntry {
     "p2_pii_positive" -> Pii.piiPositiveOracleSql,
     "p3_cc_luhn" -> Pii.ccScrubOracleSql,
     "t16_vocab_growth" -> TextOps.vocabStatsOracleSql,
+    "t17_bigram_predict" -> TextOps.bigramPredictabilityOracleSql,
     "m8_silence_segments" -> Multimodal.m8OracleSql,
     "m6_phash_dup" -> Multimodal.phashDupsOracleSql(20, graft.operators.Dedup.MaxBandBucket),
     "t15_corpus_card" -> TextOps.corpusCardOracleSql,

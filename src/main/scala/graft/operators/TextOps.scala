@@ -724,6 +724,73 @@ object TextOps {
       |  CAST((v.n_types * 1000000) // v.n_tokens AS BIGINT) AS ttr_ppm
       |FROM vocab v JOIN d USING (lang)""".stripMargin
 
+  /** t17: BIGRAM PREDICTABILITY — per document, the fraction of
+    * bigrams whose second word is the corpus-wide MOST LIKELY
+    * continuation of the first (the argmax of a bigram LM trained on
+    * the corpus itself). High values flag templated / boilerplate /
+    * memorization-prone text the unigram signals (t2, t9) miss;
+    * low values flag noise. The model is the t9 KenLM/CCNet plan
+    * shape one order up: the bigram-count aggregate is map-side
+    * combined to per-partition DISTINCT pairs (vocab²-bounded but
+    * Zipf-sparse in practice), the per-w1 argmax window runs over
+    * that vocab-sized table only (never the corpus), and the argmax
+    * table broadcasts back onto the bigram stream — the corpus
+    * never shuffles on words. At a 100 TB vocab too large to
+    * broadcast, the same plan truncates the model to the Zipf head
+    * (argmax rows with c > 1) or falls back to a bucketed join;
+    * noted here, not needed at battery scale. Ties break
+    * lexicographically on w2 in BOTH engines (binary collation on
+    * the ASCII corpus). Output is integral (ppm) — no float hash
+    * hazard. Docs with fewer than two tokens have no bigrams and
+    * drop out in both engines. */
+  def bigramPredictability(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bgs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      // sequence(1, 0) would generate a DESCENDING [1, 0] — guard
+      // short docs to an empty bigram list explicitly.
+      .select(col("doc_id"), explode(expr(
+        """if(size(ws) < 2, array(),
+          |   transform(sequence(1, size(ws) - 1),
+          |     i -> struct(ws[i - 1] AS w1, ws[i] AS w2)))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val best = counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("w1")).orderBy(col("c").desc, col("w2").asc)))
+      .filter(col("rn") === 1)
+      .select(col("w1"), col("w2").as("top_w2"))
+    bgs.join(broadcast(best), "w1")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count_if(col("w2") === col("top_w2")).as("n_predicted"))
+      .select(col("doc_id"),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        col("n_predicted").cast("long").as("n_predicted"),
+        expr("(n_predicted * 1000000L) div n_bigrams").as("predict_ppm"))
+  }
+
+  val bigramPredictabilityOracleSql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> {'w1': ws[i], 'w2': ws[i + 1]}), recursive := true)
+      |  FROM ws),
+      |cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+      |best AS (
+      |  SELECT w1, w2 AS top_w2 FROM (
+      |    SELECT w1, w2,
+      |      row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2 ASC) AS rn
+      |    FROM cnt) WHERE rn = 1)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(count(*) FILTER (WHERE w2 = top_w2) AS BIGINT) AS n_predicted,
+      |  CAST((count(*) FILTER (WHERE w2 = top_w2) * 1000000) // count(*) AS BIGINT)
+      |    AS predict_ppm
+      |FROM bg JOIN best USING (w1)
+      |GROUP BY doc_id""".stripMargin
+
   /** The t10 tokenizer as a plain Scala function — the single source
     * of truth the spec pins both engines against. */
   private[operators] def bpeTokenCountScala(word: String): Int = {

@@ -316,6 +316,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"t16 sort-merge joins two tiny aggs:\n$p")
   }
 
+  test("t17 bigram predictability: argmax table broadcasts back, no corpus word-shuffle join") {
+    val p = plan(TextOps.bigramPredictability(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"argmax model join did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"t17 shuffles the corpus bigram stream into a merge join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"bigram count agg is not map-side combined:\n$p")
+  }
+
   test("p3 Luhn scrub: row-local array exprs — no exchange, no join") {
     val p = plan(Pii.ccScrub(spark, dir))
     assert(!p.contains("Exchange"), s"p3 shuffles:\n$p")
