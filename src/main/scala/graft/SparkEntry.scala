@@ -85,6 +85,7 @@ object SparkEntry {
     "t11_sequence_pack" -> ((s: SparkSession, d: String) => TextOps.sequencePack(s, d)),
     "t12_fixed_k_sample" -> ((s: SparkSession, d: String) => TextOps.fixedKSample(s, d)),
     "t13_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.shuffleShard(s, d)),
+    "t13b_shard_manifest" -> ((s: SparkSession, d: String) => TextOps.shardManifest(s, d)),
     "t14_mixture_sample" -> ((s: SparkSession, d: String) => TextOps.mixtureSample(s, d)),
     "p1_pii_scan" -> (Pii.piiScan _),
     "p2_pii_positive" -> (Pii.piiPositive _),
@@ -459,6 +460,7 @@ object SparkEntry {
     "t11_sequence_pack" -> TextOps.sequencePackOracleSql(512L, "graft_v1"),
     "t12_fixed_k_sample" -> TextOps.fixedKSampleOracleSql(50, "graft_k1"),
     "t13_shuffle_shard" -> TextOps.shuffleShardOracleSql(64, "graft_sh1"),
+    "t13b_shard_manifest" -> TextOps.shardManifestOracleSql(64, "graft_sh1"),
     "t14_mixture_sample" -> TextOps.mixtureSampleOracleSql(60L, "graft_m1"),
     "p1_pii_scan" -> Pii.piiScanOracleSql,
     "p2_pii_positive" -> Pii.piiPositiveOracleSql,

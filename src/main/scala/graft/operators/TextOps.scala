@@ -592,6 +592,58 @@ object TextOps {
        |  CAST(row_number() OVER (PARTITION BY h % $shards ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
        |FROM h""".stripMargin
 
+  /** t13b: SHARD MANIFESTS — the per-shard index artifact a training
+    * job ships beside t13's layout: doc/token/char totals plus an
+    * ORDER-SENSITIVE digest of the in-shard doc sequence (md5 of the
+    * doc_ids joined in pos order), which is what lets a reader
+    * verify it consumed the right docs in the right order. One scan
+    * and ONE exchange total: the pos window partitions by `shard`,
+    * and the following groupBy is on the same key, so Catalyst
+    * reuses the window's distribution for the aggregate
+    * (plan-pinned). The per-shard id list materializes inside the
+    * digest aggregate — bounded by shard size, which the t13 layout
+    * already tunes to the target file size (raise N at 100 TB),
+    * never by corpus size. */
+  def shardManifest(spark: SparkSession, dir: String, shards: Int = 64,
+                    salt: String = "graft_sh1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), h.as("h"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)).cast("long"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+            s => s.getField("doc_id").cast("string")),
+          ",")).as("manifest_md5"))
+  }
+
+  def shardManifestOracleSql(shards: Int, salt: String): String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('$salt' || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks,
+       |    CAST(length(text) AS BIGINT) AS chars
+       |  FROM documents),
+       |a AS (
+       |  SELECT doc_id, toks, chars, h % $shards AS shard,
+       |    row_number() OVER (PARTITION BY h % $shards ORDER BY h, doc_id) - 1 AS pos
+       |  FROM h)
+       |SELECT shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(chars) AS BIGINT) AS n_chars,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS manifest_md5
+       |FROM a GROUP BY shard""".stripMargin
+
   /** t14: MEASURED data-mixture construction — build a training mix
     * that hits target per-source proportions of a fixed document
     * budget, with keep-rates derived from the OBSERVED source sizes

@@ -325,6 +325,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bigram count agg is not map-side combined:\n$p")
   }
 
+  test("t13b shard manifest: window and aggregate share ONE exchange on shard") {
+    val p = plan(TextOps.shardManifest(spark, dir))
+    val finalTree = p.split("== Initial Plan ==")(0)
+    assert(finalTree.linesIterator.count(_.contains("Exchange (")) == 1,
+      s"manifest should reuse the window's shard distribution for the agg:\n$p")
+  }
+
   test("p3 Luhn scrub: row-local array exprs — no exchange, no join") {
     val p = plan(Pii.ccScrub(spark, dir))
     assert(!p.contains("Exchange"), s"p3 shuffles:\n$p")
