@@ -62,6 +62,7 @@ object SparkEntry {
     "q36_approx_distinct" -> (C.q36ApproxDistinct _),
     // ---- events / streaming-shaped (batch forms) ----
     "e1_tumbling_counts" -> (EventOps.tumblingCounts _),
+    "e9_trending_topk" -> ((s: SparkSession, d: String) => EventOps.trendingTopK(s, d)),
     "e2_json_props" -> (EventOps.jsonProps _),
     "e3_sessionize" -> (EventOps.sessionize _),
     "e4_funnel" -> (EventOps.funnel _),
@@ -334,6 +335,7 @@ object SparkEntry {
         |  min(l_extendedprice) AS lo,
         |  max(l_extendedprice) AS hi
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "e9_trending_topk" -> EventOps.trendingTopKOracleSql(3),
     "e1_tumbling_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events, sum(value) AS total_value

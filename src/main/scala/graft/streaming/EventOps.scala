@@ -24,6 +24,34 @@ object EventOps {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
 
+  /** e9: TRENDING — the top-k event types per day by volume, the
+    * dashboard/alerting rollup every event pipeline serves. Two
+    * bounded wide ops: the count aggregate (map-side combined; its
+    * exchange carries days × types rows) and the per-day rank window
+    * over that tiny table — the corpus shuffles once into the agg
+    * and never again. Deterministic tie-break by event_type. */
+  def trendingTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = t(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    counts
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("day"))
+          .orderBy(col("n_events").desc, col("event_type").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("day"), col("event_type"), col("n_events"), col("rnk"))
+  }
+
+  def trendingTopKOracleSql(k: Int): String =
+    s"""SELECT day, event_type, n_events, rnk FROM (
+       |  SELECT day, event_type, n_events,
+       |    CAST(row_number() OVER (PARTITION BY day
+       |      ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rnk
+       |  FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |          event_type, CAST(count(*) AS BIGINT) AS n_events
+       |        FROM events GROUP BY 1, 2))
+       |WHERE rnk <= $k""".stripMargin
+
   /** JSON prop extraction + aggregation (events.props is a JSON blob). */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
