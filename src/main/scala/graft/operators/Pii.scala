@@ -44,6 +44,14 @@ object Pii {
         lit(Ipv4Re), lit("<IP>")),
       lit(PhoneRe), lit("<PHONE>"))
 
+  /** The p1 scan as a reusable transform over ANY (doc_id, text)
+    * frame — batch or STREAMING: the scrub is a pure narrow
+    * projection with no aggregation state, so the same code serves
+    * the ingest path in append mode (StreamingSpec pins set-equality
+    * with batch p1 on the corpus stream). */
+  def piiColumns(src: DataFrame): DataFrame =
+    piiFrame(src, col("doc_id"), col("text"))
+
   private def piiFrame(src: DataFrame, id: Column, text: Column): DataFrame =
     src.select(
       id.as("doc_id"),

@@ -139,6 +139,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("PII scrub runs unchanged on a document stream (ingest-time redaction)") {
+    // the scrub every pipeline runs FIRST belongs at ingest: p1's
+    // projection is stateless, so the identical code runs on the
+    // stream in append mode and must emit exactly the batch rows
+    val dir = SparkFixture.Sf0001
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    runToMemory(graft.operators.Pii.piiColumns(stream), "stream_p1", "append")
+    val streamed = spark.table("stream_p1").collect().map(_.toSeq).toSet
+    val batch = graft.operators.Pii.piiScan(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("watermarked dedup collapses a doubled stream to distinct ids") {
     val dir = SparkFixture.Sf0001
     val doubled = EventOps.eventStream(spark, dir).union(EventOps.eventStream(spark, dir))
