@@ -112,6 +112,7 @@ object SparkEntry {
     "d10_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "d11_paragraph_dedup" -> (Dedup.paragraphDedup _),
     "d12_winnow_dups" -> ((s: SparkSession, d: String) => Dedup.winnowDups(s, d)),
+    "d13_span_minhash" -> ((s: SparkSession, d: String) => Dedup.spanMinhashDups(s, d)),
     "s10_sq_topk" -> ((s: SparkSession, d: String) => Similarity.sqTopK(s, d)),
     "s11_ivfpq_topk" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "m7_frame_dedup" -> (Multimodal.m7FrameDedup _),
@@ -452,6 +453,8 @@ object SparkEntry {
     "d10_semantic_dedup" -> Similarity.semanticDedupOracleSql(0.4),
     "d11_paragraph_dedup" -> Dedup.paragraphDedupOracleSql,
     "d12_winnow_dups" -> Dedup.winnowDupsOracleSql(2L, Dedup.MaxShingleDf),
+    "d13_span_minhash" ->
+      Dedup.spanMinhashDupsOracleSql(Dedup.NumHashes / 2, Dedup.MaxBandBucket),
     "s10_sq_topk" -> Similarity.sqTopKOracleSql(0L, 10),
     "s11_ivfpq_topk" -> Similarity.ivfPqTopKOracleSql(0L, 10),
     "m7_frame_dedup" -> Multimodal.m7OracleSql,

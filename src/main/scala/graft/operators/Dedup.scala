@@ -775,6 +775,119 @@ object Dedup {
         (col("n_dup_spans").cast("double") / col("n_spans").cast("double")).as("dup_frac"))
   }
 
+  /** d13: span-level NEAR-dup detection — d11's sub-document tier
+    * relaxed from exact fingerprints to MinHash Jaccard, catching
+    * the lightly-EDITED boilerplate (dates/names substituted into a
+    * template) that exact span hashing misses and whole-document
+    * d3 dilutes away. Unit = d11's [[SpanWords]]-word span,
+    * identified by (doc_id, fp) — identical spans within one doc
+    * collapse to a single unit. Signature = [[NumHashes]] word-SET
+    * minhashes computed as row-local array expressions (no shingle
+    * explode — a span is already ≤[[SpanWords]] words); banding,
+    * bucket cap and in-bucket pair generation are exactly d3's
+    * (quadratic term bounded by [[MaxBandBucket]], cross-document
+    * pairs only), and a span pair counts when ≥ `minEq` of the 16
+    * minhashes agree (integer threshold — no float compare). Output
+    * rolls up to document pairs with their near-dup span counts —
+    * the evidence table a template-removal pass consumes.
+    * 100 TB shape: only (doc_id, 32-char fp, 16 longs) shuffle;
+    * text never moves, no all-pairs stage exists. */
+  def spanMinhashDups(spark: SparkSession, dir: String,
+                      minEq: Int = NumHashes / 2,
+                      maxBucket: Int = MaxBandBucket): DataFrame =
+    spanMinhashDupsOn(
+      t(spark, dir, "documents").select(col("doc_id"), col("text")), minEq, maxBucket)
+
+  private[operators] def spanMinhashDupsOn(docs: DataFrame, minEq: Int,
+                                           maxBucket: Int): DataFrame = {
+    val w = SpanWords
+    val nBands = NumHashes / 2
+    val units = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\n\\s*\\n")).as("para"))
+      .select(col("doc_id"),
+        filter(split(trim(col("para")), "\\s+"), x => length(x) > lit(0)).as("pws"))
+      .filter(size(col("pws")) > 0)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), ceil(size(col("pws")) / lit(w.toDouble)).cast("int")),
+        c => slice(col("pws"), (c - lit(1)) * w + lit(1), lit(w)))).as("ws"))
+      .select(col("doc_id"), md5(concat_ws(" ", col("ws"))).as("fp"), col("ws"))
+      .distinct()
+    val sig = array((0 until NumHashes).map { i =>
+      array_min(transform(col("ws"),
+        wd => ((portableHash(wd) % P) * As(i) + Bs(i)) % P))
+    }: _*)
+    val bands = units
+      .select(col("doc_id"), col("fp"), sig.as("sig"))
+      .select(col("doc_id"), col("fp"), col("sig"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band_id"),
+            concat_ws(":", col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1))
+              .as("band_key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("fp"), col("sig"),
+        col("bk.band_id"), col("bk.band_key"))
+    bands
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("fp"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+      .select(explode(expr(
+        s"""flatten(transform(ms, (a, i) ->
+           |  transform(slice(ms, i + 2, size(ms) - i - 1), b ->
+           |    named_struct('id_a', a.doc_id, 'fp_a', a.fp,
+           |      'id_b', b.doc_id, 'fp_b', b.fp,
+           |      'n_eq', aggregate(zip_with(a.sig, b.sig,
+           |        (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)))))""".stripMargin)).as("p"))
+      .filter(col("p.id_a") =!= col("p.id_b") && col("p.n_eq") >= minEq)
+      .select(col("p.id_a").as("id_a"), col("p.fp_a").as("fp_a"),
+        col("p.id_b").as("id_b"), col("p.fp_b").as("fp_b"))
+      .distinct() // a span pair matching in k bands appears k times
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_near_spans"))
+  }
+
+  def spanMinhashDupsOracleSql(minEq: Int, maxBucket: Int): String = {
+    val w = SpanWords
+    val mh = (0 until NumHashes).map(i =>
+      s"list_min(list_transform(ws, wd -> (((('0x' || substr(md5(wd), 1, 15))::BIGINT % $P) * ${As(i)} + ${Bs(i)}) % $P))) AS mh$i")
+      .mkString(",\n    ")
+    val bandsUnion = (0 until NumHashes / 2)
+      .map(b => s"SELECT doc_id, fp, $b AS band_id, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM sig")
+      .mkString("\n  UNION ALL ")
+    val est = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\n\\s*\\n')) AS para
+       |  FROM documents),
+       |wd AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(para), '\\s+'), x -> x <> '') AS pws
+       |  FROM p WHERE len(list_filter(string_split_regex(trim(para), '\\s+'), x -> x <> '')) > 0),
+       |u0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, CAST(ceil(len(pws) / $w.0) AS BIGINT) + 1),
+       |    c -> list_slice(pws, (c - 1) * $w + 1, c * $w))) AS ws
+       |  FROM wd),
+       |units AS (SELECT DISTINCT doc_id, md5(array_to_string(ws, ' ')) AS fp, ws FROM u0),
+       |sig AS (SELECT doc_id, fp,
+       |    $mh
+       |  FROM units),
+       |bands AS (
+       |  $bandsUnion),
+       |bc AS (SELECT band_id, k1, k2, count(*) AS n FROM bands GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, a.fp AS fp_a, b.doc_id AS id_b, b.fp AS fp_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
+       |    AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.fp < b.fp))
+       |  JOIN bc ON bc.band_id = a.band_id AND bc.k1 = a.k1 AND bc.k2 = a.k2
+       |  WHERE bc.n <= $maxBucket AND a.doc_id <> b.doc_id)
+       |SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_near_spans
+       |FROM cand c
+       |JOIN sig sa ON sa.doc_id = c.id_a AND sa.fp = c.fp_a
+       |JOIN sig sb ON sb.doc_id = c.id_b AND sb.fp = c.fp_b
+       |WHERE ($est) >= $minEq
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   def paragraphDedupOracleSql: String = {
     val w = SpanWords
     s"""WITH p AS (

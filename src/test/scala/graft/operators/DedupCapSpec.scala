@@ -39,4 +39,29 @@ class DedupCapSpec extends AnyFunSuite {
     assert(uncapped.size == 100 * 99 / 2 + 1)
     assert(uncapped.contains((201L, 202L)))
   }
+
+  test("d13: edited boilerplate span is caught; unrelated spans are not") {
+    import spark.implicits._
+    // doc 1 and 2 share a 10-word template with ONE word substituted
+    // (9/10 word overlap — exact d11 fingerprints differ); doc 3 is
+    // disjoint vocabulary
+    val tpl = "terms of service apply to all users of this site"
+    val edited = "terms of service apply to all members of this site"
+    val other = "quick brown fox jumps over the lazy dog again today"
+    val docs = Seq((1L, tpl), (2L, edited), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.spanMinhashDupsOn(docs, Dedup.NumHashes / 2, Dedup.MaxBandBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1L)),
+      s"expected exactly the edited-template pair, got $pairs")
+  }
+
+  test("d13: identical spans inside one doc collapse to one unit, no self pairs") {
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, s"$span\n\n$span"), (2L, span)).toDF("doc_id", "text")
+    val pairs = Dedup.spanMinhashDupsOn(docs, Dedup.NumHashes / 2, Dedup.MaxBandBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1L)), s"got $pairs")
+  }
 }
