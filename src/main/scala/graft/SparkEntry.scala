@@ -94,6 +94,7 @@ object SparkEntry {
     "t16_vocab_growth" -> (TextOps.vocabStats _),
     "t17_bigram_predict" -> (TextOps.bigramPredictability _),
     "m8_silence_segments" -> (Multimodal.m8SilenceSegments _),
+    "m9_scene_changes" -> (Multimodal.m9SceneChanges _),
     "m6_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.phashDups(s, d)),
     "t15_corpus_card" -> (TextOps.corpusCard _),
     // ---- dedup ----
@@ -473,6 +474,7 @@ object SparkEntry {
     "t16_vocab_growth" -> TextOps.vocabStatsOracleSql,
     "t17_bigram_predict" -> TextOps.bigramPredictabilityOracleSql,
     "m8_silence_segments" -> Multimodal.m8OracleSql,
+    "m9_scene_changes" -> Multimodal.m9OracleSql,
     "m6_phash_dup" -> Multimodal.phashDupsOracleSql(20, graft.operators.Dedup.MaxBandBucket),
     "t15_corpus_card" -> TextOps.corpusCardOracleSql,
     "m5_perceptual_hash" -> Multimodal.m5OracleSql,

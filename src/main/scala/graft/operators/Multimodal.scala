@@ -442,6 +442,63 @@ object Multimodal {
     (docId, n.toLong, nw.toLong, nLow, nSeg, longest)
   }
 
+  /** m9: SCENE-CHANGE detection over video content — the shot-
+    * boundary count a video pipeline uses to pick keyframes and
+    * split clips. A "scene change" here is any adjacent pair of
+    * [[FrameSize]]-byte frames whose bytes differ (a real detector
+    * thresholds a pixel-histogram distance; the comparison seam and
+    * the plan are identical). Row-local in the m3/m5/m8 typed codec
+    * seam — zero shuffle, and only (doc_id, 3 longs) leave the map.
+    * Tail bytes short of a full frame are ignored, matching m1's
+    * floor(n/FrameSize) frame count. */
+  def m9SceneChanges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("media_type"), col("content"))
+      .as[MediaRow]
+      .mapPartitions(_.map(r => sceneStats(r.doc_id, r.content)))
+      .toDF("doc_id", "n_frames", "n_scene_changes", "change_ppm")
+  }
+
+  /** The m9 detector core: (n_frames, n_scene_changes, change_ppm)
+    * for one payload. */
+  private[operators] def sceneStats(docId: Long, bytes: Array[Byte])
+      : (Long, Long, Long, Long) = {
+    val nf = bytes.length / FrameSize
+    var changes = 0L
+    var f = 1
+    while (f < nf) {
+      var i = 0
+      var same = true
+      while (same && i < FrameSize) {
+        if (bytes((f - 1) * FrameSize + i) != bytes(f * FrameSize + i)) same = false
+        i += 1
+      }
+      if (!same) changes += 1
+      f += 1
+    }
+    (docId, nf.toLong, changes, if (nf > 1) changes * 1000000L / (nf - 1) else 0L)
+  }
+
+  def m9OracleSql: String = {
+    val F = FrameSize
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) // $F AS nf
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |c AS (
+       |  SELECT doc_id, nf,
+       |    CAST(coalesce(list_sum(list_transform(range(2, nf + 1), f ->
+       |      CASE WHEN substr(text, (f - 2) * $F + 1, $F) <> substr(text, (f - 1) * $F + 1, $F)
+       |        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS changes
+       |  FROM d)
+       |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+       |  changes AS n_scene_changes,
+       |  CAST(CASE WHEN nf > 1 THEN changes * 1000000 // (nf - 1) ELSE 0 END AS BIGINT)
+       |    AS change_ppm
+       |FROM c""".stripMargin
+  }
+
   def m8OracleSql: String = {
     val W = EnergyWindow
     s"""WITH d AS (

@@ -182,4 +182,20 @@ class MultimodalSpec extends AnyFunSuite {
     val rg = Multimodal.silenceStats(4L, ragged)
     assert(rg._3 == 2 && rg._4 == 1 && rg._5 == 1 && rg._6 == 1)
   }
+
+  test("m9 scene core: repeats, alternations, ragged tails") {
+    val F = Multimodal.FrameSize
+    def frames(vals: Int*): Array[Byte] =
+      vals.flatMap(v => Array.fill(F)(v.toByte)).toArray
+    // static clip: 4 identical frames, zero changes
+    assert(Multimodal.sceneStats(1L, frames(7, 7, 7, 7)) == ((1L, 4L, 0L, 0L)))
+    // cut on every boundary: 3 changes over 3 transitions = 1e6 ppm
+    assert(Multimodal.sceneStats(2L, frames(1, 2, 3, 4)) == ((2L, 4L, 3L, 1000000L)))
+    // one cut in the middle: 1/3 transitions
+    assert(Multimodal.sceneStats(3L, frames(5, 5, 9, 9)) == ((3L, 4L, 1L, 333333L)))
+    // ragged tail bytes are ignored; single frame has no transitions
+    val ragged = frames(8) ++ Array.fill(F / 2)(1.toByte)
+    assert(Multimodal.sceneStats(4L, ragged) == ((4L, 1L, 0L, 0L)))
+    assert(Multimodal.sceneStats(5L, Array.emptyByteArray) == ((5L, 0L, 0L, 0L)))
+  }
 }
