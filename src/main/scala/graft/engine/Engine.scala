@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import SqlText._
@@ -268,7 +269,9 @@ class Engine(val spark: SparkSession) {
     val schema = StructType(provided.map(_.sparkField))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1), schema)
-    insertDataFrame(db, tbl, tm, columns, df)._1
+    val (payload, _, doneWithBatch) = insertDataFrame(db, tbl, tm, columns, df)
+    doneWithBatch()
+    payload
   }
 
   // ------------------------------------------------------------------
@@ -336,7 +339,7 @@ class Engine(val spark: SparkSession) {
       if (!body.trim.toUpperCase.startsWith("INSERT")) sqlDf(sql)
       else {
         val cteName = cleanIdent(rawName)
-        val (_, inserted) = insertReturning(body.trim)
+        val (_, inserted, doneWithBatch) = insertReturning(body.trim)
         inserted.createOrReplaceTempView(cteName)
         try {
           val rest = sql.substring(end).trim
@@ -344,7 +347,10 @@ class Engine(val spark: SparkSession) {
           // materialize before the temp view goes away
           val out = sqlDf(restSql).localCheckpoint(true)
           out
-        } finally spark.catalog.dropTempView(cteName)
+        } finally {
+          spark.catalog.dropTempView(cteName)
+          doneWithBatch()
+        }
       }
     case _ => sqlDf(sql)
   }
@@ -576,11 +582,18 @@ class Engine(val spark: SparkSession) {
   // INSERT + constraint pipeline (reference alter_row/insert.rs:10-98)
   // ------------------------------------------------------------------
 
-  private def insert(sql: String): Payload = insertReturning(sql)._1
+  private def insert(sql: String): Payload = {
+    val (payload, _, doneWithBatch) = insertReturning(sql)
+    doneWithBatch()
+    payload
+  }
 
   /** INSERT that also returns the written rows as a DataFrame (the
-    * `expect_data` path of reference alter_row/insert.rs:66-74). */
-  private def insertReturning(sql: String): (Payload, DataFrame) = {
+    * `expect_data` path of reference alter_row/insert.rs:66-74) plus a
+    * cleanup thunk releasing the staged batch — call it once the
+    * returned DataFrame is no longer needed (an unpersisted autoinc
+    * batch would recompute with fresh, different ids). */
+  private def insertReturning(sql: String): (Payload, DataFrame, () => Unit) = {
     val re = """(?is)INSERT\s+INTO\s+([`"\w.]+)\s*(.*)""".r
     sql match {
       case re(rawName, rest0) =>
@@ -616,7 +629,7 @@ class Engine(val spark: SparkSession) {
     * AUTO_INCREMENT → NOT NULL check → UNIQUE check → append.
     * All checks are distributed aggregates, not driver loops. */
   private def insertDataFrame(db: String, tbl: String, tm: TableMeta,
-                              cols: Seq[String], src: DataFrame): (Payload, DataFrame) = {
+                              cols: Seq[String], src: DataFrame): (Payload, DataFrame, () => Unit) = {
     cols.foreach(c => if (tm.column(c).isEmpty)
       throw new EngineException(s"unknown column $c in $db.$tbl"))
     val positioned = src.toDF(cols: _*)
@@ -638,52 +651,112 @@ class Engine(val spark: SparkSession) {
     // untouched, so a later auto-assigned id can collide with the
     // explicit one, exactly the sequence the reference's own
     // auto_increment.rs test pins (sled/auto_increment.rs:44 advances
-    // the generator by the null-cell count). A dense sequence does NOT
-    // need a single-partition window: checkpoint the validated batch,
-    // then number the null-id rows with RDD.zipWithIndex — one small
-    // per-partition count job, a driver prefix-sum, and each partition
-    // fills from its own offset. No shuffle; a bulk INSERT … SELECT
-    // keeps all its partitions.
-    out = out.localCheckpoint(true)
+    // the generator by the null-cell count).
     val autoCol = tm.columns.find(_.autoIncrement)
-    val autoMark = "__graft_autofill"
-    autoCol.foreach { cm =>
-      val start = tm.autoCounter
-      val explicitRows = out.filter(col(cm.name).isNotNull)
-        .withColumn(autoMark, lit(false))
-      val nullRows = out.filter(col(cm.name).isNull)
-      val indexed = spark.createDataFrame(
-        nullRows.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-        out.schema.add("__rn", LongType, nullable = false))
-      val filledRows = indexed
-        .withColumn(cm.name, (col("__rn") + lit(start)).cast(cm.dataType))
-        .drop("__rn")
-        .withColumn(autoMark, lit(true))
-      out = explicitRows.unionAll(filledRows)
+    // NOT NULL columns to validate (reference validate.rs). The auto
+    // column is exempt: its NULL cells are exactly the ones the fill
+    // below replaces, so post-fill it cannot be null.
+    val notNullCols = tm.columns.filter(c =>
+      !c.nullable && !autoCol.exists(_.name.equalsIgnoreCase(c.name)))
+    val uniqueCols = tm.columns.filter(c => c.unique ||
+      tm.indexes.exists(i => i.unique && i.column.equalsIgnoreCase(c.name)))
+    // Staging policy: AUTO_INCREMENT needs a stable lineage (the ids
+    // assigned below must be identical in every job that re-reads the
+    // batch — a shuffle upstream would reorder rows between runs), and
+    // constraint checks make extra passes over the batch. Both are
+    // served by a LAZY DISK_ONLY persist: materialized once by the
+    // first job that touches it, spilled to local disk, never pinned
+    // in executor storage memory. (This path used to take an EAGER
+    // in-memory localCheckpoint on every batch — an extra full pass,
+    // and at ingest scale it pinned the whole batch in storage
+    // memory.) An INSERT into an unconstrained table stages nothing
+    // and runs as a SINGLE write job with observed metrics.
+    val needStage = autoCol.isDefined || notNullCols.nonEmpty || uniqueCols.nonEmpty
+    val stagedBatch = if (needStage) out.persist(StorageLevel.DISK_ONLY) else out
+    out = stagedBatch
+    val releaseStage: () => Unit =
+      () => if (needStage) { stagedBatch.unpersist(blocking = false); () }
+    try {
+    // Pre-write validation. With AUTO_INCREMENT, ONE per-partition
+    // stats job materializes the cache and yields the row count, the
+    // per-partition null-id counts (the prefix-sum basis for dense
+    // numbering AND the counter advance), and every NOT NULL
+    // violation count — the whole validation in a single pass.
+    // Without it, one global aggregate does count + NOT NULL; a table
+    // with no constraints at all skips the pre-pass entirely and
+    // counts rows inside the write job itself (Observation) or the
+    // CSV render loop. n = -1 marks "count still pending".
+    var n = -1L
+    var autoFilled = 0L
+    def requireNoNulls(nullCounts: Seq[Long]): Unit =
+      notNullCols.zip(nullCounts).foreach { case (cm, bad) =>
+        if (bad > 0)
+          throw new EngineException(s"null value in NOT NULL column ${cm.name}")
+      }
+    autoCol match {
+      case Some(cm) =>
+        val statAggs = Seq(
+          count(lit(1)).as("__total"),
+          coalesce(sum(when(col(cm.name).isNull, 1L).otherwise(0L)), lit(0L)).as("__nulls")) ++
+          notNullCols.map(c2 => coalesce(sum(when(col(c2.name).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_${c2.name}"))
+        val perPart = out.groupBy(spark_partition_id().as("__pid"))
+          .agg(statAggs.head, statAggs.tail: _*).collect()
+        n = perPart.map(_.getLong(1)).sum
+        autoFilled = perPart.map(_.getLong(2)).sum
+        requireNoNulls(notNullCols.indices.map(i => perPart.map(_.getLong(i + 3)).sum))
+        // Dense numbering without a shuffle and without leaving
+        // codegen: monotonically_increasing_id embeds
+        // (partitionId << 33 | intra-partition counter) with the
+        // counter consecutive from 0, so the per-partition null counts
+        // above prefix-sum into each partition's starting offset. The
+        // batch is DISK_ONLY-cached, so every job sees identical
+        // partitioning and row order. (Replaces RDD.zipWithIndex,
+        // whose Row↔InternalRow round trip re-ran in every downstream
+        // job and dominated bulk-INSERT cost.)
+        val start = tm.autoCounter
+        val nullsByPid = perPart.map(r => r.getInt(0).toLong -> r.getLong(2)).toMap
+        val maxPid = if (nullsByPid.isEmpty) -1L else nullsByPid.keys.max
+        val offsets = Array.iterate(0L -> 0L, ((maxPid + 2).toInt).max(1)) {
+          case (p, acc) => (p + 1) -> (acc + nullsByPid.getOrElse(p, 0L))
+        }.map(_._2)
+        val mid = col("__graft_mid")
+        val pid = shiftright(mid, 33)
+        val offsetCol =
+          if (maxPid < 0) lit(0L)
+          else element_at(
+            array(offsets.take((maxPid + 1).toInt).map(lit).toIndexedSeq: _*),
+            (pid + 1).cast("int"))
+        val filledRows = out.filter(col(cm.name).isNull)
+          .withColumn("__graft_mid", monotonically_increasing_id())
+          .withColumn(cm.name,
+            (lit(start) + offsetCol + mid.bitwiseAND(lit((1L << 33) - 1)))
+              .cast(cm.dataType))
+          .drop("__graft_mid")
+        // Skip whichever branch the batch makes empty: an all-null
+        // batch (the common bulk INSERT…SELECT shape) writes
+        // filledRows alone, halving the cache reads of every later
+        // job; an all-explicit batch skips the fill entirely.
+        out =
+          if (autoFilled == n) filledRows
+          else if (autoFilled == 0L) out
+          else out.filter(col(cm.name).isNotNull).unionAll(filledRows)
+      case None if notNullCols.nonEmpty || tm.xlsxPath.nonEmpty =>
+        // count + all NOT NULL checks in ONE aggregate job (sums
+        // coalesced so an empty batch reads 0, not NULL); xlsx tables
+        // also land here because the workbook bound check below needs
+        // the row count before the write.
+        val checkAggs = count(lit(1)).as("__n") +:
+          notNullCols.map(cm => coalesce(sum(when(col(cm.name).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_${cm.name}"))
+        val checkRow = out.agg(checkAggs.head, checkAggs.tail: _*).collect()(0)
+        n = checkRow.getLong(0)
+        requireNoNulls(notNullCols.indices.map(i => checkRow.getLong(i + 1)))
+      case None => // unconstrained: the write job itself counts rows
     }
-
-    // NOT NULL (reference validate.rs): all columns checked in ONE
-    // aggregate job together with the row count and the auto-filled
-    // count (which advances the counter), not one job each. Sums are
-    // coalesced so an empty batch reads 0, not NULL.
-    val notNullCols = tm.columns.filter(c => !c.nullable)
-    val checkAggs = (count(lit(1)).as("__n") +:
-      autoCol.map(_ => coalesce(sum(when(col(autoMark), 1L).otherwise(0L)), lit(0L)).as("__af")).toSeq) ++
-      notNullCols.map(cm => coalesce(sum(when(col(cm.name).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_${cm.name}"))
-    val checkRow = out.agg(checkAggs.head, checkAggs.tail: _*).collect()(0)
-    val n = checkRow.getLong(0)
-    val autoFilled = if (autoCol.isDefined) checkRow.getLong(1) else 0L
-    val nnOffset = if (autoCol.isDefined) 2 else 1
-    notNullCols.zipWithIndex.foreach { case (cm, i) =>
-      if (checkRow.getLong(i + nnOffset) > 0)
-        throw new EngineException(s"null value in NOT NULL column ${cm.name}")
-    }
-    if (autoCol.isDefined) out = out.drop(autoMark)
     // UNIQUE (reference validate_unique.rs:23-160): batch-internal
     // duplicates and overlap with stored rows in one job per column —
     // stored values are already unique, so any key appearing twice in
     // stored ∪ batch is a violation.
-    tm.columns.filter(c => c.unique || tm.indexes.exists(i => i.unique && i.column.equalsIgnoreCase(c.name))).foreach { cm =>
+    uniqueCols.foreach { cm =>
       val c = col(cm.name)
       val dupes = spark.table(s"`$db`.`$tbl`").select(c)
         .unionAll(out.select(c))
@@ -697,15 +770,16 @@ class Engine(val spark: SparkSession) {
       case Some(path) =>
         // CSV table = one local file (reference csv backend): append
         // rendered lines and refresh the catalog's file cache. Rows
-        // stream through toLocalIterator — the batch is already
-        // checkpointed, so partitions arrive one at a time and driver
-        // memory is bounded by one partition, not the batch size.
+        // stream through toLocalIterator, so partitions arrive one at
+        // a time and driver memory is bounded by one partition, not
+        // the batch size.
         val raf = new java.io.File(path)
         val needsNl = raf.length() > 0 && {
           val in = new java.io.RandomAccessFile(raf, "r")
           try { in.seek(raf.length() - 1); in.read() != '\n' } finally in.close()
         }
         val fw = new java.io.BufferedWriter(new java.io.FileWriter(path, true))
+        var written = 0L
         try {
           if (needsNl) fw.write("\n")
           val it = out.toLocalIterator()
@@ -713,8 +787,10 @@ class Engine(val spark: SparkSession) {
             fw.write(it.next().toSeq.map(v =>
               csvQuote(if (v == null) "" else v.toString)).mkString(","))
             fw.write("\n")
+            written += 1
           }
         } finally fw.close()
+        if (n < 0) n = written
         spark.catalog.refreshTable(s"`$db`.`$tbl`")
       case None =>
         // Enforce the workbook bound BEFORE the mirror write: checking
@@ -732,11 +808,20 @@ class Engine(val spark: SparkSession) {
                 s"(has $have, inserting $n); XLSX is a small-data backend — " +
                 "use a parquet or CSV database")
         }
-        out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
+        if (n < 0) {
+          // No pre-write pass ran: fold the row count into the write
+          // job as an observed metric — an unconstrained INSERT is ONE
+          // job end to end (same trick as the UPDATE rewrite path).
+          val obs = org.apache.spark.sql.Observation()
+          out.observe(obs, count(lit(1)).as("__n"))
+            .write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
+          n = obs.get("__n").asInstanceOf[Long]
+        } else out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
         tm.xlsxPath.foreach(syncXlsx)
     }
     autoCol.foreach(_ => meta.update(db, tbl)(m => m.copy(autoCounter = m.autoCounter + autoFilled)))
-    (Payload.Insert(n), out)
+    (Payload.Insert(n), out, releaseStage)
+    } catch { case e: Throwable => releaseStage(); throw e }
   }
 
   // ------------------------------------------------------------------
