@@ -787,15 +787,32 @@ object TextOps {
     * Zipf-sparse in practice), the per-w1 argmax window runs over
     * that vocab-sized table only (never the corpus), and the argmax
     * table broadcasts back onto the bigram stream — the corpus
-    * never shuffles on words. At a 100 TB vocab too large to
-    * broadcast, the same plan truncates the model to the Zipf head
-    * (argmax rows with c > 1) or falls back to a bucketed join;
-    * noted here, not needed at battery scale. Ties break
-    * lexicographically on w2 in BOTH engines (binary collation on
-    * the ASCII corpus). Output is integral (ppm) — no float hash
-    * hazard. Docs with fewer than two tokens have no bigrams and
-    * drop out in both engines. */
-  def bigramPredictability(spark: SparkSession, dir: String): DataFrame = {
+    * never shuffles on words. The broadcast is SIZE-GATED: the
+    * bigram-type count (a free byproduct of materializing the model
+    * cache, and an upper bound on the argmax table's rows) decides
+    * between broadcasting the model and a shuffle equi-join on w1.
+    * At a 100 TB vocab the fallback join is the only semantics-
+    * preserving choice — every corpus w1 has an argmax row, so a
+    * Zipf-head truncation would drop bigrams from the output — and
+    * AQE's skew-join split handles the hot stop-word keys that
+    * shuffle concentrates. The model (vocab-bounded, Zipf-sparse)
+    * is cached MEMORY_AND_DISK so the gating count and the join
+    * build read one materialization, not two corpus aggregates.
+    * Ties break lexicographically on w2 in BOTH engines (binary
+    * collation on the ASCII corpus). Output is integral (ppm) — no
+    * float hash hazard. Docs with fewer than two tokens have no
+    * bigrams and drop out in both engines. */
+  def bigramPredictability(spark: SparkSession, dir: String): DataFrame =
+    bigramPredictability(spark, dir, BigramModelBroadcastCap)
+
+  /** Rows of the bigram-count model above which the per-w1 argmax
+    * table stops broadcasting and joins by shuffle instead. 4M rows
+    * of (w1, top_w2) short strings ≈ low hundreds of MB — the upper
+    * end of a sane executor broadcast. */
+  val BigramModelBroadcastCap = 4000000L
+
+  private[graft] def bigramPredictability(
+      spark: SparkSession, dir: String, broadcastCap: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bgs = t(spark, dir, "documents")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
@@ -807,12 +824,15 @@ object TextOps {
           |     i -> struct(ws[i - 1] AS w1, ws[i] AS w2)))""".stripMargin)).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val counts = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val modelRows = counts.count()
     val best = counts
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("w1")).orderBy(col("c").desc, col("w2").asc)))
       .filter(col("rn") === 1)
       .select(col("w1"), col("w2").as("top_w2"))
-    bgs.join(broadcast(best), "w1")
+    val model = if (modelRows <= broadcastCap) broadcast(best) else best
+    bgs.join(model, "w1")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         count_if(col("w2") === col("top_w2")).as("n_predicted"))

@@ -325,6 +325,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bigram count agg is not map-side combined:\n$p")
   }
 
+  test("t17 over-cap regime: model joins by shuffle, same rows as the broadcast plan") {
+    // Force the vocab-scale fallback (cap 0) and stop both the static
+    // planner and AQE from re-broadcasting the small test model, so
+    // the pinned plan is the one a 100 TB vocab would actually get.
+    val broadcastRows = TextOps.bigramPredictability(spark, dir).collect().toSet
+    val autoBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", autoBefore)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = TextOps.bigramPredictability(spark, dir, 0L)
+      val p = plan(df)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"over-cap model still broadcasts:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"over-cap model is not a shuffle equi-join:\n$p")
+      assert(df.collect().toSet == broadcastRows,
+        "fallback regime changed t17's results")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", autoBefore)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqeBefore)
+    }
+  }
+
   test("t13b shard manifest: window and aggregate share ONE exchange on shard") {
     val p = plan(TextOps.shardManifest(spark, dir))
     val finalTree = p.split("== Initial Plan ==")(0)
