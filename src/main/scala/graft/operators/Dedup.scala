@@ -790,8 +790,20 @@ object Dedup {
     * minhashes agree (integer threshold — no float compare). Output
     * rolls up to document pairs with their near-dup span counts —
     * the evidence table a template-removal pass consumes.
-    * 100 TB shape: only (doc_id, 32-char fp, 16 longs) shuffle;
-    * text never moves, no all-pairs stage exists. */
+    * TWO-TIER shape: identical spans short-circuit the minhash
+    * machinery entirely — equal word sequences imply equal
+    * signatures, so their cross-doc pairs come straight off an exact
+    * fp-groupBy (d11's digest discipline) and never enter the band
+    * explode, where they used to re-meet in every band and re-verify
+    * 16 minhashes per pair per band. Banding then runs over DISTINCT
+    * span contents only, so bucket population (and the cap) counts
+    * contents, not span instances. One upfront cap replaces the old
+    * per-bucket-instance cap: contents held by more than `maxBucket`
+    * docs drop out whole — such spans are corpus boilerplate (d11
+    * already reports them) and their doc-pair fan-out is exactly the
+    * quadratic term the d3 cap philosophy bounds.
+    * 100 TB shape: only (32-char fp, 16 longs, capped doc_id sets)
+    * shuffle; text never moves, no all-pairs stage exists. */
   def spanMinhashDups(spark: SparkSession, dir: String,
                       minEq: Int = NumHashes / 2,
                       maxBucket: Int = MaxBandBucket): DataFrame =
@@ -812,35 +824,87 @@ object Dedup {
         c => slice(col("pws"), (c - lit(1)) * w + lit(1), lit(w)))).as("ws"))
       .select(col("doc_id"), md5(concat_ws(" ", col("ws"))).as("fp"), col("ws"))
       .distinct()
+    // One row per distinct span CONTENT (fp determines the word
+    // sequence): signature computed once per content, holder docs
+    // carried as a sorted set, over-cap boilerplate dropped upfront.
+    val grouped = units
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"),
+        first(col("ws")).as("ws")) // ws identical within an fp group
+      .filter(size(col("docs")) <= maxBucket)
     val sig = array((0 until NumHashes).map { i =>
       array_min(transform(col("ws"),
         wd => ((portableHash(wd) % P) * As(i) + Bs(i)) % P))
     }: _*)
-    val bands = units
-      .select(col("doc_id"), col("fp"), sig.as("sig"))
-      .select(col("doc_id"), col("fp"), col("sig"),
+    // `contents` fans out to four consumers (exact tier, band census,
+    // band probe, near-tier holder expansion): cache it so the
+    // scan+explode+two-shuffle subtree above materializes once —
+    // without it each branch re-runs the whole subtree (the exchanges
+    // hash different parent plans, so ReusedExchange never fires).
+    // Disk-backed: at 100 TB "distinct span contents" is corpus-sized.
+    val contents = grouped.select(col("fp"), col("docs"), sig.as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // EXACT tier: identical spans pair straight off the holder set
+    // (16/16 signature agreement is implied, always ≥ minEq).
+    val exactPairs = contents
+      .filter(size(col("docs")) > 1)
+      .select(col("fp"), explode(expr(
+        """flatten(transform(docs, (a, i) ->
+          |  transform(slice(docs, i + 2, size(docs) - i - 1),
+          |    b -> struct(a AS id_a, b AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("fp").as("fp_a"),
+        col("p.id_b").as("id_b"), col("fp").as("fp_b"))
+
+    // NEAR tier: band DISTINCT contents, verify 16-minhash agreement
+    // once per content pair, then expand to cross-doc span-instance
+    // pairs through the capped holder sets.
+    val bands = contents
+      .select(col("fp"), col("sig"),
         explode(array((0 until nBands).map { b =>
           struct(lit(b).as("band_id"),
             concat_ws(":", col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1))
               .as("band_key"))
         }: _*)).as("bk"))
-      .select(col("doc_id"), col("fp"), col("sig"),
-        col("bk.band_id"), col("bk.band_key"))
-    bands
+      .select(col("fp"), col("sig"), col("bk.band_id"), col("bk.band_key"))
+    // Bucket census BEFORE the collect: a tiny-vocab corpus collides
+    // thousands of contents onto one band key, and collecting then
+    // sorting a mega-bucket only for the size filter to discard it
+    // was the dominant d13 cost. The census is a map-combined
+    // aggregate over skinny (band_id, band_key) rows; joined back as
+    // a filter it keeps mega-bucket members out of collect_list
+    // entirely. AQE broadcasts the census when small; at 100 TB it
+    // rides the same (band_id, band_key) shuffle the groupBy needs.
+    val liveBuckets = bands
+      .groupBy(col("band_id"), col("band_key")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBucket)
+      .select(col("band_id"), col("band_key"))
+    val contentPairs = bands
+      .join(liveBuckets, Seq("band_id", "band_key"))
       .groupBy(col("band_id"), col("band_key"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("fp"), col("sig")))).as("ms"))
-      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+      .agg(array_sort(collect_list(struct(col("fp"), col("sig")))).as("ms"))
       .select(explode(expr(
         s"""flatten(transform(ms, (a, i) ->
            |  transform(slice(ms, i + 2, size(ms) - i - 1), b ->
-           |    named_struct('id_a', a.doc_id, 'fp_a', a.fp,
-           |      'id_b', b.doc_id, 'fp_b', b.fp,
+           |    named_struct('fp_a', a.fp, 'fp_b', b.fp,
            |      'n_eq', aggregate(zip_with(a.sig, b.sig,
            |        (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)))))""".stripMargin)).as("p"))
-      .filter(col("p.id_a") =!= col("p.id_b") && col("p.n_eq") >= minEq)
-      .select(col("p.id_a").as("id_a"), col("p.fp_a").as("fp_a"),
-        col("p.id_b").as("id_b"), col("p.fp_b").as("fp_b"))
-      .distinct() // a span pair matching in k bands appears k times
+      .filter(col("p.n_eq") >= minEq)
+      .select(col("p.fp_a").as("fp_a"), col("p.fp_b").as("fp_b"))
+      .distinct() // a content pair matching in k bands appears k times
+    val nearPairs = contentPairs
+      .join(contents.select(col("fp").as("fp_a"), col("docs").as("docs_a")), "fp_a")
+      .join(contents.select(col("fp").as("fp_b"), col("docs").as("docs_b")), "fp_b")
+      .select(col("fp_a"), col("fp_b"), explode(expr(
+        """filter(flatten(transform(docs_a, a ->
+          |  transform(docs_b, b -> struct(a AS da, b AS db)))),
+          |  p -> p.da != p.db)""".stripMargin)).as("p"))
+      .select(
+        when(col("p.da") < col("p.db"), col("p.da")).otherwise(col("p.db")).as("id_a"),
+        when(col("p.da") < col("p.db"), col("fp_a")).otherwise(col("fp_b")).as("fp_a"),
+        when(col("p.da") < col("p.db"), col("p.db")).otherwise(col("p.da")).as("id_b"),
+        when(col("p.da") < col("p.db"), col("fp_b")).otherwise(col("fp_a")).as("fp_b"))
+    exactPairs.unionAll(nearPairs)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_near_spans"))
   }
@@ -851,7 +915,7 @@ object Dedup {
       s"list_min(list_transform(ws, wd -> (((('0x' || substr(md5(wd), 1, 15))::BIGINT % $P) * ${As(i)} + ${Bs(i)}) % $P))) AS mh$i")
       .mkString(",\n    ")
     val bandsUnion = (0 until NumHashes / 2)
-      .map(b => s"SELECT doc_id, fp, $b AS band_id, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM sig")
+      .map(b => s"SELECT fp, $b AS band_id, mh${2 * b} AS k1, mh${2 * b + 1} AS k2 FROM sigc")
       .mkString("\n  UNION ALL ")
     val est = (0 until NumHashes)
       .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
@@ -867,25 +931,43 @@ object Dedup {
        |    c -> list_slice(pws, (c - 1) * $w + 1, c * $w))) AS ws
        |  FROM wd),
        |units AS (SELECT DISTINCT doc_id, md5(array_to_string(ws, ' ')) AS fp, ws FROM u0),
-       |sig AS (SELECT doc_id, fp,
+       |capped AS (
+       |  SELECT fp FROM units GROUP BY fp HAVING count(DISTINCT doc_id) <= $maxBucket),
+       |ud AS (SELECT DISTINCT u.fp, u.doc_id FROM units u JOIN capped USING (fp)),
+       |cws AS (SELECT DISTINCT u.fp, u.ws FROM units u JOIN capped USING (fp)),
+       |sigc AS (SELECT fp,
        |    $mh
-       |  FROM units),
+       |  FROM cws),
+       |exact AS (
+       |  SELECT a.doc_id AS id_a, a.fp AS fp_a, b.doc_id AS id_b, b.fp AS fp_b
+       |  FROM ud a JOIN ud b ON a.fp = b.fp AND a.doc_id < b.doc_id),
        |bands AS (
        |  $bandsUnion),
        |bc AS (SELECT band_id, k1, k2, count(*) AS n FROM bands GROUP BY 1, 2, 3),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, a.fp AS fp_a, b.doc_id AS id_b, b.fp AS fp_b
+       |cpair AS (
+       |  SELECT DISTINCT a.fp AS fp_a, b.fp AS fp_b
        |  FROM bands a
        |  JOIN bands b ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
-       |    AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.fp < b.fp))
+       |    AND a.fp < b.fp
        |  JOIN bc ON bc.band_id = a.band_id AND bc.k1 = a.k1 AND bc.k2 = a.k2
-       |  WHERE bc.n <= $maxBucket AND a.doc_id <> b.doc_id)
-       |SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_near_spans
-       |FROM cand c
-       |JOIN sig sa ON sa.doc_id = c.id_a AND sa.fp = c.fp_a
-       |JOIN sig sb ON sb.doc_id = c.id_b AND sb.fp = c.fp_b
-       |WHERE ($est) >= $minEq
-       |GROUP BY 1, 2""".stripMargin
+       |  WHERE bc.n <= $maxBucket),
+       |cfilt AS (
+       |  SELECT c.fp_a, c.fp_b FROM cpair c
+       |  JOIN sigc sa ON sa.fp = c.fp_a
+       |  JOIN sigc sb ON sb.fp = c.fp_b
+       |  WHERE ($est) >= $minEq),
+       |near AS (
+       |  SELECT CASE WHEN a.doc_id < b.doc_id THEN a.doc_id ELSE b.doc_id END AS id_a,
+       |    CASE WHEN a.doc_id < b.doc_id THEN c.fp_a ELSE c.fp_b END AS fp_a,
+       |    CASE WHEN a.doc_id < b.doc_id THEN b.doc_id ELSE a.doc_id END AS id_b,
+       |    CASE WHEN a.doc_id < b.doc_id THEN c.fp_b ELSE c.fp_a END AS fp_b
+       |  FROM cfilt c
+       |  JOIN ud a ON a.fp = c.fp_a
+       |  JOIN ud b ON b.fp = c.fp_b
+       |  WHERE a.doc_id <> b.doc_id),
+       |allp AS (SELECT * FROM exact UNION ALL SELECT * FROM near)
+       |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_near_spans
+       |FROM allp GROUP BY 1, 2""".stripMargin
   }
 
   def paragraphDedupOracleSql: String = {

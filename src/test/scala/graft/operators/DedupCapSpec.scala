@@ -64,4 +64,39 @@ class DedupCapSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((1L, 2L, 1L)), s"got $pairs")
   }
+
+  test("d13: exact-tier short-circuit equals the minhash path it bypasses") {
+    import spark.implicits._
+    // Identical spans route through the exact fp-groupBy tier; their
+    // signatures would agree 16/16 ≥ minEq, so the short-circuit must
+    // produce exactly the pairs the band+verify path would have.
+    // Mixed corpus: one span identical across 3 docs (exact tier),
+    // one edited pair (near tier), one disjoint doc (no pairs) —
+    // evidence counts must combine both tiers per doc pair.
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tpl = "terms of service apply to all users of this site"
+    val edited = "terms of service apply to all members of this site"
+    val lone = "quick brown fox jumps over the lazy dog again today"
+    val docs = Seq(
+      (1L, s"$same\n\n$tpl"), (2L, s"$same\n\n$edited"),
+      (3L, same), (4L, lone)).toDF("doc_id", "text")
+    val got = Dedup.spanMinhashDupsOn(docs, Dedup.NumHashes / 2, Dedup.MaxBandBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (1,2): identical `same` span + near-dup tpl/edited span = 2
+    // (1,3), (2,3): identical `same` span only = 1; doc 4 pairs with no one
+    assert(got == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), s"got $got")
+  }
+
+  test("d13: contents held by more docs than the cap drop out whole") {
+    import spark.implicits._
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val pairText = "one two three four five six seven eight nine ten"
+    val docs = ((1L to 60L).map(i => (i, boiler)) ++
+      Seq((201L, pairText), (202L, pairText))).toDF("doc_id", "text")
+    // cap 50 < 60 holders: the boilerplate content contributes no
+    // pairs; the 2-doc content still surfaces through the exact tier
+    val pairs = Dedup.spanMinhashDupsOn(docs, Dedup.NumHashes / 2, Dedup.MaxBandBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((201L, 202L)), s"got $pairs")
+  }
 }
