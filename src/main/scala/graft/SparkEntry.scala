@@ -114,6 +114,7 @@ object SparkEntry {
     "d11_paragraph_dedup" -> (Dedup.paragraphDedup _),
     "d12_winnow_dups" -> ((s: SparkSession, d: String) => Dedup.winnowDups(s, d)),
     "d13_span_minhash" -> ((s: SparkSession, d: String) => Dedup.spanMinhashDups(s, d)),
+    "d14_exact_substring" -> ((s: SparkSession, d: String) => Dedup.exactSubstring(s, d)),
     "s10_sq_topk" -> ((s: SparkSession, d: String) => Similarity.sqTopK(s, d)),
     "s11_ivfpq_topk" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "m7_frame_dedup" -> (Multimodal.m7FrameDedup _),
@@ -456,6 +457,8 @@ object SparkEntry {
     "d12_winnow_dups" -> Dedup.winnowDupsOracleSql(2L, Dedup.MaxShingleDf),
     "d13_span_minhash" ->
       Dedup.spanMinhashDupsOracleSql(Dedup.NumHashes / 2, Dedup.MaxBandBucket),
+    "d14_exact_substring" ->
+      Dedup.exactSubstringOracleSql(Dedup.SpanWords, Dedup.ExactSubstrPostingCap),
     "s10_sq_topk" -> Similarity.sqTopKOracleSql(0L, 10),
     "s11_ivfpq_topk" -> Similarity.ivfPqTopKOracleSql(0L, 10),
     "m7_frame_dedup" -> Multimodal.m7OracleSql,

@@ -993,4 +993,117 @@ object Dedup {
        |  CAST(n_dup AS DOUBLE) / n_spans AS dup_frac
        |FROM d""".stripMargin
   }
+
+  /** Posting-list cap for d14: a gram whose (doc, pos) posting list
+    * exceeds this is corpus boilerplate (licence headers, templates)
+    * whose pair fan-out is the quadratic term — dropped whole, the
+    * d2 [[MaxShingleDf]] philosophy at gram granularity. */
+  val ExactSubstrPostingCap = 200
+
+  /** d14: EXACT-SUBSTRING dedup (the Lee et al. 2022 "ExactSubstr"
+    * recipe, arXiv:2107.06499, re-expressed distributed): find every
+    * pair of documents sharing a VERBATIM token run of ≥ `w` tokens.
+    * Where the paper builds one giant suffix array, the distributed
+    * form slides a stride-1 window of `w` tokens over each doc and
+    * digests it (md5, d1's digests-not-text discipline): an overlap
+    * of length L ≥ w contains exactly L−w+1 shared grams, so
+    * gram-digest equality is a LOSSLESS detector and the run length
+    * reconstructs exactly. Shared grams group by digest (capped
+    * posting lists — see [[ExactSubstrPostingCap]]), explode to
+    * cross-doc (pos_a, pos_b) hits, and coalesce into maximal runs
+    * with the diagonal trick: hits of one contiguous overlap share
+    * diag = pos_a − pos_b, and pos_a − row_number() over
+    * (pair, diag | order pos_a) is constant exactly within a
+    * consecutive run. Output per doc pair: longest overlap in
+    * tokens, run count, total shared grams — all integral.
+    * 100 TB shape: the gram stream is O(corpus tokens) rows of
+    * (doc_id, pos, 32-char digest) — linear, the same budget the
+    * suffix array pays — and every shuffle (digest groupBy, capped
+    * pair explode, per-pair window, final rollup) carries digests
+    * and ids only; text never moves, no all-pairs stage exists. */
+  def exactSubstring(spark: SparkSession, dir: String,
+                     minTokens: Int = SpanWords,
+                     postingCap: Int = ExactSubstrPostingCap): DataFrame =
+    exactSubstringOn(
+      t(spark, dir, "documents").select(col("doc_id"), col("text")),
+      minTokens, postingCap)
+
+  private[operators] def exactSubstringOn(docs: DataFrame, w: Int,
+                                          postingCap: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        filter(split(trim(col("text")), "\\s+"), x => length(x) > lit(0)).as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(ws) - ${w - 1}),
+           |  p -> struct(p AS pos, md5(concat_ws(' ', slice(ws, p, $w))) AS g))""".stripMargin)).as("t"))
+      .select(col("doc_id"), col("t.pos").as("pos"), col("t.g").as("g"))
+      // Two consumers (census, posting probe): disk-cache one gram
+      // materialization instead of re-running the scan+window explode
+      // — the cache is O(corpus tokens), a shuffle-spill-sized cost.
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // Census first (d13's lesson): posting lists are only collected
+    // for grams that are both shared across ≥2 docs (min≠max doc is a
+    // full-distinct check for free) and under the boilerplate cap.
+    val live = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("n") <= postingCap && col("d0") =!= col("d1"))
+      .select(col("g"))
+    val hits = grams.join(live, "g")
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("pos")))).as("ms"))
+      .select(explode(expr(
+        """flatten(transform(ms, (a, i) ->
+          |  transform(filter(slice(ms, i + 2, size(ms) - i - 1),
+          |      b -> b.doc_id != a.doc_id),
+          |    b -> struct(a.doc_id AS id_a, a.pos AS pos_a,
+          |      b.doc_id AS id_b, b.pos AS pos_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.pos_a").as("pos_a"),
+        col("p.id_b").as("id_b"), col("p.pos_b").as("pos_b"))
+    val runs = hits
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("grp", col("pos_a") -
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id_a"), col("id_b"), col("diag"))
+          .orderBy(col("pos_a"))))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run_grams"))
+    runs.groupBy(col("id_a"), col("id_b"))
+      .agg((max(col("run_grams")) + lit(w - 1)).cast("long").as("max_overlap_tokens"),
+        count(lit(1)).as("n_runs"),
+        sum(col("run_grams")).cast("long").as("n_shared_grams"))
+  }
+
+  def exactSubstringOracleSql(w: Int, postingCap: Int): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+       |  FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - ${w - 1} + 1),
+       |    p -> {'pos': p,
+       |          'g': md5(array_to_string(list_slice(ws, p, p + ${w - 1}), ' '))}),
+       |    recursive := true)
+       |  FROM d WHERE len(ws) >= $w),
+       |live AS (
+       |  SELECT g FROM g0 GROUP BY g
+       |  HAVING count(*) <= $postingCap AND min(doc_id) <> max(doc_id)),
+       |pr AS (
+       |  SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b, b.pos AS pos_b
+       |  FROM g0 a JOIN g0 b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  JOIN live ON live.g = a.g),
+       |rn AS (
+       |  SELECT id_a, id_b, pos_a - pos_b AS diag,
+       |    pos_a - row_number() OVER (
+       |      PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp
+       |  FROM pr),
+       |rl AS (
+       |  SELECT id_a, id_b, diag, grp, count(*) AS run_grams
+       |  FROM rn GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b,
+       |  CAST(max(run_grams) + ${w - 1} AS BIGINT) AS max_overlap_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_runs,
+       |  CAST(sum(run_grams) AS BIGINT) AS n_shared_grams
+       |FROM rl GROUP BY 1, 2""".stripMargin
 }
