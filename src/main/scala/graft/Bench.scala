@@ -66,14 +66,24 @@ object Bench {
         System.err.println(s"[bench] $name sample spread ${ss.map(v => f"$v%.3f").mkString("/")} s (max/min=${f"${ss.max / ss.min}%.1f"}x) — likely host stall burst")
       name -> ss.min
     }
-    // The driver captures a bounded tail of this output: the stdout
-    // line is rounded to ms so all entries fit (BENCH_r06 lost its
-    // tail to full-precision doubles); full precision goes to stderr.
+    // The driver captures a bounded ~2 KB TAIL of stdout: with full
+    // query names the single JSON line is ~2.9 KB, so its head — the
+    // alphabetical c1/d*/e*/f*/g* region — scrolls off the window
+    // (BENCH_r09 kept only 79 of 113 entries and parsed as null).
+    // Fix: key the stdout line by each query's unique leading token
+    // ("d13_span_minhash" → "d13" — the shape the driver contract
+    // shows, {"q1":sec}), which fits all 113+ entries in ~1.5 KB. The
+    // full-name full-precision line still goes to stderr, and a
+    // runtime guard falls back to full names on any prefix collision.
     // Locale.ROOT: "%.3f" under a comma-decimal default locale would
     // emit "0,360" and corrupt the JSON line.
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val collides = results.groupBy { case (k, _) => shortKey(k) }
+      .exists(_._2.size > 1)
+    val qs = results.map { case (k, v) =>
+      "\"" + (if (collides) k else shortKey(k)) + "\":" + ms(v)
+    }.mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

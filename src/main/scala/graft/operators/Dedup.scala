@@ -842,8 +842,14 @@ object Dedup {
     // without it each branch re-runs the whole subtree (the exchanges
     // hash different parent plans, so ReusedExchange never fires).
     // Disk-backed: at 100 TB "distinct span contents" is corpus-sized.
+    // Lazy localCheckpoint, not DataFrame.persist: the cached RDD is
+    // GC-tracked (ContextCleaner unpersists when the frame goes out
+    // of scope), so repeated calls in one session don't accumulate
+    // CacheManager entries that outlive the call and shadow changed
+    // underlying files — the ngramJaccard pattern above.
     val contents = grouped.select(col("fp"), col("docs"), sig.as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // EXACT tier: identical spans pair straight off the holder set
     // (16/16 signature agreement is implied, always ≥ minEq).
@@ -1041,7 +1047,9 @@ object Dedup {
       // Two consumers (census, posting probe): disk-cache one gram
       // materialization instead of re-running the scan+window explode
       // — the cache is O(corpus tokens), a shuffle-spill-sized cost.
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // GC-tracked lazy localCheckpoint (ngramJaccard pattern), not
+      // DataFrame.persist: no CacheManager entry survives the call.
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // Census first (d13's lesson): posting lists are only collected
     // for grams that are both shared across ≥2 docs (min≠max doc is a
     // full-distinct check for free) and under the boilerplate cap.

@@ -823,8 +823,14 @@ object TextOps {
           |   transform(sequence(1, size(ws) - 1),
           |     i -> struct(ws[i - 1] AS w1, ws[i] AS w2)))""".stripMargin)).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // GC-tracked lazy localCheckpoint (Dedup.ngramJaccard pattern),
+    // not DataFrame.persist: the count() below materializes it, the
+    // `best` branch reads it back, and ContextCleaner releases it when
+    // the frame is unreferenced — no CacheManager entry outlives the
+    // call to accumulate across a session.
     val counts = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val modelRows = counts.count()
     val best = counts
       .withColumn("rn", row_number().over(

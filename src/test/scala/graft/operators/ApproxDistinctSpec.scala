@@ -5,11 +5,12 @@ import graft.Tables.t
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** q36 (approx_count_distinct, HLL++ at rsd 0.01) against the exact
-  * COUNT(DISTINCT) anchor: per group, the estimate must land within
-  * a few multiples of the configured relative standard deviation —
-  * generous headroom over the published bound, not a tuned constant.
-  * The exact n_rows column anchors the grouping itself. */
+/** q36 (approx_count_distinct, HLL++ at rsd 0.02 — round-10 decision,
+  * see q36ApproxDistinct's doc) against the exact COUNT(DISTINCT)
+  * anchor: per group, the estimate must land within a few multiples
+  * of the configured relative standard deviation (4× rsd = 0.08) —
+  * generous headroom over the published ~3σ bound, not a tuned
+  * constant. The exact n_rows column anchors the grouping itself. */
 class ApproxDistinctSpec extends AnyFunSuite {
 
   private lazy val spark = SparkFixture.session
@@ -30,8 +31,8 @@ class ApproxDistinctSpec extends AnyFunSuite {
       val (ao, ap, an) = approx(k)
       val (eo, ep, en) = exact(k)
       assert(an == en, s"group $k row count drifted: $an vs $en")
-      assert(math.abs(ao - eo).toDouble / eo <= 0.05, s"group $k orders: $ao vs $eo")
-      assert(math.abs(ap - ep).toDouble / ep <= 0.05, s"group $k parts: $ap vs $ep")
+      assert(math.abs(ao - eo).toDouble / eo <= 0.08, s"group $k orders: $ao vs $eo")
+      assert(math.abs(ap - ep).toDouble / ep <= 0.08, s"group $k parts: $ap vs $ep")
     }
   }
 }
