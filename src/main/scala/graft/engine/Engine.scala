@@ -630,6 +630,15 @@ class Engine(val spark: SparkSession) {
     * All checks are distributed aggregates, not driver loops. */
   private def insertDataFrame(db: String, tbl: String, tm: TableMeta,
                               cols: Seq[String], src: DataFrame): (Payload, DataFrame, () => Unit) = {
+    // Sub-step timing for the bulk-INSERT profile (ProfileG7); zero
+    // cost unless GRAFT_INSERT_PROF is set in the environment.
+    val profOn = sys.env.contains("GRAFT_INSERT_PROF")
+    def prof[A](name: String)(f: => A): A =
+      if (!profOn) f else {
+        val t0 = System.nanoTime(); val r = f
+        System.err.println(f"[insprof] $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+        r
+      }
     cols.foreach(c => if (tm.column(c).isEmpty)
       throw new EngineException(s"unknown column $c in $db.$tbl"))
     val positioned = src.toDF(cols: _*)
@@ -663,19 +672,43 @@ class Engine(val spark: SparkSession) {
     // Staging policy: AUTO_INCREMENT needs a stable lineage (the ids
     // assigned below must be identical in every job that re-reads the
     // batch — a shuffle upstream would reorder rows between runs), and
-    // constraint checks make extra passes over the batch. Both are
-    // served by a LAZY DISK_ONLY persist: materialized once by the
-    // first job that touches it, spilled to local disk, never pinned
-    // in executor storage memory. (This path used to take an EAGER
-    // in-memory localCheckpoint on every batch — an extra full pass,
-    // and at ingest scale it pinned the whole batch in storage
-    // memory.) An INSERT into an unconstrained table stages nothing
-    // and runs as a SINGLE write job with observed metrics.
-    val needStage = autoCol.isDefined || notNullCols.nonEmpty || uniqueCols.nonEmpty
-    val stagedBatch = if (needStage) out.persist(StorageLevel.DISK_ONLY) else out
-    out = stagedBatch
-    val releaseStage: () => Unit =
-      () => if (needStage) { stagedBatch.unpersist(blocking = false); () }
+    // constraint checks make extra passes over the batch. But a batch
+    // whose plan is a deterministic NARROW pipeline (scan / filter /
+    // project / union / VALUES — no exchange, no nondeterministic
+    // expression) already re-reads identically from lineage: partition
+    // splits come from deterministic file listing and row order is the
+    // file order. For that shape — the common bulk INSERT…SELECT —
+    // staging is pure overhead (serialize the batch to local disk +
+    // read it back vs. a second columnar parquet scan), so it stages
+    // nothing. Only a batch with a shuffle or nondeterminism upstream
+    // is materialized, via a lazy DISK_ONLY localCheckpoint: spilled
+    // to local disk by the first job that touches it, never pinned in
+    // executor storage memory, lineage TRUNCATED so a lost block is a
+    // job failure instead of a silent recompute through a reordering
+    // shuffle (which could hand out colliding auto-ids), and the
+    // cached RDD is GC-tracked rather than left in the CacheManager.
+    // An INSERT into an unconstrained table stages nothing and runs
+    // as a SINGLE write job with observed metrics.
+    def scanStable(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      val nodeOk = p match {
+        case _: Project | _: Filter | _: Union | _: LocalRelation | _: Range => true
+        case _ => p.getClass.getSimpleName == "LogicalRelation" ||
+          p.getClass.getSimpleName == "DataSourceV2ScanRelation" ||
+          p.getClass.getSimpleName == "OneRowRelation"
+      }
+      nodeOk && p.expressions.forall(_.deterministic) && p.children.forall(scanStable)
+    }
+    val needStage = (autoCol.isDefined || notNullCols.nonEmpty || uniqueCols.nonEmpty) &&
+      !scanStable(out.queryExecution.optimizedPlan)
+    out =
+      if (needStage) out.localCheckpoint(eager = false, StorageLevel.DISK_ONLY)
+      else out
+    // The checkpointed RDD is ContextCleaner-tracked: it is released
+    // when `out` becomes unreachable after this call returns, so the
+    // release hook has nothing eager to do (kept for signature parity
+    // with callers that invoke it on failure paths).
+    val releaseStage: () => Unit = () => ()
     try {
     // Pre-write validation. With AUTO_INCREMENT, ONE per-partition
     // stats job materializes the cache and yields the row count, the
@@ -699,8 +732,8 @@ class Engine(val spark: SparkSession) {
           count(lit(1)).as("__total"),
           coalesce(sum(when(col(cm.name).isNull, 1L).otherwise(0L)), lit(0L)).as("__nulls")) ++
           notNullCols.map(c2 => coalesce(sum(when(col(c2.name).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_${c2.name}"))
-        val perPart = out.groupBy(spark_partition_id().as("__pid"))
-          .agg(statAggs.head, statAggs.tail: _*).collect()
+        val perPart = prof("stats_job")(out.groupBy(spark_partition_id().as("__pid"))
+          .agg(statAggs.head, statAggs.tail: _*).collect())
         n = perPart.map(_.getLong(1)).sum
         autoFilled = perPart.map(_.getLong(2)).sum
         requireNoNulls(notNullCols.indices.map(i => perPart.map(_.getLong(i + 3)).sum))
@@ -708,9 +741,11 @@ class Engine(val spark: SparkSession) {
         // codegen: monotonically_increasing_id embeds
         // (partitionId << 33 | intra-partition counter) with the
         // counter consecutive from 0, so the per-partition null counts
-        // above prefix-sum into each partition's starting offset. The
-        // batch is DISK_ONLY-cached, so every job sees identical
-        // partitioning and row order. (Replaces RDD.zipWithIndex,
+        // above prefix-sum into each partition's starting offset.
+        // Every job sees identical partitioning and row order: the
+        // batch is either a deterministic narrow scan (re-read from
+        // lineage bit-identically) or a truncated-lineage DISK_ONLY
+        // localCheckpoint (see staging policy). (Replaces RDD.zipWithIndex,
         // whose Row↔InternalRow round trip re-ran in every downstream
         // job and dominated bulk-INSERT cost.)
         val start = tm.autoCounter
@@ -721,11 +756,22 @@ class Engine(val spark: SparkSession) {
         }.map(_._2)
         val mid = col("__graft_mid")
         val pid = shiftright(mid, 33)
+        // Offset lookup: an inline array literal keeps the whole fill
+        // inside codegen, but its expression tree grows linearly with
+        // partition count (a many-thousand-partition bulk load would
+        // blow past the 64 KB codegen method limit and fall back to
+        // interpreted eval). Over 64 partitions, switch to a broadcast
+        // Array[Long] behind a tiny UDF — O(1) per row, O(#partitions)
+        // driver memory once, not per-expression-tree.
         val offsetCol =
           if (maxPid < 0) lit(0L)
-          else element_at(
+          else if (maxPid < 64) element_at(
             array(offsets.take((maxPid + 1).toInt).map(lit).toIndexedSeq: _*),
             (pid + 1).cast("int"))
+          else {
+            val bc = spark.sparkContext.broadcast(offsets.take((maxPid + 1).toInt))
+            udf((p: Int) => bc.value(p)).apply(pid.cast("int"))
+          }
         val filledRows = out.filter(col(cm.name).isNull)
           .withColumn("__graft_mid", monotonically_increasing_id())
           .withColumn(cm.name,
@@ -816,7 +862,14 @@ class Engine(val spark: SparkSession) {
           out.observe(obs, count(lit(1)).as("__n"))
             .write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
           n = obs.get("__n").asInstanceOf[Long]
-        } else out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
+        } else prof("write_job")(out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`"))
+        // (Round-10 profile note: widening a low-partition bulk batch
+        // with a pre-write repartition was tried and measured SLOWER
+        // at sf0.1 — round-robin pays a sortBeforeRepartition full
+        // sort, and even hash partitioning's shuffle exceeds the
+        // serial-encode time it reclaims. The un-widened write is the
+        // measured optimum; at cluster scale source partitions exceed
+        // cores anyway.)
         tm.xlsxPath.foreach(syncXlsx)
     }
     autoCol.foreach(_ => meta.update(db, tbl)(m => m.copy(autoCounter = m.autoCounter + autoFilled)))

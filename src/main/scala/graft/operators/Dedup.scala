@@ -842,14 +842,17 @@ object Dedup {
     // without it each branch re-runs the whole subtree (the exchanges
     // hash different parent plans, so ReusedExchange never fires).
     // Disk-backed: at 100 TB "distinct span contents" is corpus-sized.
-    // Lazy localCheckpoint, not DataFrame.persist: the cached RDD is
-    // GC-tracked (ContextCleaner unpersists when the frame goes out
-    // of scope), so repeated calls in one session don't accumulate
-    // CacheManager entries that outlive the call and shadow changed
-    // underlying files — the ngramJaccard pattern above.
+    // persist + materialize-result + finally-unpersist, NOT a lazy
+    // localCheckpoint: a checkpointed RDD becomes a stats-less
+    // LogicalRDD (sizeInBytes = defaultSizeInBytes), which demoted
+    // the four consumers' joins from broadcast to sort-merge — a
+    // measured ~2× wall regression. The persist keeps InMemoryRelation
+    // stats for planning; the eager localCheckpoint of the (tiny)
+    // result below lets the finally release the cache before this
+    // returns, so no CacheManager entry outlives the call.
     val contents = grouped.select(col("fp"), col("docs"), sig.as("sig"))
-      .localCheckpoint(false,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // EXACT tier: identical spans pair straight off the holder set
     // (16/16 signature agreement is implied, always ≥ minEq).
@@ -910,9 +913,14 @@ object Dedup {
         when(col("p.da") < col("p.db"), col("fp_a")).otherwise(col("fp_b")).as("fp_a"),
         when(col("p.da") < col("p.db"), col("p.db")).otherwise(col("p.da")).as("id_b"),
         when(col("p.da") < col("p.db"), col("fp_b")).otherwise(col("fp_a")).as("fp_b"))
+    // Eager checkpoint materializes the pair counts (result-sized,
+    // not corpus-sized) while the cache is live; the finally can then
+    // release `contents` before the frame is handed to the caller.
     exactPairs.unionAll(nearPairs)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_near_spans"))
+      .localCheckpoint(true)
+    } finally contents.unpersist(false)
   }
 
   def spanMinhashDupsOracleSql(minEq: Int, maxBucket: Int): String = {
@@ -1047,9 +1055,12 @@ object Dedup {
       // Two consumers (census, posting probe): disk-cache one gram
       // materialization instead of re-running the scan+window explode
       // — the cache is O(corpus tokens), a shuffle-spill-sized cost.
-      // GC-tracked lazy localCheckpoint (ngramJaccard pattern), not
-      // DataFrame.persist: no CacheManager entry survives the call.
-      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // persist (kept for InMemoryRelation stats — a checkpointed
+      // LogicalRDD is stats-less and demotes downstream join plans)
+      // with a finally-unpersist after the result materializes below,
+      // so no CacheManager entry outlives the call.
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
     // Census first (d13's lesson): posting lists are only collected
     // for grams that are both shared across ≥2 docs (min≠max doc is a
     // full-distinct check for free) and under the boilerplate cap.
@@ -1077,10 +1088,14 @@ object Dedup {
           .orderBy(col("pos_a"))))
       .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
       .agg(count(lit(1)).as("run_grams"))
+    // Eager checkpoint of the (pair-sized) result lets the finally
+    // release the gram cache before the frame reaches the caller.
     runs.groupBy(col("id_a"), col("id_b"))
       .agg((max(col("run_grams")) + lit(w - 1)).cast("long").as("max_overlap_tokens"),
         count(lit(1)).as("n_runs"),
         sum(col("run_grams")).cast("long").as("n_shared_grams"))
+      .localCheckpoint(true)
+    } finally grams.unpersist(false)
   }
 
   def exactSubstringOracleSql(w: Int, postingCap: Int): String =

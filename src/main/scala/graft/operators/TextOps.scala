@@ -811,8 +811,12 @@ object TextOps {
     * end of a sane executor broadcast. */
   val BigramModelBroadcastCap = 4000000L
 
+  /** `materialize = false` (tests only) skips the cache and the eager
+    * result checkpoint so PlanShapeSpec can pin the operator's pure
+    * declarative plan — a checkpointed result explains as LogicalRDD. */
   private[graft] def bigramPredictability(
-      spark: SparkSession, dir: String, broadcastCap: Long): DataFrame = {
+      spark: SparkSession, dir: String, broadcastCap: Long,
+      materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bgs = t(spark, dir, "documents")
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
@@ -823,14 +827,15 @@ object TextOps {
           |   transform(sequence(1, size(ws) - 1),
           |     i -> struct(ws[i - 1] AS w1, ws[i] AS w2)))""".stripMargin)).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    // GC-tracked lazy localCheckpoint (Dedup.ngramJaccard pattern),
-    // not DataFrame.persist: the count() below materializes it, the
-    // `best` branch reads it back, and ContextCleaner releases it when
-    // the frame is unreferenced — no CacheManager entry outlives the
-    // call to accumulate across a session.
-    val counts = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(false,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist + finally-unpersist after the (doc-sized) result
+    // materializes below — no CacheManager entry outlives the call,
+    // and the count() here is the pass that fills the cache.
+    val countsBase = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val counts =
+      if (materialize)
+        countsBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else countsBase
+    try {
     val modelRows = counts.count()
     val best = counts
       .withColumn("rn", row_number().over(
@@ -838,7 +843,7 @@ object TextOps {
       .filter(col("rn") === 1)
       .select(col("w1"), col("w2").as("top_w2"))
     val model = if (modelRows <= broadcastCap) broadcast(best) else best
-    bgs.join(model, "w1")
+    val result = bgs.join(model, "w1")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         count_if(col("w2") === col("top_w2")).as("n_predicted"))
@@ -846,6 +851,8 @@ object TextOps {
         col("n_bigrams").cast("long").as("n_bigrams"),
         col("n_predicted").cast("long").as("n_predicted"),
         expr("(n_predicted * 1000000L) div n_bigrams").as("predict_ppm"))
+    if (materialize) result.localCheckpoint(true) else result
+    } finally { if (materialize) counts.unpersist(false) }
   }
 
   val bigramPredictabilityOracleSql: String =

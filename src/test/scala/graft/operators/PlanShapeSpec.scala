@@ -317,7 +317,11 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("t17 bigram predictability: argmax table broadcasts back, no corpus word-shuffle join") {
-    val p = plan(TextOps.bigramPredictability(spark, dir))
+    // materialize = false: the production path eagerly checkpoints its
+    // result (cache-release contract), which explains as LogicalRDD;
+    // the pin wants the operator's declarative plan.
+    val p = plan(TextOps.bigramPredictability(spark, dir,
+      TextOps.BigramModelBroadcastCap, materialize = false))
     assert(p.contains("BroadcastHashJoin"), s"argmax model join did not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"t17 shuffles the corpus bigram stream into a merge join:\n$p")
@@ -335,7 +339,7 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = TextOps.bigramPredictability(spark, dir, 0L)
+      val df = TextOps.bigramPredictability(spark, dir, 0L, materialize = false)
       val p = plan(df)
       assert(!p.contains("BroadcastHashJoin"),
         s"over-cap model still broadcasts:\n$p")
