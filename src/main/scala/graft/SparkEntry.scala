@@ -17,6 +17,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     C.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** Battery entry routed through the ENGINE'S SQL TEXT PATH
+    * (`EXECUTE OPERATOR …`, graft.engine.Operators): registers the
+    * corpus tables as views and hands the statement to
+    * `Engine.query`, so CORRECTNESS proves the facade route produces
+    * byte-identical results to the Scala entry points it wraps. */
+  private def viaFacade(stmt: String): (SparkSession, String) => DataFrame =
+    (s, d) => {
+      Tables.registerAll(s, d)
+      new graft.engine.Engine(s).query(stmt)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core relational battery (SURVEY.md §2.2–§2.6) ----
     "q1_pricing_summary" -> (C.q1PricingSummary _),
@@ -75,7 +86,7 @@ object SparkEntry {
     "t2_quality_score" -> (TextOps.qualityScore _),
     "t3_lang_id" -> (TextOps.langIdAccuracy _),
     "t4_fingerprint" -> (TextOps.fingerprint _),
-    "t5_split_assign" -> ((s: SparkSession, d: String) => TextOps.splitAssign(s, d)),
+    "t5_split_assign" -> viaFacade("EXECUTE OPERATOR split_assign(source = 'documents', salt = 'graft_v1')"),
     "t6_repetition_filter" -> (TextOps.repetitionFilter _),
     "t7_stratified_sample" -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
     "t8_token_budget" -> ((s: SparkSession, d: String) => TextOps.tokenBudget(s, d)),
@@ -88,7 +99,7 @@ object SparkEntry {
     "t13_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.shuffleShard(s, d)),
     "t13b_shard_manifest" -> ((s: SparkSession, d: String) => TextOps.shardManifest(s, d)),
     "t14_mixture_sample" -> ((s: SparkSession, d: String) => TextOps.mixtureSample(s, d)),
-    "p1_pii_scan" -> (Pii.piiScan _),
+    "p1_pii_scan" -> viaFacade("EXECUTE OPERATOR pii_scan(source = 'documents')"),
     "p2_pii_positive" -> (Pii.piiPositive _),
     "p3_cc_luhn" -> (Pii.ccScrub _),
     "t16_vocab_growth" -> (TextOps.vocabStats _),
@@ -98,9 +109,9 @@ object SparkEntry {
     "m6_phash_dup" -> ((s: SparkSession, d: String) => Multimodal.phashDups(s, d)),
     "t15_corpus_card" -> (TextOps.corpusCard _),
     // ---- dedup ----
-    "d1_exact_dedup" -> (Dedup.exactDedup _),
+    "d1_exact_dedup" -> viaFacade("EXECUTE OPERATOR exact_dedup(source = 'documents')"),
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
-    "d3_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "d3_minhash_lsh" -> viaFacade("EXECUTE OPERATOR minhash_lsh(source = 'documents', min_sim = 0.25)"),
     "d4_simhash" -> (Dedup.simhashDups _),
     // threshold 0.4: the synthetic embeddings have no true near-dups
     // (max same-bucket cosine ≈ 0.49), and an empty result would make

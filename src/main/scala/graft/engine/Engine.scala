@@ -184,9 +184,14 @@ class Engine(val spark: SparkSession) {
     splitStatements(script).map(execute)
 
   /** SELECT as a distributed DataFrame (the form to use when the
-    * result doesn't fit on the driver — `execute` collects). */
-  def query(sql: String): DataFrame =
-    sqlDf(preprocess(stripTrailingSemi(sql)))
+    * result doesn't fit on the driver — `execute` collects). Also
+    * accepts `EXECUTE OPERATOR …` (the pipeline-operator facade),
+    * whose result is a DataFrame like any query's. */
+  def query(sql: String): DataFrame = {
+    val s = preprocess(stripTrailingSemi(sql))
+    if (s.trim.toUpperCase.startsWith("EXECUTE OPERATOR")) operatorDf(s.trim)
+    else sqlDf(s)
+  }
 
   /** `spark.sql` with the dialect's arithmetic semantics: the parsed
     * plan is rewritten pre-analysis (`/` → type-dispatching integer
@@ -314,6 +319,10 @@ class Engine(val spark: SparkSession) {
       setVariable(sql)
     else if (up.startsWith("EXECUTE FILE"))
       executeFile(sql)
+    else if (up.startsWith("EXECUTE OPERATOR")) {
+      val df = operatorDf(sql.trim)
+      Payload.Select(df.columns.toSeq, boundedRows(df).map(_.toSeq))
+    }
     else if (up.startsWith("USE "))
       { spark.sql(sql); Payload.Success }
     else
@@ -1384,6 +1393,55 @@ class Engine(val spark: SparkSession) {
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
     }
   }
+
+  // ------------------------------------------------------------------
+  // EXECUTE OPERATOR — SQL facade over the pipeline operator library
+  // (see graft.engine.Operators; mirrors the reference's one-text-
+  // entry-point ethos, glue/mod.rs:161-187)
+  // ------------------------------------------------------------------
+
+  private val operatorRe =
+    """(?is)EXECUTE\s+OPERATOR\s+([A-Za-z_]\w*)\s*(\(.*\))?\s*""".r
+
+  private def operatorDf(sql: String): DataFrame = sql match {
+    case operatorRe(rawName, argsBlock) =>
+      val name = rawName.toLowerCase
+      val op = Operators.all.getOrElse(name, throw new EngineException(
+        s"unknown operator: $name (available: ${Operators.all.keys.toSeq.sorted.mkString(", ")})"))
+      val raw: Map[String, String] = Option(argsBlock).map { b =>
+        val (block, _) = parenBlock(b.trim, 0)
+        splitTop(block, ',').map(_.trim).filter(_.nonEmpty).map { kv =>
+          val eq = kv.indexOf('=')
+          if (eq <= 0) throw new EngineException(
+            s"operator argument must be name = value, got: $kv")
+          kv.substring(0, eq).trim.toLowerCase -> unquoteValue(kv.substring(eq + 1).trim)
+        }.toMap
+      }.getOrElse(Map.empty)
+      raw.keys.find(k => !op.params.exists(_.name == k)).foreach(k =>
+        throw new EngineException(s"unknown argument $k for operator $name " +
+          s"(expects: ${op.params.map(_.name).mkString(", ")})"))
+      val args = op.params.map(pm => pm.name -> raw.getOrElse(pm.name,
+        pm.default.getOrElse(throw new EngineException(
+          s"missing required argument ${pm.name} for operator $name")))).toMap
+      op.run(spark, resolveTableDf, args)
+    case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+  }
+
+  /** A `source` argument resolves like any table reference: temp view
+    * or current database first, then the engine's `db.tbl` rules. */
+  private def resolveTableDf(name: String): DataFrame =
+    try spark.table(name)
+    catch {
+      case _: Exception =>
+        val (db, tbl) = resolve(name)
+        spark.table(s"`$db`.`$tbl`")
+    }
+
+  /** `'quoted'` → unquoted with `''` unescaped; bare values verbatim. */
+  private def unquoteValue(v: String): String =
+    if (v.length >= 2 && v.head == '\'' && v.last == '\'')
+      v.substring(1, v.length - 1).replace("''", "'")
+    else v
 
   // ------------------------------------------------------------------
   // Helpers

@@ -36,7 +36,10 @@ object Dedup {
 
   /** Word 3-gram shingles, distinct, as (doc_id, shingle) pairs. */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    shinglesOn(t(spark, dir, "documents"))
+
+  private def shinglesOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -46,7 +49,12 @@ object Dedup {
   /** Exact dedup: group by content fingerprint, keep the smallest
     * doc_id as canonical. Shuffles digests only. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    exactDedupOn(t(spark, dir, "documents"))
+
+  /** Source-parameterized form (the SQL facade's entry —
+    * `EXECUTE OPERATOR exact_dedup(source = …)`). */
+  def exactDedupOn(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") >= 1)
@@ -173,9 +181,12 @@ object Dedup {
 
   /** Per-doc MinHash signature (NumHashes portable permutations).
     * One narrow pass over shingles + one groupBy(doc_id). */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOn(t(spark, dir, "documents"))
+
+  def minhashSignaturesOn(docs: DataFrame): DataFrame = {
     val xm = (portableHash(col("shingle")) % P).as("xm")
-    val withHash = shingles(spark, dir).select(col("doc_id"), xm)
+    val withHash = shinglesOn(docs).select(col("doc_id"), xm)
     val aggs = (0 until NumHashes).map { i =>
       min((col("xm") * As(i) + Bs(i)) % P).as(s"mh$i")
     }
@@ -197,7 +208,13 @@ object Dedup {
     * similarity as the fraction of matching minhashes. The banding
     * join is the scale path: shuffle on (band_id, band_key), never n². */
   def minhashLsh(spark: SparkSession, dir: String, minEstSim: Double = 0.25,
-                 maxBucket: Int = MaxBandBucket): DataFrame = {
+                 maxBucket: Int = MaxBandBucket): DataFrame =
+    minhashLshOn(t(spark, dir, "documents"), minEstSim, maxBucket)
+
+  /** Source-parameterized form (SQL facade: `EXECUTE OPERATOR
+    * minhash_lsh(source = …, min_sim = …, max_bucket = …)`). */
+  def minhashLshOn(docs: DataFrame, minEstSim: Double = 0.25,
+                   maxBucket: Int = MaxBandBucket): DataFrame = {
     val nBands = NumHashes / 2
     // Signature pipeline (shingle explode + 16-way min agg over
     // millions of rows) is the expensive stage — a band SELF-JOIN
@@ -210,7 +227,7 @@ object Dedup {
     // small, and buckets beyond maxBucket are dropped whole
     // ([[MaxBandBucket]]) — the quadratic term is bounded by
     // construction, like d2's DF cap.
-    val bands = minhashSignatures(spark, dir)
+    val bands = minhashSignaturesOn(docs)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
       .select(col("doc_id"), col("sig"),
@@ -321,6 +338,14 @@ object Dedup {
     * textbook Spark CC loop (GraphFrames/Pregel do the same joins);
     * if the diameter exceeds `maxIters` (adversarial chains) the loop
     * hands off to [[starContract]] for O(log n) convergence. */
+  /** Source-parameterized form (SQL facade: `EXECUTE OPERATOR
+    * dup_groups(source = …, min_sim = …)`): the pair graph comes from
+    * [[minhashLshOn]] over the given frame; the component machinery
+    * is shared via `pairsOverride`. */
+  def dupGroupsOn(docs: DataFrame, minEstSim: Double = 0.25): DataFrame =
+    dupGroups(docs.sparkSession, "", minEstSim,
+      pairsOverride = Some(minhashLshOn(docs, minEstSim)))
+
   def dupGroups(spark: SparkSession, dir: String, minEstSim: Double = 0.25,
                 pairsOverride: Option[DataFrame] = None,
                 maxIters: Int = MaxCcIters): DataFrame = {
@@ -1042,8 +1067,8 @@ object Dedup {
       t(spark, dir, "documents").select(col("doc_id"), col("text")),
       minTokens, postingCap)
 
-  private[operators] def exactSubstringOn(docs: DataFrame, w: Int,
-                                          postingCap: Int): DataFrame = {
+  private[graft] def exactSubstringOn(docs: DataFrame, w: Int,
+                                      postingCap: Int): DataFrame = {
     val grams = docs
       .select(col("doc_id"),
         filter(split(trim(col("text")), "\\s+"), x => length(x) > lit(0)).as("ws"))

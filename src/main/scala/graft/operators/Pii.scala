@@ -67,10 +67,13 @@ object Pii {
     * text, and the md5 proves the redactor leaves clean text
     * byte-identical. Positive-match coverage lives in p2 (oracle,
     * constructed PII) and PiiSpec (crafted edge cases). */
-  def piiScan(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+  def piiScan(spark: SparkSession, dir: String): DataFrame =
+    piiScanOn(t(spark, dir, "documents"))
+
+  /** Source-parameterized form (SQL facade: `EXECUTE OPERATOR
+    * pii_scan(source = …)`). */
+  def piiScanOn(docs: DataFrame): DataFrame =
     piiFrame(docs, col("doc_id"), col("text"))
-  }
 
   val piiScanOracleSql: String =
     s"""SELECT doc_id,

@@ -38,15 +38,23 @@ object Similarity {
 
   /** vec_id + double vector + precomputed L2 norm. */
   private[operators] def vectors(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "embeddings")
+    vectorsOn(t(spark, dir, "embeddings"))
+
+  private[operators] def vectorsOn(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), asDouble.as("v"))
       .withColumn("nrm", normExpr)
 
   /** Exact cosine similarity against the vector with vec_id = qid,
     * top k by similarity (vec_id tiebreak). Sums run in index order
     * for oracle-exact arithmetic. */
-  def bruteTopK(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame = {
-    val e = vectors(spark, dir)
+  def bruteTopK(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame =
+    bruteTopKOn(t(spark, dir, "embeddings"), qid, k)
+
+  /** Source-parameterized form (SQL facade: `EXECUTE OPERATOR
+    * brute_topk(source = …, qid = …, k = …)`). */
+  def bruteTopKOn(emb: DataFrame, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val e = vectorsOn(emb)
     val q = e.filter(col("vec_id") === qid).select(col("v").as("qv"), col("nrm").as("qn"))
     val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
     e.filter(col("vec_id") =!= qid)

@@ -113,9 +113,14 @@ object TextOps {
     * split). Portable 60-bit md5 hash mod 100 → 0-79 train, 80-89
     * val, 90-99 test; a narrow codegen'd expression, zero shuffle
     * until the verification groupBy. */
-  def splitAssign(spark: SparkSession, dir: String, salt: String = "graft_v1"): DataFrame = {
+  def splitAssign(spark: SparkSession, dir: String, salt: String = "graft_v1"): DataFrame =
+    splitAssignOn(t(spark, dir, "documents"), salt)
+
+  /** Source-parameterized form (SQL facade: `EXECUTE OPERATOR
+    * split_assign(source = …, salt = …)`). */
+  def splitAssignOn(docs: DataFrame, salt: String = "graft_v1"): DataFrame = {
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id"))) % 100
-    t(spark, dir, "documents")
+    docs
       .select(col("doc_id"),
         when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
   }
@@ -571,12 +576,18 @@ object TextOps {
     * at the target file size (1k–100k shards) and the plan is
     * unchanged. Deterministic tie-break by doc_id. */
   def shuffleShard(spark: SparkSession, dir: String, shards: Int = 64,
-                   salt: String = "graft_sh1"): DataFrame = {
+                   salt: String = "graft_sh1"): DataFrame =
+    shuffleShardOn(t(spark, dir, "documents"), shards, salt)
+
+  /** Source-parameterized form (SQL facade: `EXECUTE OPERATOR
+    * shuffle_shard(source = …, shards = …, salt = …)`). */
+  def shuffleShardOn(docs: DataFrame, shards: Int = 64,
+                     salt: String = "graft_sh1"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("h").asc, col("doc_id").asc)
-    t(spark, dir, "documents")
+    docs
       .select(col("doc_id"), h.as("h"))
       .withColumn("shard", pmod(col("h"), lit(shards.toLong)).cast("long"))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))

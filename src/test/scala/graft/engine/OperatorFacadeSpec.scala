@@ -1,0 +1,95 @@
+package graft.engine
+
+import graft.{SparkFixture, Tables}
+import graft.operators.{Dedup, Pii, Similarity, TextOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EXECUTE OPERATOR — the SQL facade over the pipeline operator
+  * library (graft.engine.Operators). Pins: result parity with the
+  * Scala entry points (defaults and explicit args), both the
+  * `query` (DataFrame) and `execute` (Payload) routes, engine-table
+  * resolution for `source`, and every argument-parsing error the
+  * facade promises (unknown operator / unknown argument / missing
+  * required / malformed pair). */
+class OperatorFacadeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.session
+  private val dir = SparkFixture.Sf0001
+  private lazy val g = { Tables.registerAll(spark, dir); new Engine(spark) }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("exact_dedup via facade matches the Scala entry point (default source)") {
+    val got = rows(g.query("EXECUTE OPERATOR exact_dedup(source = 'documents')"))
+    assert(got == rows(Dedup.exactDedup(spark, dir)) && got.nonEmpty)
+  }
+
+  test("no-paren and empty-paren forms both run with defaults") {
+    val a = rows(g.query("EXECUTE OPERATOR exact_dedup"))
+    val b = rows(g.query("EXECUTE OPERATOR exact_dedup()"))
+    assert(a == b && a == rows(Dedup.exactDedup(spark, dir)))
+  }
+
+  test("numeric and string arguments parse and reach the operator") {
+    val viaSql = rows(g.query(
+      "EXECUTE OPERATOR minhash_lsh(source = 'documents', min_sim = 0.5, max_bucket = 10)"))
+    assert(viaSql == rows(Dedup.minhashLsh(spark, dir, 0.5, 10)))
+    val salted = rows(g.query(
+      "EXECUTE OPERATOR split_assign(salt = 'other_salt')"))
+    assert(salted == rows(TextOps.splitAssign(spark, dir, "other_salt")))
+    assert(salted != rows(TextOps.splitAssign(spark, dir)))
+  }
+
+  test("execute() returns the rows as a Select payload") {
+    g.execute("EXECUTE OPERATOR brute_topk(source = 'embeddings', qid = 3, k = 5)") match {
+      case Payload.Select(cols, rs) =>
+        assert(cols == Seq("vec_id", "cos_sim") && rs.size == 5)
+        val direct = Similarity.bruteTopK(spark, dir, 3L, 5)
+          .collect().map(_.toSeq).toSeq
+        assert(rs == direct)
+      case other => fail(s"expected Select payload, got $other")
+    }
+  }
+
+  test("source resolves through the engine's table rules (db.tbl)") {
+    g.execute("DROP DATABASE IF EXISTS opdb")
+    val loc = java.nio.file.Files.createTempDirectory("graft_opdb").toFile.getAbsolutePath
+    g.execute(s"CREATE DATABASE opdb LOCATION '$loc'")
+    g.execute("CREATE TABLE opdb.docs AS SELECT doc_id, text FROM documents WHERE doc_id < 100")
+    val got = rows(g.query("EXECUTE OPERATOR pii_scan(source = 'opdb.docs')"))
+    val direct = rows(Pii.piiScanOn(spark.table("documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 100)))
+    assert(got == direct && got.nonEmpty)
+    g.execute("DROP DATABASE opdb")
+  }
+
+  test("unknown operator names what is available") {
+    val e = intercept[EngineException](g.query("EXECUTE OPERATOR no_such_op()"))
+    assert(e.getMessage.contains("unknown operator") &&
+      e.getMessage.contains("exact_dedup"))
+  }
+
+  test("unknown argument names the expected ones") {
+    val e = intercept[EngineException](
+      g.query("EXECUTE OPERATOR exact_dedup(bogus = 1)"))
+    assert(e.getMessage.contains("unknown argument bogus") &&
+      e.getMessage.contains("source"))
+  }
+
+  test("missing required argument is an error (ivf_topk needs dir)") {
+    val e = intercept[EngineException](g.query("EXECUTE OPERATOR ivf_topk(k = 5)"))
+    assert(e.getMessage.contains("missing required argument dir"))
+  }
+
+  test("malformed argument pair is an error") {
+    val e = intercept[EngineException](
+      g.query("EXECUTE OPERATOR exact_dedup(documents)"))
+    assert(e.getMessage.contains("name = value"))
+  }
+
+  test("ivf_topk routes with its dir argument") {
+    val got = rows(g.query(s"EXECUTE OPERATOR ivf_topk(dir = '$dir', qid = 0, k = 10)"))
+    assert(got == rows(Similarity.ivfTopK(spark, dir, 0L, 10)) && got.size == 10)
+  }
+}
