@@ -43,6 +43,16 @@ object Bench {
     // query in isolation (regression triage) without the whole battery.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Opt-in hot-table serving mode (see Tables.enableHotTables):
+    // SPARK_GRAFT_HOT_TABLES=1 pins the default relational set,
+    // or a comma list names tables explicitly. Default OFF so the
+    // recorded artifact stays cold-scan honest.
+    sys.env.get("SPARK_GRAFT_HOT_TABLES").foreach { v =>
+      if (v == "1" || v.equalsIgnoreCase("true"))
+        Tables.enableHotTables(spark, sfDir)
+      else Tables.enableHotTables(spark, sfDir,
+        v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    }
     val battery = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]

@@ -34,8 +34,48 @@ object Tables {
   private def cachedSchema(spark: SparkSession, path: String): StructType =
     schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
+  /** Opt-in HOT-TABLE mode for the small-query floor: q2/q29-class
+    * queries on local[32] are dominated by the fixed cost of a cold
+    * parquet scan job (~70–100 ms) against a native engine's ~80 µs
+    * point read (BASELINE.md names cached-hot-table serving as the
+    * mitigation). Enabling pins the named tables as in-memory
+    * columnar caches (materialized eagerly, so the first query isn't
+    * the loading pass) and [[t]] serves them for every later read of
+    * the same (dir, table). Deliberately NOT default-on: the round-2
+    * controlled experiment showed blanket caching makes string-heavy
+    * operators up to 40× slower once the storage pool churns, so the
+    * battery's recorded numbers stay cold-scan honest and the mode is
+    * a serving-layer switch ([[Bench]] honors SPARK_GRAFT_HOT_TABLES;
+    * README records cold AND warm). Scope to the RELATIONAL tables —
+    * corpus text/embeddings are the churn case. */
+  private val hotTables =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Default hot set: the TPC-H-ish relational tables (dims + facts),
+    * not the corpus text/media tables. */
+  val defaultHotSet: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  def enableHotTables(spark: SparkSession, dir: String,
+                      names: Seq[String] = defaultHotSet): Unit =
+    names.filterNot(_ == "events").foreach { n =>
+      hotTables.computeIfAbsent(s"$dir/$n", _ => {
+        val df = t(spark, dir, n)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        df
+      })
+    }
+
+  def disableHotTables(): Unit = {
+    hotTables.values.forEach(df => { df.unpersist(blocking = false); () })
+    hotTables.clear()
+  }
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val hot = hotTables.get(s"$dir/$name")
+    if (hot != null) hot
+    else if (name == "events") {
       // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
       // parquet reader rejects outright (PARQUET_TYPE_ILLEGAL — this
       // silently killed every e-query in round 1). Read nanos as a
@@ -49,6 +89,7 @@ object Tables {
       val path = s"$dir/$name.parquet"
       spark.read.schema(cachedSchema(spark, path)).parquet(path)
     }
+  }
 
   /** Raw events schema (ts as nanos-long) for the streaming reader,
     * which must declare the on-disk schema, not the converted one. */
