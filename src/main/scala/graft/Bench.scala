@@ -53,6 +53,12 @@ object Bench {
       else Tables.enableHotTables(spark, sfDir,
         v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     }
+    // Load preflight (round-10 lesson): one loud line per unreadable
+    // table BEFORE the battery starts, so a data/schema drift reads
+    // as "table X broken" instead of 20 scattered query failures.
+    Tables.preflight(spark, sfDir).foreach { case (n, msg) =>
+      System.err.println(s"[bench] PREFLIGHT: table '$n' unreadable at $sfDir: $msg")
+    }
     val battery = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]

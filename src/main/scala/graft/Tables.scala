@@ -18,21 +18,27 @@ object Tables {
   /** Small dimension tables that should always be broadcast in joins. */
   val smallDims: Set[String] = Set("region", "nation", "supplier")
 
-  /** Schema cache keyed by (dir, table). Without an explicit schema,
+  /** Schema cache keyed by (path, mtime). Without an explicit schema,
     * EVERY spark.read.parquet launches a footer-inference job at
     * DataFrame-build time (verified with the status tracker — one job
     * even for a single file); with it, building a scan costs zero
     * jobs. A battery query builds each of its tables once per run, so
-    * this removes a ~50–100 ms job per table per query. The key is the
-    * path alone: a DIFFERENT dir misses the cache, but regenerating
-    * data in place at the same path serves the stale schema for the
-    * rest of the JVM — in-place regeneration requires a JVM restart
-    * (acceptable: testdata is immutable within a round). */
+    * this removes a ~50–100 ms job per table per query. The mtime in
+    * the key makes in-place regeneration safe: rewriting a parquet at
+    * the same path serves the NEW schema on the next load instead of a
+    * stale one for the JVM lifetime (the round-10 testdata regen
+    * realized exactly that hazard). The stat is a ~µs local call. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
+  private def mtimeOf(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.exists) f.lastModified else -1L
+  }
+
   private def cachedSchema(spark: SparkSession, path: String): StructType =
-    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    schemaCache.computeIfAbsent(s"$path@${mtimeOf(path)}",
+      _ => spark.read.parquet(path).schema)
 
   /** Opt-in HOT-TABLE mode for the small-query floor: q2/q29-class
     * queries on local[32] are dominated by the fixed cost of a cold
@@ -76,23 +82,46 @@ object Tables {
     val hot = hotTables.get(s"$dir/$name")
     if (hot != null) hot
     else if (name == "events") {
-      // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-      // parquet reader rejects outright (PARQUET_TYPE_ILLEGAL — this
-      // silently killed every e-query in round 1). Read nanos as a
-      // long and truncate to a µs timestamp; the DuckDB oracles use
-      // epoch_us(ts), which truncates identically, so values match.
+      // Two on-disk generations of events.ts exist: TIMESTAMP(NANOS)
+      // (rejected by Spark's parquet reader — PARQUET_TYPE_ILLEGAL —
+      // so it must be read as a long via nanosAsLong and truncated to
+      // µs) and plain timestamp[us] (current driver testdata). Branch
+      // on the LOADED dtype rather than assuming either; the round-10
+      // hard-coded nanos path broke 21/113 battery entries when the
+      // driver regenerated the data as µs.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val path = s"$dir/events.parquet"
-      spark.read.schema(cachedSchema(spark, path)).parquet(path)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeEventTs(
+        spark.read.schema(cachedSchema(spark, path)).parquet(path))
     } else {
       val path = s"$dir/$name.parquet"
       spark.read.schema(cachedSchema(spark, path)).parquet(path)
     }
   }
 
-  /** Raw events schema (ts as nanos-long) for the streaming reader,
-    * which must declare the on-disk schema, not the converted one. */
+  /** Normalize `ts` to a session-tz TIMESTAMP whatever the on-disk
+    * generation shows after load:
+    *  - nanos long (TIMESTAMP(NANOS) read via nanosAsLong) → truncate
+    *    to µs (the DuckDB oracles use epoch_us(ts), which truncates
+    *    identically);
+    *  - TIMESTAMP_NTZ (pandas-written timestamp[us], naive) → cast to
+    *    TIMESTAMP — value-preserving under the UTC session timezone
+    *    every entry point sets, and required because watermarks and
+    *    unix_micros reject NTZ;
+    *  - already TIMESTAMP → as-is.
+    * Shared by the batch loader and the streaming reader. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  /** Raw events schema (on-disk: nanos-long or µs timestamp) for the
+    * streaming reader, which must declare the on-disk schema, not the
+    * converted one. Callers normalize with [[normalizeEventTs]]. */
   def rawEventsSchema(spark: SparkSession, dir: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cachedSchema(spark, s"$dir/events.parquet")
@@ -110,7 +139,30 @@ object Tables {
 
   def registerAll(spark: SparkSession, dir: String): Unit =
     if (registeredDir.get(spark) != dir) {
-      all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+      // Per-table fault isolation: one unreadable parquet must cost
+      // ONLY the queries that read that table (its view is simply
+      // absent → "table not found" for those queries), not every
+      // facade-routed query. Round 10 lost documents-only operators
+      // to an events-table schema drift through this exact path.
+      all.foreach { n =>
+        try t(spark, dir, n).createOrReplaceTempView(n)
+        catch {
+          case e: Exception => System.err.println(
+            s"[graft] WARNING: table '$n' unreadable at $dir — " +
+              s"queries over it will fail: ${String.valueOf(e.getMessage).take(200)}")
+        }
+      }
       registeredDir.put(spark, dir)
+    }
+
+  /** Load preflight: attempt a scan-build of every table, returning
+    * (table, error) for each unreadable one. Zero jobs per healthy
+    * table (schema comes from the cache path); used by Bench to print
+    * one loud line per broken table before the battery starts. */
+  def preflight(spark: SparkSession, dir: String): Seq[(String, String)] =
+    all.flatMap { n =>
+      try { t(spark, dir, n).schema; None }
+      catch { case e: Exception =>
+        Some((n, String.valueOf(e.getMessage).take(200))) }
     }
 }

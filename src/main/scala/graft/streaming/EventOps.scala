@@ -280,13 +280,15 @@ object EventOps {
   }
 
   /** Streaming source over the events parquet: file source (the
-    * directory is glob-filtered to the events file), nanos→µs ts. */
+    * directory is glob-filtered to the events file); ts normalized to
+    * a µs timestamp whichever on-disk generation (nanos-long or
+    * timestamp[us]) the schema shows. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = graft.Tables.rawEventsSchema(spark, dir)
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Structured Streaming form of [[tumblingCounts]]: 10-minute
