@@ -147,9 +147,13 @@ object Tables {
       all.foreach { n =>
         try t(spark, dir, n).createOrReplaceTempView(n)
         catch {
-          case e: Exception => System.err.println(
-            s"[graft] WARNING: table '$n' unreadable at $dir — " +
-              s"queries over it will fail: ${String.valueOf(e.getMessage).take(200)}")
+          case e: Exception =>
+            // Drop any stale view from a previous dir: failing loudly
+            // beats silently serving the previous catalog's data.
+            spark.catalog.dropTempView(n)
+            System.err.println(
+              s"[graft] WARNING: table '$n' unreadable at $dir — " +
+                s"queries over it will fail: ${String.valueOf(e.getMessage).take(200)}")
         }
       }
       registeredDir.put(spark, dir)
