@@ -96,7 +96,7 @@ object SparkEntry {
     "c1_corpus_prep" -> ((s: SparkSession, d: String) => CorpusPrep.cleanCorpus(s, d)),
     "t11_sequence_pack" -> ((s: SparkSession, d: String) => TextOps.sequencePack(s, d)),
     "t12_fixed_k_sample" -> ((s: SparkSession, d: String) => TextOps.fixedKSample(s, d)),
-    "t13_shuffle_shard" -> ((s: SparkSession, d: String) => TextOps.shuffleShard(s, d)),
+    "t13_shuffle_shard" -> viaFacade("EXECUTE OPERATOR shuffle_shard(source = 'documents', shards = 64, salt = 'graft_sh1')"),
     "t13b_shard_manifest" -> ((s: SparkSession, d: String) => TextOps.shardManifest(s, d)),
     "t14_mixture_sample" -> ((s: SparkSession, d: String) => TextOps.mixtureSample(s, d)),
     "p1_pii_scan" -> viaFacade("EXECUTE OPERATOR pii_scan(source = 'documents')"),
@@ -117,7 +117,7 @@ object SparkEntry {
     // (max same-bucket cosine ≈ 0.49), and an empty result would make
     // this a vacuous check.
     "d5_embedding_dup" -> ((s: SparkSession, d: String) => Dedup.embeddingDup(s, d, 0.4)),
-    "d6_dup_groups" -> ((s: SparkSession, d: String) => Dedup.dupGroups(s, d)),
+    "d6_dup_groups" -> viaFacade("EXECUTE OPERATOR dup_groups(source = 'documents', min_sim = 0.25)"),
     "d7_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "d8_contamination" -> ((s: SparkSession, d: String) => Dedup.contamination(s, d)),
     "d9_canonical_select" -> ((s: SparkSession, d: String) => Dedup.canonicalSelect(s, d)),
@@ -125,7 +125,7 @@ object SparkEntry {
     "d11_paragraph_dedup" -> (Dedup.paragraphDedup _),
     "d12_winnow_dups" -> ((s: SparkSession, d: String) => Dedup.winnowDups(s, d)),
     "d13_span_minhash" -> ((s: SparkSession, d: String) => Dedup.spanMinhashDups(s, d)),
-    "d14_exact_substring" -> ((s: SparkSession, d: String) => Dedup.exactSubstring(s, d)),
+    "d14_exact_substring" -> viaFacade("EXECUTE OPERATOR exact_substring(source = 'documents')"),
     "s10_sq_topk" -> ((s: SparkSession, d: String) => Similarity.sqTopK(s, d)),
     "s11_ivfpq_topk" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "m7_frame_dedup" -> (Multimodal.m7FrameDedup _),
@@ -152,7 +152,7 @@ object SparkEntry {
           "md5(content) AS content_md5")),
     "m5_perceptual_hash" -> (Multimodal.m5PerceptualHash _),
     // ---- similarity search ----
-    "s1_brute_topk" -> ((s: SparkSession, d: String) => Similarity.bruteTopK(s, d)),
+    "s1_brute_topk" -> viaFacade("EXECUTE OPERATOR brute_topk(source = 'embeddings', qid = 0, k = 10)"),
     "s2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "s3_lsh_buckets" -> (Similarity.lshBucketStats _),
     "s4_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),

@@ -88,6 +88,17 @@ class OperatorFacadeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("name = value"))
   }
 
+  test("round-11 battery routes match their Scala entry points (d6, d14, t13)") {
+    assert(rows(g.query(
+      "EXECUTE OPERATOR dup_groups(source = 'documents', min_sim = 0.25)"))
+      == rows(Dedup.dupGroups(spark, dir)))
+    assert(rows(g.query("EXECUTE OPERATOR exact_substring(source = 'documents')"))
+      == rows(Dedup.exactSubstring(spark, dir)))
+    assert(rows(g.query(
+      "EXECUTE OPERATOR shuffle_shard(source = 'documents', shards = 64, salt = 'graft_sh1')"))
+      == rows(TextOps.shuffleShard(spark, dir)))
+  }
+
   test("ivf_topk routes with its dir argument") {
     val got = rows(g.query(s"EXECUTE OPERATOR ivf_topk(dir = '$dir', qid = 0, k = 10)"))
     assert(got == rows(Similarity.ivfTopK(spark, dir, 0L, 10)) && got.size == 10)
