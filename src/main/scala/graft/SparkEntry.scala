@@ -103,6 +103,7 @@ object SparkEntry {
     "p2_pii_positive" -> (Pii.piiPositive _),
     "p3_cc_luhn" -> (Pii.ccScrub _),
     "t16_vocab_growth" -> (TextOps.vocabStats _),
+    "t18_bpe_learn" -> ((s: SparkSession, d: String) => TextOps.bpeLearn(s, d)),
     "t17_bigram_predict" -> (TextOps.bigramPredictability _),
     "m8_silence_segments" -> (Multimodal.m8SilenceSegments _),
     "m9_scene_changes" -> (Multimodal.m9SceneChanges _),
@@ -481,6 +482,7 @@ object SparkEntry {
     "t12_fixed_k_sample" -> TextOps.fixedKSampleOracleSql(50, "graft_k1"),
     "t13_shuffle_shard" -> TextOps.shuffleShardOracleSql(64, "graft_sh1"),
     "t13b_shard_manifest" -> TextOps.shardManifestOracleSql(64, "graft_sh1"),
+    "t18_bpe_learn" -> TextOps.bpeLearnOracleSql(),
     "t14_mixture_sample" -> TextOps.mixtureSampleOracleSql(60L, "graft_m1"),
     "p1_pii_scan" -> Pii.piiScanOracleSql,
     "p2_pii_positive" -> Pii.piiPositiveOracleSql,

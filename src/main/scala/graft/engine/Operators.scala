@@ -74,6 +74,10 @@ object Operators {
         p("salt", "graft_sh1", "hash salt")),
       (_, rt, a) => TextOps.shuffleShardOn(rt(a("source")),
         a("shards").toInt, a("salt"))),
+    Op("bpe_learn", "learn a BPE merge table, Sennrich et al. 2016 (t18)",
+      Seq(src("documents"),
+        p("rounds", TextOps.BpeLearnRounds.toString, "merge rounds to learn")),
+      (_, rt, a) => TextOps.bpeLearnOn(rt(a("source")), a("rounds").toInt)),
     Op("pii_scan", "PII detect + redacted digest (p1)",
       Seq(src("documents")),
       (_, rt, a) => Pii.piiScanOn(rt(a("source")))),

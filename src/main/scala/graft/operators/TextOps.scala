@@ -887,6 +887,120 @@ object TextOps {
       |FROM bg JOIN best USING (w1)
       |GROUP BY doc_id""".stripMargin
 
+  /** t18: BPE vocabulary LEARNING (Sennrich et al. 2016) — the stage
+    * that produces the merge table t10 merely applies: k rounds of
+    * corpus-wide pair-count aggregate → argmax → re-segment.
+    *
+    * Merge-application semantics are exactly t10's separator-string
+    * replace (left-to-right non-overlapping `|a|b|` → `|ab|`, so the
+    * pair immediately after a merge is blocked for the rest of that
+    * pass): Spark's, DuckDB's and Java's literal replace all share
+    * them, which is what lets the learner have a HASH-EXACT oracle —
+    * a generated k-round CTE chain replaying the identical schedule —
+    * where Sennrich's overlapping re-merge would not be expressible.
+    * Ties in the argmax break (count DESC, lhs ASC, rhs ASC) in both
+    * engines. BpeLearnSpec pins that on a crafted weighted corpus the
+    * learned table reproduces t10's [[BpeMerges]] rule-for-rule.
+    *
+    * 100 TB shape: the corpus is scanned ONCE (word-frequency
+    * aggregate, map-side combined, vocab-bounded shuffle, then
+    * checkpointed); every round after that runs on the vocab table
+    * only — a pair explode bounded by total symbol count, a map-side
+    * combined sum, and a 1-row argmax collect (driver scalar, the
+    * same class as the label-propagation convergence scalars). Merge
+    * application is a narrow per-row replace; the plan re-checkpoints
+    * every 8 rounds so lineage depth stays bounded at any k. */
+  val BpeLearnRounds = 12
+
+  def bpeLearn(spark: SparkSession, dir: String,
+               rounds: Int = BpeLearnRounds): DataFrame =
+    bpeLearnOn(t(spark, dir, "documents"), rounds)
+
+  def bpeLearnOn(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val checkpoints = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    try {
+      // The ONLY corpus-scale pass. Words carrying the separator
+      // char are excluded on both sides (none exist in the testdata;
+      // keeps the encoding total on arbitrary corpora).
+      var seg = docs
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0 && !col("word").contains(BpeSep))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .select(
+          concat(lit(BpeSep),
+            regexp_replace(col("word"), "(.)", "$1" + BpeSep)).as("seg"),
+          col("n"))
+        .localCheckpoint(true)
+      checkpoints += seg
+      var r = 0
+      var dried = false
+      while (r < rounds && !dried) {
+        // Adjacent symbol pairs weighted by word count. zip_with over
+        // two slices: a 1-symbol (fully merged) word yields an empty
+        // array and drops out at the explode.
+        val best = seg
+          .select(col("n"),
+            filter(split(col("seg"), BpeSep), x => length(x) > lit(0)).as("ls"))
+          .select(col("n"), explode(expr(
+            """zip_with(slice(ls, 1, size(ls) - 1), slice(ls, 2, size(ls) - 1),
+              |  (a, b) -> struct(a AS l, b AS r))""".stripMargin)).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("n")).as("c"))
+          .orderBy(desc("c"), asc("l"), asc("r"))
+          .limit(1).collect()
+        if (best.isEmpty) dried = true
+        else {
+          val (l, rr, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((r + 1L, l, rr, c))
+          seg = seg.select(
+            replace(col("seg"),
+              lit(BpeSep + l + BpeSep + rr + BpeSep),
+              lit(BpeSep + l + rr + BpeSep)).as("seg"),
+            col("n"))
+          if (r % 8 == 7) { seg = seg.localCheckpoint(true); checkpoints += seg }
+        }
+        r += 1
+      }
+    } finally checkpoints.foreach(_.unpersist(false))
+    // The result is driver-local (k rows, KB-sized) — independent of
+    // the released checkpoints by construction.
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** The learner replayed as a generated k-round DuckDB CTE chain —
+    * identical segmentation encoding, pair extraction, tie-break and
+    * replace schedule, so the driver's hash compare is exact. */
+  def bpeLearnOracleSql(rounds: Int = BpeLearnRounds): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH s0 AS (
+      |  SELECT chr(1) || array_to_string(list_transform(range(1, length(word) + 1),
+      |      i -> substr(word, CAST(i AS INT), 1)), chr(1)) || chr(1) AS seg,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      |      x -> x <> '' AND NOT contains(x, chr(1)))) AS word FROM documents)
+      |  GROUP BY 1)""".stripMargin
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+        |p$k AS (
+        |  SELECT l, r, CAST(sum(n) AS BIGINT) AS c FROM (
+        |    SELECT n, ls[i] AS l, ls[i + 1] AS r FROM (
+        |      SELECT n, ls, unnest(range(1, len(ls))) AS i FROM (
+        |        SELECT n, list_filter(string_split(seg, chr(1)), x -> x <> '') AS ls
+        |        FROM s${k - 1})))
+        |  GROUP BY l, r),
+        |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        |s$k AS (SELECT replace(seg, chr(1) || b.l || chr(1) || b.r || chr(1),
+        |    chr(1) || b.l || b.r || chr(1)) AS seg, n FROM s${k - 1}, b$k b)""".stripMargin
+    }
+    sb ++= (1 to rounds).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM b$k")
+      .mkString("\n", "\nUNION ALL ", "")
+    sb.toString
+  }
+
   /** The t10 tokenizer as a plain Scala function — the single source
     * of truth the spec pins both engines against. */
   private[operators] def bpeTokenCountScala(word: String): Int = {

@@ -99,6 +99,14 @@ class OperatorFacadeSpec extends AnyFunSuite {
       == rows(TextOps.shuffleShard(spark, dir)))
   }
 
+  test("bpe_learn routes with a rounds argument") {
+    val got = g.query("EXECUTE OPERATOR bpe_learn(source = 'documents', rounds = 3)")
+      .collect().map(_.toSeq)
+    assert(got.length == 3 &&
+      got.toSeq == graft.operators.TextOps.bpeLearn(spark, dir, 3)
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("ivf_topk routes with its dir argument") {
     val got = rows(g.query(s"EXECUTE OPERATOR ivf_topk(dir = '$dir', qid = 0, k = 10)"))
     assert(got == rows(Similarity.ivfTopK(spark, dir, 0L, 10)) && got.size == 10)

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** t18 BPE vocabulary learning (Sennrich et al. 2016).
+  *
+  * Pins three properties:
+  *  1. the distributed learner equals a sequential in-spec reference
+  *     learner (same semantics, independent implementation) on the
+  *     real sf0.001 corpus — the aggregation/argmax/re-segment loop
+  *     is exact, not approximately right;
+  *  2. on a crafted weighted corpus, the learned table reproduces
+  *     t10's full 48-rule merge table rule-for-rule (the round-9/10
+  *     verdict's "learning reproduces the applied table" property);
+  *  3. every learned rule is well-formed BPE: each side is a single
+  *     character or the surface of an earlier merge.
+  */
+class BpeLearnSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.session
+  private val Sep = "\u0001"
+
+  /** Sequential reference learner: driver-side word counting and the
+    * same separator-string replace schedule. */
+  private def referenceLearn(wordCounts: Map[String, Long],
+                             rounds: Int): Seq[(Long, String, String, Long)] = {
+    var segs = wordCounts.map { case (w, n) => (Sep + w.mkString(Sep) + Sep, n) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((seg, n) <- segs) {
+        val ls = seg.split(Sep).filter(_.nonEmpty)
+        var i = 0
+        while (i + 1 < ls.length) {
+          counts((ls(i), ls(i + 1))) = counts.getOrElse((ls(i), ls(i + 1)), 0L) + n
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rr), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((r + 1L, l, rr, c))
+        segs = segs.groupBy { case (seg, _) =>
+          seg.replace(Sep + l + Sep + rr + Sep, Sep + l + rr + Sep)
+        }.map { case (seg, m) => (seg, m.values.sum) }
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  private def learned(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
+  test("distributed learner equals the sequential reference on the real corpus") {
+    val docs = graft.Tables.t(spark, SparkFixture.Sf0001, "documents")
+    val words = docs.selectExpr("explode(split(trim(lower(text)), '\\\\s+')) AS w")
+      .where("length(w) > 0").groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = referenceLearn(words, TextOps.BpeLearnRounds)
+    val got = learned(TextOps.bpeLearn(spark, SparkFixture.Sf0001))
+    assert(got == want)
+    assert(got.size == TextOps.BpeLearnRounds)
+  }
+
+  /** Carrier weights solved offline so that at every round the
+    * intended pair of [[graft.functions.Bpe.Merges]] wins the argmax
+    * (carrier r = the merged surface of rule r; cross-contributions
+    * from later carriers' partial segments are what make a naive
+    * monotone schedule fail). Verified against the reference learner
+    * here, then against the distributed learner. */
+  private val CarrierWeights = Seq(
+    201, 822, 513, 200, 619, 214, 114, 417, 109, 315, 111, 314, 313, 313,
+    313, 312, 312, 312, 312, 311, 310, 310, 309, 308, 307, 306, 306, 306,
+    306, 305, 304, 304, 304, 304, 303, 303, 100, 203, 203, 202, 202, 202,
+    100, 101, 101, 101, 101, 100)
+
+  test("learned merges reproduce t10's 48-rule table on the crafted corpus") {
+    val rules = graft.functions.Bpe.Merges.map { m =>
+      val Array(a, b) = m.split(" "); (a, b)
+    }
+    val vocab = rules.map { case (a, b) => a + b }.zip(CarrierWeights)
+      .map { case (w, n) => w -> n.toLong }.toMap
+    // Reference learner agrees the crafting is right...
+    val ref = referenceLearn(vocab, rules.size)
+    assert(ref.map(m => (m._2, m._3)) == rules)
+    // ...and the distributed learner reproduces the full table.
+    import spark.implicits._
+    val docs = vocab.toSeq.map { case (w, n) => (w + " ") * n.toInt }.toDF("text")
+    val got = learned(TextOps.bpeLearnOn(docs, rules.size))
+    assert(got.map(m => (m._2, m._3)) == rules)
+    assert(got.map(m => m._2 + " " + m._3) == graft.functions.Bpe.Merges)
+  }
+
+  test("every learned rule builds on characters or earlier merges") {
+    val got = learned(TextOps.bpeLearn(spark, SparkFixture.Sf0001))
+    val available = scala.collection.mutable.Set.empty[String]
+    got.foreach { case (_, l, r, c) =>
+      assert(l.length == 1 || available.contains(l), s"lhs '$l' unavailable")
+      assert(r.length == 1 || available.contains(r), s"rhs '$r' unavailable")
+      assert(c > 0)
+      available += l + r
+    }
+  }
+}
