@@ -323,6 +323,8 @@ class Engine(val spark: SparkSession) {
       val df = operatorDf(sql.trim)
       Payload.Select(df.columns.toSeq, boundedRows(df).map(_.toSeq))
     }
+    else if (up.startsWith("SHOW OPERATORS"))
+      showOperators()
     else if (up.startsWith("USE "))
       { spark.sql(sql); Payload.Success }
     else
@@ -1425,6 +1427,20 @@ class Engine(val spark: SparkSession) {
           s"missing required argument ${pm.name} for operator $name")))).toMap
       op.run(spark, resolveTableDf, args)
     case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+  }
+
+  /** SHOW OPERATORS — the facade's discovery surface (the EXPLAIN-
+    * family analogue for the operator registry): one row per
+    * operator with its doc line and rendered parameter list, so a
+    * SQL-only user can find and invoke the pipeline library without
+    * reading Scala. */
+  private def showOperators(): Payload = {
+    val rows = Operators.all.values.toSeq.sortBy(_.name).map { op =>
+      val params = op.params.map(p =>
+        p.default.fold(s"${p.name} (required)")(d => s"${p.name} = $d"))
+      Seq[Any](op.name, op.doc, params.mkString(", "))
+    }
+    Payload.Select(Seq("operator", "description", "parameters"), rows)
   }
 
   /** A `source` argument resolves like any table reference: temp view

@@ -302,6 +302,24 @@ object EngineSmoke {
       g.execute("ALTER TABLE sheetdb.notes DROP COLUMN IF EXISTS ghost") == Payload.AlterTable)
     check("sheet db: drop database")(g.execute("DROP DATABASE sheetdb") == Payload.Success)
 
+    // --- pipeline-operator facade discovery + dispatch ---
+    check("show operators lists the registry")(
+      g.execute("SHOW OPERATORS") match {
+        case Payload.Select(cols, rows) =>
+          cols == Seq("operator", "description", "parameters") &&
+            rows.map(_.head) == Operators.all.keys.toSeq.sorted &&
+            rows.exists(r => r.head == "exact_dedup" &&
+              r(2).toString.contains("source = documents"))
+        case _ => false
+      })
+    check("execute operator runs over an engine table")(
+      g.execute("CREATE TABLE smokedocs (doc_id INTEGER, text TEXT)") == Payload.Create &&
+        g.execute("INSERT INTO smokedocs VALUES (1, 'aa bb aa'), (2, 'aa bb aa'), (3, 'cc')") == Payload.Insert(3) &&
+        (g.execute("EXECUTE OPERATOR exact_dedup(source = 'smokedocs')") match {
+          case Payload.Select(_, rows) => rows.nonEmpty
+          case _ => false
+        }))
+
     // --- drop surface ---
     check("drop table")(g.execute("DROP TABLE scripted") == Payload.DropTable)
     expectError("drop missing table errors", "does not exist") {

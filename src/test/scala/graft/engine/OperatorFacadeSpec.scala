@@ -64,6 +64,19 @@ class OperatorFacadeSpec extends AnyFunSuite {
     g.execute("DROP DATABASE opdb")
   }
 
+  test("SHOW OPERATORS lists every registered operator with its params") {
+    g.execute("SHOW OPERATORS") match {
+      case Payload.Select(cols, rows) =>
+        assert(cols == Seq("operator", "description", "parameters"))
+        assert(rows.map(_.head) == Operators.all.keys.toSeq.sorted)
+        val bpe = rows.find(_.head == "bpe_learn").get
+        assert(bpe(2).toString.contains("rounds = "))
+        val ivf = rows.find(_.head == "ivf_topk").get
+        assert(ivf(2).toString.contains("dir (required)"))
+      case other => fail(s"expected Select payload, got $other")
+    }
+  }
+
   test("unknown operator names what is available") {
     val e = intercept[EngineException](g.query("EXECUTE OPERATOR no_such_op()"))
     assert(e.getMessage.contains("unknown operator") &&
