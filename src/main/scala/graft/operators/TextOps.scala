@@ -922,33 +922,12 @@ object TextOps {
     val checkpoints = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     try {
-      // The ONLY corpus-scale pass. Words carrying the separator
-      // char are excluded on both sides (none exist in the testdata;
-      // keeps the encoding total on arbitrary corpora).
-      var seg = docs
-        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
-        .filter(length(col("word")) > 0 && !col("word").contains(BpeSep))
-        .groupBy(col("word")).agg(count(lit(1)).as("n"))
-        .select(
-          concat(lit(BpeSep),
-            regexp_replace(col("word"), "(.)", "$1" + BpeSep)).as("seg"),
-          col("n"))
-        .localCheckpoint(true)
+      var seg = bpeInitialSegs(docs).localCheckpoint(true)
       checkpoints += seg
       var r = 0
       var dried = false
       while (r < rounds && !dried) {
-        // Adjacent symbol pairs weighted by word count. zip_with over
-        // two slices: a 1-symbol (fully merged) word yields an empty
-        // array and drops out at the explode.
-        val best = seg
-          .select(col("n"),
-            filter(split(col("seg"), BpeSep), x => length(x) > lit(0)).as("ls"))
-          .select(col("n"), explode(expr(
-            """zip_with(slice(ls, 1, size(ls) - 1), slice(ls, 2, size(ls) - 1),
-              |  (a, b) -> struct(a AS l, b AS r))""".stripMargin)).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("n")).as("c"))
+        val best = bpePairCounts(seg)
           .orderBy(desc("c"), asc("l"), asc("r"))
           .limit(1).collect()
         if (best.isEmpty) dried = true
@@ -969,6 +948,34 @@ object TextOps {
     // the released checkpoints by construction.
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
+
+  /** The learner's ONLY corpus-scale pass: the word-frequency table in
+    * separator-string form. Words carrying the separator char are
+    * excluded on both sides (none exist in the testdata; keeps the
+    * encoding total on arbitrary corpora). */
+  private[operators] def bpeInitialSegs(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains(BpeSep))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(
+        concat(lit(BpeSep),
+          regexp_replace(col("word"), "(.)", "$1" + BpeSep)).as("seg"),
+        col("n"))
+
+  /** One round's weighted adjacent-pair counts over the vocab table.
+    * zip_with over two slices: a 1-symbol (fully merged) word yields
+    * an empty array and drops out at the explode. Plan shape pinned
+    * by PlanShapeSpec: map-side combined, never re-reads the corpus. */
+  private[operators] def bpePairCounts(seg: DataFrame): DataFrame =
+    seg
+      .select(col("n"),
+        filter(split(col("seg"), BpeSep), x => length(x) > lit(0)).as("ls"))
+      .select(col("n"), explode(expr(
+        """zip_with(slice(ls, 1, size(ls) - 1), slice(ls, 2, size(ls) - 1),
+          |  (a, b) -> struct(a AS l, b AS r))""".stripMargin)).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("n")).as("c"))
 
   /** The learner replayed as a generated k-round DuckDB CTE chain —
     * identical segmentation encoding, pair extraction, tie-break and

@@ -368,4 +368,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!read.contains("l_comment") && !read.contains("l_quantity"),
       s"p3 did not prune the scan: $read")
   }
+
+  test("t18 per-round aggregate: map-side combined over the checkpointed vocab, no corpus re-scan") {
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val seg = TextOps.bpeInitialSegs(docs).localCheckpoint(true)
+    try {
+      val p = plan(TextOps.bpePairCounts(seg)
+        .orderBy(org.apache.spark.sql.functions.desc("c")).limit(1))
+      // The round reads the checkpointed RDD, not the parquet corpus:
+      // k rounds cost k vocab passes, ONE corpus scan total.
+      assert(!p.contains("Scan parquet"), s"round re-scans the corpus:\n$p")
+      assert(p.contains("partial_sum"), s"pair count not map-side combined:\n$p")
+      // argmax is top-k machinery, never a full sort of the pair table
+      assert(p.contains("TakeOrderedAndProject"), s"argmax sorted fully:\n$p")
+    } finally { seg.unpersist(false); () }
+  }
 }
