@@ -18,6 +18,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Same loud preflight as Bench: a data/schema drift reads as
+    // "table X broken" at the top of the log, not N scattered
+    // query failures (round-10 lesson).
+    Tables.preflight(spark, sfDir).foreach { case (n, msg) =>
+      System.err.println(s"[verify] PREFLIGHT: table '$n' unreadable at $sfDir: $msg")
+    }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
