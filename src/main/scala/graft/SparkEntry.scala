@@ -103,7 +103,7 @@ object SparkEntry {
     "p2_pii_positive" -> (Pii.piiPositive _),
     "p3_cc_luhn" -> (Pii.ccScrub _),
     "t16_vocab_growth" -> (TextOps.vocabStats _),
-    "t18_bpe_learn" -> ((s: SparkSession, d: String) => TextOps.bpeLearn(s, d)),
+    "t18_bpe_learn" -> viaFacade("EXECUTE OPERATOR bpe_learn(source = 'documents')"),
     "t17_bigram_predict" -> (TextOps.bigramPredictability _),
     "m8_silence_segments" -> (Multimodal.m8SilenceSegments _),
     "m9_scene_changes" -> (Multimodal.m9SceneChanges _),
