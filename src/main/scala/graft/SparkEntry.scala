@@ -104,6 +104,7 @@ object SparkEntry {
     "p3_cc_luhn" -> (Pii.ccScrub _),
     "t16_vocab_growth" -> (TextOps.vocabStats _),
     "t18_bpe_learn" -> viaFacade("EXECUTE OPERATOR bpe_learn(source = 'documents')"),
+    "t19_learned_tokens" -> ((s: SparkSession, d: String) => TextOps.bpeLearnedTokens(s, d)),
     "t17_bigram_predict" -> (TextOps.bigramPredictability _),
     "m8_silence_segments" -> (Multimodal.m8SilenceSegments _),
     "m9_scene_changes" -> (Multimodal.m9SceneChanges _),
@@ -483,6 +484,7 @@ object SparkEntry {
     "t13_shuffle_shard" -> TextOps.shuffleShardOracleSql(64, "graft_sh1"),
     "t13b_shard_manifest" -> TextOps.shardManifestOracleSql(64, "graft_sh1"),
     "t18_bpe_learn" -> TextOps.bpeLearnOracleSql(),
+    "t19_learned_tokens" -> TextOps.bpeLearnedTokensOracleSql(),
     "t14_mixture_sample" -> TextOps.mixtureSampleOracleSql(60L, "graft_m1"),
     "p1_pii_scan" -> Pii.piiScanOracleSql,
     "p2_pii_positive" -> Pii.piiPositiveOracleSql,

@@ -977,12 +977,16 @@ object TextOps {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("n")).as("c"))
 
-  /** The learner replayed as a generated k-round DuckDB CTE chain —
-    * identical segmentation encoding, pair extraction, tie-break and
-    * replace schedule, so the driver's hash compare is exact. */
-  def bpeLearnOracleSql(rounds: Int = BpeLearnRounds): String = {
+  /** The learner's k-round CTE chain (s0, p1/b1/s1, …, p_k/b_k/s_k)
+    * — shared by the t18 oracle and the t19 learned-apply oracle so
+    * the two cannot silently desynchronize. CTEs are MATERIALIZED
+    * (DuckDB-only syntax; this SQL never runs in Spark): the default
+    * inlining re-evaluates the whole chain for every reference, and
+    * t19's fold references each b_k four times — O(k²) chain re-runs
+    * took the oracle from seconds to minutes. */
+  private def bpeLearnCtes(rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH s0 AS (
+    sb ++= s"""WITH s0 AS MATERIALIZED (
       |  SELECT chr(1) || array_to_string(list_transform(range(1, length(word) + 1),
       |      i -> substr(word, CAST(i AS INT), 1)), chr(1)) || chr(1) AS seg,
       |    CAST(count(*) AS BIGINT) AS n
@@ -991,21 +995,96 @@ object TextOps {
       |  GROUP BY 1)""".stripMargin
     for (k <- 1 to rounds) {
       sb ++= s""",
-        |p$k AS (
+        |p$k AS MATERIALIZED (
         |  SELECT l, r, CAST(sum(n) AS BIGINT) AS c FROM (
         |    SELECT n, ls[i] AS l, ls[i + 1] AS r FROM (
         |      SELECT n, ls, unnest(range(1, len(ls))) AS i FROM (
         |        SELECT n, list_filter(string_split(seg, chr(1)), x -> x <> '') AS ls
         |        FROM s${k - 1})))
         |  GROUP BY l, r),
-        |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-        |s$k AS (SELECT replace(seg, chr(1) || b.l || chr(1) || b.r || chr(1),
+        |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        |s$k AS MATERIALIZED (SELECT replace(seg, chr(1) || b.l || chr(1) || b.r || chr(1),
         |    chr(1) || b.l || b.r || chr(1)) AS seg, n FROM s${k - 1}, b$k b)""".stripMargin
     }
-    sb ++= (1 to rounds).map(k =>
+    sb.toString
+  }
+
+  /** The learner replayed as a generated k-round DuckDB CTE chain —
+    * identical segmentation encoding, pair extraction, tie-break and
+    * replace schedule, so the driver's hash compare is exact. */
+  def bpeLearnOracleSql(rounds: Int = BpeLearnRounds): String =
+    bpeLearnCtes(rounds) + (1 to rounds).map(k =>
       s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM b$k")
       .mkString("\n", "\nUNION ALL ", "")
-    sb.toString
+
+  /** t19: tokenize with the LEARNED merges — the learn→apply closure
+    * of the tokenizer pipeline: per-document token counts under the
+    * corpus's OWN learned vocabulary (t18's table), not t10's canned
+    * one. The real pipeline shape: a vocab is learned once per
+    * corpus, then applied to every document.
+    *
+    * 100 TB shape: the learning phase is t18's (one corpus pass +
+    * vocab-bounded rounds); the k learned rules then ship in the
+    * closure like t10's inline table and the application is ONE
+    * narrow per-document projection — a k-step literal-replace fold
+    * per word — zero shuffle at any corpus size. */
+  def bpeLearnedTokens(spark: SparkSession, dir: String,
+                       rounds: Int = BpeLearnRounds): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = bpeLearnOn(docs, rounds)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeApplyMergesOn(docs, merges)
+  }
+
+  /** t10's apply shape parameterized by an arbitrary merge table:
+    * separator-string replace fold per word, summed per document.
+    * BpeLearnSpec pins that with t10's fixed 48-rule table this
+    * equals the native BpeDocTokenCount expression exactly. */
+  private[operators] def bpeApplyMergesOn(docs: DataFrame,
+                                          merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(trim(lower(col("text"))), "\\s+"),
+      w => length(w) > lit(0) && !w.contains(BpeSep))
+    def perWord(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val repr = concat(lit(BpeSep), regexp_replace(w, "(.)", "$1" + BpeSep))
+      val folded = merges.foldLeft(repr) { case (acc, (l, r)) =>
+        replace(acc, lit(BpeSep + l + BpeSep + r + BpeSep),
+          lit(BpeSep + l + r + BpeSep))
+      }
+      // Each applied merge removes exactly one separator char, so
+      // tokens = length(folded) − length(word) − 1 (same identity as
+      // t10's fold).
+      (length(folded) - length(w) - lit(1)).cast("long")
+    }
+    docs.select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      coalesce(aggregate(words, lit(0L), (acc, w) => acc + perWord(w)), lit(0L))
+        .as("n_tokens"))
+  }
+
+  /** t19 oracle: the t18 learner chain composed with the t10-style
+    * replace-fold application, learned pairs spliced in as scalar
+    * subqueries against the b_k CTEs. */
+  def bpeLearnedTokensOracleSql(rounds: Int = BpeLearnRounds): String = {
+    val folded = (1 to rounds).foldLeft(bpeWordReprSql) { (acc, k) =>
+      s"replace($acc, chr(1) || (SELECT l FROM b$k) || chr(1) || (SELECT r FROM b$k) || chr(1), " +
+        s"chr(1) || (SELECT l FROM b$k) || (SELECT r FROM b$k) || chr(1))"
+    }
+    s"""${bpeLearnCtes(rounds)},
+       |wx AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      x -> x <> '' AND NOT contains(x, chr(1)))) AS w
+       |  FROM documents),
+       |tc AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    sum(length($folded) - length(w) - 1) AS n_tok
+       |  FROM wx GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(tc.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(tc.n_tok, 0) AS BIGINT) AS n_tokens
+       |FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id""".stripMargin
   }
 
   /** The t10 tokenizer as a plain Scala function — the single source

@@ -95,6 +95,33 @@ class BpeLearnSpec extends AnyFunSuite {
     assert(got.map(m => m._2 + " " + m._3) == graft.functions.Bpe.Merges)
   }
 
+  test("generic merge application equals t10's native expression on the fixed table") {
+    val rules = graft.functions.Bpe.Merges.map { m =>
+      val Array(a, b) = m.split(" "); (a, b)
+    }
+    val docs = graft.Tables.t(spark, SparkFixture.Sf0001, "documents")
+    val generic = TextOps.bpeApplyMergesOn(docs, rules)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val native = TextOps.bpeTokenCounts(spark, SparkFixture.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(generic.toSeq == native.toSeq)
+  }
+
+  test("t19: learned-token counts are consistent with the learner's own table") {
+    val docs = graft.Tables.t(spark, SparkFixture.Sf0001, "documents")
+    val merges = learned(TextOps.bpeLearn(spark, SparkFixture.Sf0001))
+      .map(m => (m._2, m._3))
+    val direct = TextOps.bpeApplyMergesOn(docs, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val viaT19 = TextOps.bpeLearnedTokens(spark, SparkFixture.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(viaT19 == direct)
+    // Every merge strictly reduces the corpus token total vs raw chars.
+    val rawChars = TextOps.bpeApplyMergesOn(docs, Seq.empty)
+      .collect().map(_.getLong(2)).sum
+    assert(viaT19.values.sum < rawChars)
+  }
+
   test("every learned rule builds on characters or earlier merges") {
     val got = learned(TextOps.bpeLearn(spark, SparkFixture.Sf0001))
     val available = scala.collection.mutable.Set.empty[String]
