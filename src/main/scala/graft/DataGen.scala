@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{FloatType, TimestampNTZType}
+
+/** Deterministic local scale-up generator for the driver testdata
+  * (TESTDATA.md). Produces an sfN directory with the same ten tables,
+  * the same schemas (including TIMESTAMP_NTZ micros on disk and
+  * `array<float>` embeddings), the same value domains (so every
+  * battery literal stays non-vacuous), and the same structural
+  * quirks that the pipeline operators' costs depend on:
+  *
+  *  - documents: 30-word vocabulary, 10–100 words/doc, ~5% of docs
+  *    are a near-duplicate of an earlier doc (base text + " dup"),
+  *    lang skewed 41% en / ~15% each zh,de,fr,es, 20 sources;
+  *  - embeddings: unit-norm 64-d float vectors with a weak label
+  *    cluster signal (own-centroid cosine ≈ 0.07, matching sf0.1);
+  *  - events: arrival-ordered timestamps over the same 30-day window
+  *    (so the window density grows with sf, as a real stream would),
+  *    ~Exp(50) values, 10%-of-customer-count distinct users;
+  *  - lineitem/orders: uniform key draws (Poisson-ish lines/order).
+  *
+  * Randomness is xxhash64-derived from (id, salt) — fully
+  * deterministic, distributed, and codegen'd; no per-row RNG state.
+  * region/nation are copied from the reference sf0.1 (fixed tables).
+  *
+  * Correctness at sf1 is self-consistent (Spark and the DuckDB
+  * oracle read the SAME files), so the generator's job is fidelity
+  * of shape, not bit-identity with the driver's generator.
+  *
+  * Usage: graft.DataGen <outDir> [scale]   (scale=1.0 → sf1)
+  */
+object DataGen {
+  private val BaseDir = "/root/testdata/sf0.1"
+
+  /** Uniform double in [0,1) derived from hashed columns. */
+  private def u(salt: Int, cols: Column*): Column =
+    pmod(xxhash64((cols :+ lit(salt)): _*), lit(1000000007L)) / 1000000007.0
+
+  /** Uniform int in [0, n) derived from hashed columns. */
+  private def h(salt: Int, n: Int, cols: Column*): Column =
+    pmod(xxhash64((cols :+ lit(salt)): _*), lit(n.toLong)).cast("int")
+
+  /** Standard normal via Box–Muller from two hash-uniforms. */
+  private def gauss(salt: Int, cols: Column*): Column = {
+    val u1 = u(salt, cols: _*) + lit(1e-9)
+    val u2 = u(salt + 7919, cols: _*)
+    sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+  }
+
+  private def pick(vals: Seq[String], salt: Int, cols: Column*): Column =
+    element_at(array(vals.map(lit): _*), h(salt, vals.size, cols: _*) + 1)
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val scale = if (args.length > 1) args(1).toDouble else 1.0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    write(spark, outDir, scale)
+    spark.stop()
+  }
+
+  /** Writes all ten tables; returns per-table row counts. */
+  def write(spark: SparkSession, outDir: String, scale: Double): Map[String, Long] = {
+    val nCust = (150000 * scale).toLong
+    val nSupp = (10000 * scale).toLong
+    val nPart = (200000 * scale).toLong
+    val nOrd = (1500000 * scale).toLong
+    val nLine = (6000000 * scale).toLong
+    val nEvt = (1000000 * scale).toLong
+    val nDoc = (50000 * scale).toLong
+    val nEmb = (20000 * scale).toLong
+    val nUser = math.max(1L, nCust / 10)
+
+    def ids(n: Long) = spark.range(0, n, 1, 32)
+
+    // Fixed dimension tables: copy the driver's own values verbatim.
+    val region = spark.read.parquet(s"$BaseDir/region.parquet")
+    val nation = spark.read.parquet(s"$BaseDir/nation.parquet")
+
+    val customer = ids(nCust).select(
+      col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      h(11, 25, col("id")).as("c_nationkey"),
+      round(lit(-1000.0) + u(12, col("id")) * 11000.0, 2).as("c_acctbal"),
+      pick(Seq("AUTOMOBILE", "HOUSEHOLD", "FURNITURE", "MACHINERY", "BUILDING"),
+        13, col("id")).as("c_mktsegment"))
+
+    val supplier = ids(nSupp).select(
+      col("id").as("s_suppkey"),
+      format_string("Supplier#%09d", col("id")).as("s_name"),
+      h(21, 25, col("id")).as("s_nationkey"),
+      round(lit(-1000.0) + u(22, col("id")) * 11000.0, 2).as("s_acctbal"))
+
+    val adjs = Seq("small", "red", "new", "blue", "old", "cold", "large", "hot")
+    val nouns = Seq("gizmo", "ring", "gear", "bolt", "plate", "rod", "widget", "anvil")
+    val part = ids(nPart).select(
+      col("id").as("p_partkey"),
+      concat(pick(adjs, 31, col("id")), lit(" "), pick(nouns, 32, col("id"))).as("p_name"),
+      format_string("Brand#%d", h(33, 25, col("id")) + 1).as("p_brand"),
+      pick(Seq("ECONOMY", "MEDIUM", "LARGE", "STANDARD", "PROMO", "SMALL"),
+        34, col("id")).as("p_type"),
+      (h(35, 50, col("id")) + 1).as("p_size"),
+      round(lit(900.0) + pmod(col("id"), lit(1000L)) * 0.1, 1).as("p_retailprice"))
+
+    // o_orderdate: uniform days over [1995-01-01, 2001-08-01], midnight NTZ.
+    val orders = ids(nOrd).select(
+      col("id").as("o_orderkey"),
+      h(41, nCust.toInt.max(1), col("id")).cast("long").as("o_custkey"),
+      pick(Seq("O", "P", "F"), 42, col("id")).as("o_orderstatus"),
+      round(lit(1000.0) + u(43, col("id")) * 499000.0, 2).as("o_totalprice"),
+      date_add(to_date(lit("1995-01-01")), h(44, 2404, col("id")))
+        .cast(TimestampNTZType).as("o_orderdate"),
+      pick(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        45, col("id")).as("o_orderpriority"))
+
+    val lineitem = ids(nLine).select(
+      h(51, nOrd.toInt.max(1), col("id")).cast("long").as("l_orderkey"),
+      h(52, nPart.toInt.max(1), col("id")).cast("long").as("l_partkey"),
+      h(53, nSupp.toInt.max(1), col("id")).cast("long").as("l_suppkey"),
+      (h(54, 7, col("id")) + 1).as("l_linenumber"),
+      (h(55, 50, col("id")) + 1).cast("double").as("l_quantity"),
+      round(lit(900.0) + u(56, col("id")) * 104100.0, 2).as("l_extendedprice"),
+      round(h(57, 11, col("id")) * 0.01, 2).as("l_discount"),
+      round(h(58, 9, col("id")) * 0.01, 2).as("l_tax"),
+      pick(Seq("A", "N", "R"), 59, col("id")).as("l_returnflag"),
+      pick(Seq("O", "F"), 60, col("id")).as("l_linestatus"),
+      date_add(to_date(lit("1995-01-02")), h(61, 2498, col("id")))
+        .cast(TimestampNTZType).as("l_shipdate"))
+
+    // events: draw uniform instants over a fixed 30-day window, then
+    // order by time and number sequentially — the driver data is
+    // arrival-ordered with event_id monotone in ts. Micros precision.
+    // 2024-01-01T00:00:00Z in epoch micros; session tz is UTC so the
+    // timestamp_micros→NTZ cast preserves the wall-clock instant.
+    val winStartMicros = 1704067200000000L
+    val evtRaw = ids(nEvt).select(
+      col("id"),
+      timestamp_micros(lit(winStartMicros) +
+        (u(71, col("id")) * 2592000.0 * 1e6).cast("long"))
+        .cast(TimestampNTZType).as("ts"),
+      h(72, nUser.toInt.max(1), col("id")).cast("long").as("user_id"),
+      pick(Seq("view", "click", "signup", "purchase", "error"), 73, col("id"))
+        .as("event_type"),
+      round(least(lit(-50.0) * log(lit(1.0) - u(74, col("id")) + lit(1e-12)),
+        lit(999.0)), 2).as("value"),
+      format_string("{\"k\": %d}", h(75, 100, col("id"))).as("props"))
+    val events = evtRaw
+      .withColumn("event_id",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("ts", "id"))
+          .cast("long") - 1)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    // documents: 30-word vocab, 10–100 words, ~5% near-dups of an
+    // earlier doc (base text + " dup") — same shape the d-series
+    // dedup operators were tuned on at sf0.1.
+    val vocab = Seq("a", "agg", "batch", "big", "column", "customer", "data",
+      "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+      "order", "part", "query", "row", "scan", "slow", "small", "sort",
+      "spark", "stream", "table", "the", "value", "vector", "window")
+    val vocabCol = array(vocab.map(lit): _*)
+    val baseDocs = ids(nDoc).select(
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), h(81, 91, col("id")) + 9),
+        i => element_at(vocabCol, pmod(xxhash64(col("id"), i, lit(82)), lit(30L)).cast("int") + 1)),
+        " ").as("text0"),
+      (u(83, col("id")) < 0.05 && col("id") > 0).as("is_dup"),
+      pmod(xxhash64(col("id"), lit(84)), greatest(col("id"), lit(1L))).as("base_id"),
+      when(u(85, col("id")) < 0.41, "en")
+        .otherwise(pick(Seq("zh", "de", "fr", "es"), 86, col("id"))).as("lang"),
+      format_string("src%d", h(87, 20, col("id"))).as("source"))
+    val bases = baseDocs.select(col("doc_id").as("b_id"), col("text0").as("b_text"))
+    val documents = baseDocs
+      .join(broadcast_if_small(bases, nDoc), col("base_id") === col("b_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("is_dup"), concat(col("b_text"), lit(" dup")))
+          .otherwise(col("text0")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    // embeddings: unit-norm 64-d with weak label clusters (cos≈0.07).
+    val dim = 64
+    val raw = ids(nEmb).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => gauss(91, col("id"), j) + lit(0.07) * gauss(92, pmod(col("id"), lit(10L)), j))
+        .as("rawv"),
+      h(93, 10, col("id")).as("label"))
+    val embeddings = raw.select(
+      col("vec_id"),
+      transform(col("rawv"), x =>
+        (x / sqrt(aggregate(col("rawv"), lit(0.0), (acc, v) => acc + v * v)))
+          .cast(FloatType)).as("embedding"),
+      col("label"))
+
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "region" -> region, "nation" -> nation, "customer" -> customer,
+      "supplier" -> supplier, "part" -> part, "orders" -> orders,
+      "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
+      "embeddings" -> embeddings)
+
+    tables.map { case (name, df) =>
+      val tmp = s"$outDir/.tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // Single FILE per table, like the driver's layout ({dir}/{t}.parquet
+      // is a file there) — keeps DuckDB's read_parquet and the schema
+      // cache behavior identical between the sf dirs.
+      val partFile = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $name"))
+      val dest = new java.io.File(s"$outDir/$name.parquet")
+      if (dest.exists()) dest.delete()
+      if (!partFile.renameTo(dest)) sys.error(s"rename failed for $name")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      val n = spark.read.parquet(dest.getPath).count()
+      println(s"[datagen] $name: $n rows -> ${dest.getPath}")
+      name -> n
+    }.toMap
+  }
+
+  /** Broadcast the dedup-base side only while it comfortably fits —
+    * at larger scales let AQE pick; the join is 1:1 on a unique key. */
+  private def broadcast_if_small(df: DataFrame, n: Long): DataFrame =
+    if (n <= 2000000L) broadcast(df) else df
+}

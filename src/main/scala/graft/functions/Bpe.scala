@@ -19,6 +19,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * (spec-pinned against the separator-string reference
   * implementation, including the boundary-blocking subtlety below).
   *
+  * Parameterized by the merge table (round 12): t19 applies the
+  * rules LEARNED by t18 rather than the canned table, and a
+  * production vocab is 30k–50k merges — far past where the
+  * k-literal replace-fold expression it replaced stays plannable
+  * (Catalyst tree size and codegen both grow with k; this form is
+  * one expression whose rule loop is data, not plan). The table
+  * rides into codegen as a reference object, so a learned vocab of
+  * any size costs one object in the task closure, like t9's
+  * broadcast. Per-rule cost is a span scan, so a word of s symbols
+  * costs O(k·s) worst-case — the same bound as every sequential BPE
+  * applier; real tables touch few rules per word.
+  *
   * Replace semantics replayed exactly: one pass per rule in rank
   * order, left-to-right non-overlapping, and — because a match
   * consumes the separator AFTER its right symbol — the pair starting
@@ -27,7 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Java's String.replace share these semantics, which is what makes
   * the operator oracle-hashable.
   */
-case class BpeDocTokenCount(child: Expression) extends UnaryExpression {
+case class BpeDocTokenCount(
+    child: Expression,
+    merges: Seq[(String, String)] = Bpe.defaultRules) extends UnaryExpression {
+
+  @transient private lazy val table = new Bpe.Table(merges)
 
   override def dataType: DataType = LongType
 
@@ -39,10 +55,12 @@ case class BpeDocTokenCount(child: Expression) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(t: Any): Any =
-    Bpe.docTokens(t.asInstanceOf[UTF8String])
+    Bpe.docTokens(t.asInstanceOf[UTF8String], table)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.docTokens($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[Bpe.Table].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.docTokens($c, $ref)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -67,8 +85,21 @@ object Bpe {
     "e a", "l e", "m e", "w e", "c k", "g h", "i on", "at ion", "t er",
     "er s", "u n", "u s", "o m", "b e", "c om", "d e", "p r", "p l")
 
-  private val ruleA: Array[String] = Merges.map(_.split(" ")(0)).toArray
-  private val ruleB: Array[String] = Merges.map(_.split(" ")(1)).toArray
+  /** The canned table as (lhs, rhs) pairs — the default rule set and
+    * the shape a learned table arrives in. */
+  val defaultRules: Seq[(String, String)] = Merges.map { m =>
+    val Array(a, b) = m.split(" "); (a, b)
+  }
+
+  /** A compiled merge table: parallel lhs/rhs arrays, ready for the
+    * span walk. Serializable so it ships in the task closure (and as
+    * a codegen reference object). */
+  final class Table(rules: Seq[(String, String)]) extends Serializable {
+    val ruleA: Array[String] = rules.map(_._1).toArray
+    val ruleB: Array[String] = rules.map(_._2).toArray
+  }
+
+  val defaultTable: Table = new Table(defaultRules)
 
   /** Tokens in one (already-lowercased) word: span walk over the
     * merge table. Semantics identical to folding the rules with
@@ -76,7 +107,8 @@ object Bpe {
     * separator-delimited form — including the quirk that the symbol
     * pair immediately after a merge is blocked for the rest of that
     * rule's pass (its leading separator was consumed by the match). */
-  def wordTokens(word: String): Int = {
+  def wordTokens(word: String, table: Table): Int = {
+    val ruleA = table.ruleA; val ruleB = table.ruleB
     val n = word.length
     if (n == 0) return 0
     val starts = new Array[Int](n)
@@ -108,6 +140,8 @@ object Bpe {
     m
   }
 
+  def wordTokens(word: String): Int = wordTokens(word, defaultTable)
+
   /** \s as Java regex defines it — the tokenizer must split exactly
     * like `split(text, "\\s+")` and DuckDB's `string_split_regex`. */
   private def isWs(c: Char): Boolean =
@@ -117,7 +151,7 @@ object Bpe {
     * per-word counts. Called from both the interpreted and generated
     * paths. Locale.ROOT lowercase matches Spark's and DuckDB's
     * lower() on the ASCII corpus (assumption documented at m5). */
-  def docTokens(text: UTF8String): Long = {
+  def docTokens(text: UTF8String, table: Table): Long = {
     val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val n = s.length
     var total = 0L
@@ -126,8 +160,10 @@ object Bpe {
       while (i < n && isWs(s.charAt(i))) i += 1
       val start = i
       while (i < n && !isWs(s.charAt(i))) i += 1
-      if (i > start) total += wordTokens(s.substring(start, i))
+      if (i > start) total += wordTokens(s.substring(start, i), table)
     }
     total
   }
+
+  def docTokens(text: UTF8String): Long = docTokens(text, defaultTable)
 }

@@ -902,15 +902,21 @@ object TextOps {
     * engines. BpeLearnSpec pins that on a crafted weighted corpus the
     * learned table reproduces t10's [[BpeMerges]] rule-for-rule.
     *
-    * 100 TB shape: the corpus is scanned ONCE (word-frequency
-    * aggregate, map-side combined, vocab-bounded shuffle, then
-    * checkpointed); every round after that runs on the vocab table
-    * only — a pair explode bounded by total symbol count, a map-side
-    * combined sum, and a 1-row argmax collect (driver scalar, the
-    * same class as the label-propagation convergence scalars). Merge
-    * application is a narrow per-row replace; the plan re-checkpoints
-    * every 8 rounds so lineage depth stays bounded at any k. */
-  val BpeLearnRounds = 12
+    * 100 TB shape (round 12 — the production learner): the corpus is
+    * scanned ONCE (word-frequency aggregate, map-side combined,
+    * vocab-bounded shuffle), and the resulting word-frequency table —
+    * vocab-bounded, MBs at ANY corpus size — is collected to the
+    * driver where the k merges run locally with incremental
+    * pair-count maintenance. This is the shape every production BPE
+    * trainer uses (Sennrich's learn_bpe, HuggingFace tokenizers):
+    * greedy BPE is inherently merge-sequential, so after the one
+    * distributed pass the only scalable design is a driver-local loop
+    * whose cost is independent of corpus size. The previous
+    * k-distributed-rounds form was O(k) Spark jobs — right at k=12,
+    * dead at a production k of 30k–50k; this one is O(k log P) driver
+    * work (lazy-deletion priority queue over pair counts, only the
+    * words containing the merged pair touched per round). */
+  val BpeLearnRounds = 256
 
   def bpeLearn(spark: SparkSession, dir: String,
                rounds: Int = BpeLearnRounds): DataFrame =
@@ -919,34 +925,129 @@ object TextOps {
   def bpeLearnOn(docs: DataFrame, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val checkpoints = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    try {
-      var seg = bpeInitialSegs(docs).localCheckpoint(true)
-      checkpoints += seg
-      var r = 0
-      var dried = false
-      while (r < rounds && !dried) {
-        val best = bpePairCounts(seg)
-          .orderBy(desc("c"), asc("l"), asc("r"))
-          .limit(1).collect()
-        if (best.isEmpty) dried = true
-        else {
-          val (l, rr, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-          merges += ((r + 1L, l, rr, c))
-          seg = seg.select(
-            replace(col("seg"),
-              lit(BpeSep + l + BpeSep + rr + BpeSep),
-              lit(BpeSep + l + rr + BpeSep)).as("seg"),
-            col("n"))
-          if (r % 8 == 7) { seg = seg.localCheckpoint(true); checkpoints += seg }
-        }
-        r += 1
+    learnMergesFromDocs(docs, rounds)
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** The full learn pipeline returning the driver-local merge table:
+    * one corpus pass (the [[bpeInitialSegs]] aggregate — the ONLY
+    * distributed work), then [[localBpeMerges]]. */
+  private[operators] def learnMergesFromDocs(
+      docs: DataFrame, rounds: Int): Seq[(Long, String, String, Long)] = {
+    val wf = bpeInitialSegs(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    localBpeMerges(wf, rounds)
+  }
+
+  /** Unsigned-byte lexicographic comparison of the UTF-8 encodings —
+    * the collation DuckDB's ORDER BY and Spark's UTF8String both use
+    * for the argmax tie-break. Java String.compareTo (UTF-16 code
+    * units) differs for supplementary-plane characters adjacent to
+    * U+E000–U+FFFF, so the driver-local learner must NOT use it
+    * (round-11 ADVICE). */
+  private[operators] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-local greedy BPE over a (separator-form word, weight)
+    * frequency table — the merge-sequential half of the learner,
+    * incremental like the production trainers:
+    *
+    *  - pair counts are maintained in a hash map, updated only for
+    *    the words a merge actually touches (a postings map pair →
+    *    word-ids says which those are; stale entries are lazily
+    *    skipped via a contains() check);
+    *  - the argmax is a lazy-deletion priority queue: every count
+    *    update pushes a fresh (count, l, r) entry, pops discard
+    *    entries whose count no longer matches — O(log P) per update
+    *    instead of an O(P) scan per round;
+    *  - merge application is Java String.replace on the separator
+    *    form — the exact left-to-right non-overlapping semantics
+    *    (including the blocked-pair-after-a-merge quirk) that
+    *    DuckDB's replace() and the native [[graft.functions.Bpe]]
+    *    span walk share, which is what keeps the k-round oracle
+    *    chain hash-exact;
+    *  - ties break (count DESC, lhs ASC, rhs ASC) in UTF-8 byte
+    *    order on both engines ([[utf8Less]]).
+    *
+    * Stops early when no pair remains (a small corpus "dries" before
+    * a production k — the oracle chain goes empty the same round). */
+  private[operators] def localBpeMerges(
+      wordFreqs: Seq[(String, Long)],
+      rounds: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val segs = wordFreqs.map(_._1).toArray
+    val ws = wordFreqs.map(_._2).toArray
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val postings = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // Max count first, then lhs/rhs ascending in UTF-8 byte order.
+    val ord = Ordering.fromLessThan[(Long, String, String)] { (p, q) =>
+      if (p._1 != q._1) p._1 < q._1
+      else if (p._2 != q._2) utf8Less(q._2, p._2)
+      else utf8Less(q._3, p._3)
+    }
+    val queue = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def pairsOf(seg: String): Array[(String, String)] = {
+      val ls = seg.split(BpeSep).filter(_.nonEmpty)
+      Array.tabulate(math.max(0, ls.length - 1))(i => (ls(i), ls(i + 1)))
+    }
+    def bump(p: (String, String), delta: Long): Unit = {
+      val c = pairCount.getOrElse(p, 0L) + delta
+      if (c <= 0L) pairCount.remove(p)
+      else {
+        pairCount(p) = c
+        queue.enqueue((c, p._1, p._2))
       }
-    } finally checkpoints.foreach(_.unpersist(false))
-    // The result is driver-local (k rows, KB-sized) — independent of
-    // the released checkpoints by construction.
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+    }
+    var i = 0
+    while (i < segs.length) {
+      pairsOf(segs(i)).foreach { p =>
+        bump(p, ws(i))
+        postings.getOrElseUpdate(p, mutable.BitSet.empty) += i
+      }
+      i += 1
+    }
+    val merges = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var dried = false
+    while (r < rounds && !dried) {
+      // Pop to the first queue entry whose count is still current.
+      var best: Option[(String, String, Long)] = None
+      while (best.isEmpty && queue.nonEmpty) {
+        val (c, l, rr) = queue.dequeue()
+        if (pairCount.get((l, rr)).contains(c)) best = Some((l, rr, c))
+      }
+      best match {
+        case None => dried = true
+        case Some((l, rr, c)) =>
+          merges += ((r + 1L, l, rr, c))
+          val pat = BpeSep + l + BpeSep + rr + BpeSep
+          val rep = BpeSep + l + rr + BpeSep
+          val holders = postings.remove((l, rr)).getOrElse(mutable.BitSet.empty)
+          holders.foreach { idx =>
+            val old = segs(idx)
+            if (old.contains(pat)) { // skip lazily-stale postings
+              pairsOf(old).foreach(p => bump(p, -ws(idx)))
+              val neu = old.replace(pat, rep)
+              segs(idx) = neu
+              pairsOf(neu).foreach { p =>
+                bump(p, ws(idx))
+                postings.getOrElseUpdate(p, mutable.BitSet.empty) += idx
+              }
+            }
+          }
+      }
+      r += 1
+    }
+    merges.toSeq
   }
 
   /** The learner's ONLY corpus-scale pass: the word-frequency table in
@@ -963,27 +1064,26 @@ object TextOps {
           regexp_replace(col("word"), "(.)", "$1" + BpeSep)).as("seg"),
         col("n"))
 
-  /** One round's weighted adjacent-pair counts over the vocab table.
-    * zip_with over two slices: a 1-symbol (fully merged) word yields
-    * an empty array and drops out at the explode. Plan shape pinned
-    * by PlanShapeSpec: map-side combined, never re-reads the corpus. */
-  private[operators] def bpePairCounts(seg: DataFrame): DataFrame =
-    seg
-      .select(col("n"),
-        filter(split(col("seg"), BpeSep), x => length(x) > lit(0)).as("ls"))
-      .select(col("n"), explode(expr(
-        """zip_with(slice(ls, 1, size(ls) - 1), slice(ls, 2, size(ls) - 1),
-          |  (a, b) -> struct(a AS l, b AS r))""".stripMargin)).as("p"))
-      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-      .agg(sum(col("n")).as("c"))
-
-  /** The learner's k-round CTE chain (s0, p1/b1/s1, …, p_k/b_k/s_k)
-    * — shared by the t18 oracle and the t19 learned-apply oracle so
+  /** The learner's k-round CTE chain (s0, b1/s1, …, b_k/s_k) —
+    * shared by the t18 oracle and the t19 learned-apply oracle so
     * the two cannot silently desynchronize. CTEs are MATERIALIZED
     * (DuckDB-only syntax; this SQL never runs in Spark): the default
-    * inlining re-evaluates the whole chain for every reference, and
-    * t19's fold references each b_k four times — O(k²) chain re-runs
-    * took the oracle from seconds to minutes. */
+    * inlining re-evaluates the whole chain for every reference —
+    * O(k²) chain re-runs took the oracle from seconds to minutes.
+    *
+    * Two structural choices exist purely to survive a production k
+    * under DuckDB's binder limits (max expression depth 1000 counts
+    * the CTE dependency chain):
+    *  - TWO CTEs per round, not three — the pair-count subquery is
+    *    inlined into the argmax CTE b_k;
+    *  - s_k carries b_k as coalesced scalar subqueries with a chr(2)
+    *    sentinel instead of a cross join, so when the corpus DRIES
+    *    (b_k empty — guaranteed at k=256 on a 31-word vocab) s_k is
+    *    an exact no-op copy of s_{k-1} rather than going empty: the
+    *    chain stays populated for t19's final-segmentation join and
+    *    later b rounds stay empty exactly like the driver-local
+    *    learner's early stop (round-11 ADVICE dry-safety, now the
+    *    REQUIRED behavior rather than a latent edge). */
   private def bpeLearnCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH s0 AS MATERIALIZED (
@@ -995,16 +1095,17 @@ object TextOps {
       |  GROUP BY 1)""".stripMargin
     for (k <- 1 to rounds) {
       sb ++= s""",
-        |p$k AS MATERIALIZED (
+        |b$k AS MATERIALIZED (
         |  SELECT l, r, CAST(sum(n) AS BIGINT) AS c FROM (
         |    SELECT n, ls[i] AS l, ls[i + 1] AS r FROM (
         |      SELECT n, ls, unnest(range(1, len(ls))) AS i FROM (
         |        SELECT n, list_filter(string_split(seg, chr(1)), x -> x <> '') AS ls
         |        FROM s${k - 1})))
-        |  GROUP BY l, r),
-        |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-        |s$k AS MATERIALIZED (SELECT replace(seg, chr(1) || b.l || chr(1) || b.r || chr(1),
-        |    chr(1) || b.l || b.r || chr(1)) AS seg, n FROM s${k - 1}, b$k b)""".stripMargin
+        |  GROUP BY l, r ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        |s$k AS MATERIALIZED (SELECT replace(seg,
+        |    coalesce((SELECT chr(1) || l || chr(1) || r || chr(1) FROM b$k), chr(2)),
+        |    coalesce((SELECT chr(1) || l || r || chr(1) FROM b$k), chr(2))) AS seg, n
+        |  FROM s${k - 1})""".stripMargin
     }
     sb.toString
   }
@@ -1023,26 +1124,55 @@ object TextOps {
     * one. The real pipeline shape: a vocab is learned once per
     * corpus, then applied to every document.
     *
-    * 100 TB shape: the learning phase is t18's (one corpus pass +
-    * vocab-bounded rounds); the k learned rules then ship in the
-    * closure like t10's inline table and the application is ONE
-    * narrow per-document projection — a k-step literal-replace fold
-    * per word — zero shuffle at any corpus size. */
+    * 100 TB shape (round 12): the learning phase is t18's (one
+    * corpus pass + driver-local merges); the k learned rules then
+    * ride into the task closure as ONE reference object inside the
+    * generalized native [[graft.functions.BpeDocTokenCount]]
+    * expression (rule loop is data, not plan — the k-literal
+    * replace-fold it replaced grew the Catalyst tree and codegen
+    * linearly in k, failing exactly at a production 30k–50k vocab),
+    * and the application is ONE narrow codegen'd per-document
+    * projection — zero shuffle at any corpus size and any k. */
   def bpeLearnedTokens(spark: SparkSession, dir: String,
                        rounds: Int = BpeLearnRounds): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val merges = bpeLearnOn(docs, rounds)
-      .collect().sortBy(_.getLong(0))
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val merges = learnMergesFromDocs(docs, rounds)
+      .sortBy(_._1).map(m => (m._2, m._3))
     bpeApplyMergesOn(docs, merges)
   }
 
   /** t10's apply shape parameterized by an arbitrary merge table:
-    * separator-string replace fold per word, summed per document.
-    * BpeLearnSpec pins that with t10's fixed 48-rule table this
-    * equals the native BpeDocTokenCount expression exactly. */
+    * the generalized native span-walk expression, codegen'd, rules
+    * shipped as a reference object. BpeLearnSpec pins it against
+    * [[bpeApplyMergesFoldOn]] — the independent separator-string
+    * replace-fold implementation of the same semantics — and against
+    * t10's canned-table path.
+    *
+    * Corpora are assumed U+0001-free (documented at t10): the fold
+    * path drops separator-carrying words to stay total, the native
+    * walk counts them as opaque symbols; none exist in any input
+    * this library reads. */
   private[operators] def bpeApplyMergesOn(docs: DataFrame,
                                           merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(trim(lower(col("text"))), "\\s+"),
+      w => length(w) > lit(0) && !w.contains(BpeSep))
+    val tokens = coalesce(
+      org.apache.spark.sql.graft.Shims.column(
+        graft.functions.BpeDocTokenCount(
+          org.apache.spark.sql.graft.Shims.expression(col("text")), merges)),
+      lit(0L))
+    docs.select(
+      col("doc_id"),
+      size(words).cast("long").as("n_words"),
+      tokens.as("n_tokens"))
+  }
+
+  /** The replace-fold form of [[bpeApplyMergesOn]] — kept as the
+    * spec's independent reference implementation (HOF fold over
+    * literal patterns; interpreted, k-sized plan — NOT the
+    * production path). */
+  private[operators] def bpeApplyMergesFoldOn(docs: DataFrame,
+                                              merges: Seq[(String, String)]): DataFrame = {
     val words = filter(split(trim(lower(col("text"))), "\\s+"),
       w => length(w) > lit(0) && !w.contains(BpeSep))
     def perWord(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
@@ -1063,14 +1193,18 @@ object TextOps {
         .as("n_tokens"))
   }
 
-  /** t19 oracle: the t18 learner chain composed with the t10-style
-    * replace-fold application, learned pairs spliced in as scalar
-    * subqueries against the b_k CTEs. */
+  /** t19 oracle: the learner chain's FINAL segmentation table joined
+    * back onto the word unnest — a word's learned token count is the
+    * symbol count of its final segmentation, so no per-word replay
+    * of the merge schedule is needed at all. (The previous form
+    * replayed all k merges as a nested replace fold per word; at a
+    * production k that nests past DuckDB's binder recursion limit —
+    * this form is O(1) expression depth regardless of k.) The join
+    * key strips the separators: a segment string with chr(1) removed
+    * IS its word, and s0 was grouped by seg, so the join is 1:1.
+    * Dry-safety comes from the chain itself: s_k after drying is a
+    * no-op copy (see [[bpeLearnCtes]]), never empty. */
   def bpeLearnedTokensOracleSql(rounds: Int = BpeLearnRounds): String = {
-    val folded = (1 to rounds).foldLeft(bpeWordReprSql) { (acc, k) =>
-      s"replace($acc, chr(1) || (SELECT l FROM b$k) || chr(1) || (SELECT r FROM b$k) || chr(1), " +
-        s"chr(1) || (SELECT l FROM b$k) || (SELECT r FROM b$k) || chr(1))"
-    }
     s"""${bpeLearnCtes(rounds)},
        |wx AS (
        |  SELECT doc_id,
@@ -1079,8 +1213,9 @@ object TextOps {
        |  FROM documents),
        |tc AS (
        |  SELECT doc_id, count(*) AS n_words,
-       |    sum(length($folded) - length(w) - 1) AS n_tok
-       |  FROM wx GROUP BY doc_id)
+       |    sum(len(list_filter(string_split(s.seg, chr(1)), x -> x <> ''))) AS n_tok
+       |  FROM wx JOIN s$rounds s ON replace(s.seg, chr(1), '') = wx.w
+       |  GROUP BY doc_id)
        |SELECT d.doc_id,
        |  CAST(coalesce(tc.n_words, 0) AS BIGINT) AS n_words,
        |  CAST(coalesce(tc.n_tok, 0) AS BIGINT) AS n_tokens

@@ -369,18 +369,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"p3 did not prune the scan: $read")
   }
 
-  test("t18 per-round aggregate: map-side combined over the checkpointed vocab, no corpus re-scan") {
+  test("t18 learn phase: ONE map-side-combined corpus pass, text-only scan") {
+    // Round 12: the learner's distributed work is exactly the
+    // word-frequency aggregate — the k merge rounds run driver-local
+    // on the collected vocab-bounded table (production-trainer
+    // shape), so the plan to pin is the single corpus pass.
     val docs = graft.Tables.t(spark, dir, "documents")
-    val seg = TextOps.bpeInitialSegs(docs).localCheckpoint(true)
-    try {
-      val p = plan(TextOps.bpePairCounts(seg)
-        .orderBy(org.apache.spark.sql.functions.desc("c")).limit(1))
-      // The round reads the checkpointed RDD, not the parquet corpus:
-      // k rounds cost k vocab passes, ONE corpus scan total.
-      assert(!p.contains("Scan parquet"), s"round re-scans the corpus:\n$p")
-      assert(p.contains("partial_sum"), s"pair count not map-side combined:\n$p")
-      // argmax is top-k machinery, never a full sort of the pair table
-      assert(p.contains("TakeOrderedAndProject"), s"argmax sorted fully:\n$p")
-    } finally { seg.unpersist(false); () }
+    val p = plan(TextOps.bpeInitialSegs(docs))
+    assert(p.contains("partial_count"), s"word count not map-side combined:\n$p")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("text") && !read.contains("lang") && !read.contains("source"),
+      s"learn pass did not prune the scan to the text column: $read")
+    // Exactly one parquet scan NODE — no second corpus pass anywhere
+    // (the AQE plan string prints each node in several sections, so
+    // count distinct node ids, not substring hits).
+    val scanIds = "Scan parquet\\s+\\((\\d+)\\)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 1, s"learn phase re-scans ($scanIds):\n$p")
+  }
+
+  test("t19 apply phase: one codegen'd projection, zero exchange, at a production k") {
+    // The learned table rides as a reference object inside ONE native
+    // expression — plan size must not grow with k (the k-literal
+    // fold it replaced did). 512 synthetic rules ≫ battery's k.
+    val rules = (1 to 512).map(i => (s"x$i", s"y$i"))
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val p = plan(TextOps.bpeApplyMergesOn(docs, rules))
+    assert(!p.contains("Exchange"), s"t19 apply shuffles:\n$p")
+    assert(p.contains("bpe_doc_tokens"), s"t19 apply not the native expression:\n$p")
+    assert(p.length < 5000, s"plan grew with k (${p.length} chars):\n${p.take(2000)}")
   }
 }
