@@ -82,7 +82,7 @@ object SparkEntry {
     "e7_retention" -> (EventOps.retention _),
     "e8_trailing_velocity" -> (EventOps.trailingVelocity _),
     // ---- text analysis ----
-    "t1_token_stats" -> (TextOps.tokenStats _),
+    "t1_token_stats" -> viaFacade("EXECUTE OPERATOR token_stats(source = 'documents')"),
     "t2_quality_score" -> (TextOps.qualityScore _),
     "t3_lang_id" -> (TextOps.langIdAccuracy _),
     "t4_fingerprint" -> (TextOps.fingerprint _),
@@ -91,7 +91,7 @@ object SparkEntry {
     "t7_stratified_sample" -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
     "t8_token_budget" -> ((s: SparkSession, d: String) => TextOps.tokenBudget(s, d)),
     "t9_corpus_freq" -> (TextOps.corpusFreqScore _),
-    "t10_bpe_tokens" -> (TextOps.bpeTokenCounts _),
+    "t10_bpe_tokens" -> viaFacade("EXECUTE OPERATOR bpe_tokens(source = 'documents')"),
     "t8b_bpe_budget" -> ((s: SparkSession, d: String) => TextOps.tokenBudgetBpe(s, d)),
     "c1_corpus_prep" -> ((s: SparkSession, d: String) => CorpusPrep.cleanCorpus(s, d)),
     "t11_sequence_pack" -> ((s: SparkSession, d: String) => TextOps.sequencePack(s, d)),
@@ -114,7 +114,7 @@ object SparkEntry {
     "d1_exact_dedup" -> viaFacade("EXECUTE OPERATOR exact_dedup(source = 'documents')"),
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "d3_minhash_lsh" -> viaFacade("EXECUTE OPERATOR minhash_lsh(source = 'documents', min_sim = 0.25)"),
-    "d4_simhash" -> (Dedup.simhashDups _),
+    "d4_simhash" -> viaFacade("EXECUTE OPERATOR simhash_dups(source = 'documents')"),
     // threshold 0.4: the synthetic embeddings have no true near-dups
     // (max same-bucket cosine ≈ 0.49), and an empty result would make
     // this a vacuous check.
@@ -128,7 +128,7 @@ object SparkEntry {
     "d12_winnow_dups" -> ((s: SparkSession, d: String) => Dedup.winnowDups(s, d)),
     "d13_span_minhash" -> ((s: SparkSession, d: String) => Dedup.spanMinhashDups(s, d)),
     "d14_exact_substring" -> viaFacade("EXECUTE OPERATOR exact_substring(source = 'documents')"),
-    "s10_sq_topk" -> ((s: SparkSession, d: String) => Similarity.sqTopK(s, d)),
+    "s10_sq_topk" -> viaFacade("EXECUTE OPERATOR sq_topk(source = 'embeddings', qid = 0, k = 10)"),
     "s11_ivfpq_topk" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
     "m7_frame_dedup" -> (Multimodal.m7FrameDedup _),
     // ---- engine facade round trips (SURVEY.md §2.10–§2.11) ----

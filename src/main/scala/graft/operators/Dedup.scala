@@ -78,7 +78,12 @@ object Dedup {
     * self-join would recompute the tokenize+explode stage four times.
     * Exact Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over the capped sets. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                   maxDf: Int = MaxShingleDf): DataFrame = {
+                   maxDf: Int = MaxShingleDf): DataFrame =
+    ngramJaccardOn(t(spark, dir, "documents"), threshold, maxDf)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def ngramJaccardOn(docs: DataFrame, threshold: Double = 0.5,
+                     maxDf: Int = MaxShingleDf): DataFrame = {
     // NOTE (measured, not assumed): buckets feeds both branches below
     // and recomputes per consumer. AQE's stage reuse does not fire on
     // this shape (verified: the same self-join reuses its exchange
@@ -92,7 +97,7 @@ object Dedup {
     // CacheManager entry would outlive the call. Lineage truncation
     // is the same availability trade dupGroups already makes with its
     // eager per-round checkpoints.
-    val buckets = shingles(spark, dir)
+    val buckets = shinglesOn(docs)
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= maxDf)
@@ -137,7 +142,10 @@ object Dedup {
   val WinnowW = 4
 
   private def winnowFps(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    winnowFpsOn(t(spark, dir, "documents"))
+
+  private def winnowFpsOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= WinnowK)
       .select(col("doc_id"), explode(expr(
@@ -149,7 +157,12 @@ object Dedup {
 
   def winnowDups(spark: SparkSession, dir: String, minShared: Long = 2L,
                  maxDf: Int = MaxShingleDf): DataFrame =
-    winnowFps(spark, dir)
+    winnowDupsOn(t(spark, dir, "documents"), minShared, maxDf)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def winnowDupsOn(docs: DataFrame, minShared: Long = 2L,
+                   maxDf: Int = MaxShingleDf): DataFrame =
+    winnowFpsOn(docs)
       .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
@@ -488,8 +501,11 @@ object Dedup {
     * measured ~30% faster than an interpreted higher-order-function
     * rewrite of the same computation. */
   val SimHashBits = 32
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = t(spark, dir, "documents")
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOn(t(spark, dir, "documents"))
+
+  def simhashOn(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .select(col("doc_id"), portableHash(col("tok")).as("h"))
     val bitSums = (0 until SimHashBits).map { b =>
@@ -504,7 +520,11 @@ object Dedup {
 
   /** SimHash bucket dup groups: simhash values shared by >1 doc. */
   def simhashDups(spark: SparkSession, dir: String): DataFrame =
-    simhash(spark, dir)
+    simhashDupsOn(t(spark, dir, "documents"))
+
+  /** Source-parameterized form (SQL facade entry). */
+  def simhashDupsOn(docs: DataFrame): DataFrame =
+    simhashOn(docs)
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .filter(col("n_docs") > 1)
@@ -519,8 +539,12 @@ object Dedup {
     * every hyperplane sign, so recall at cos ≥ 0.98 is high; the plane
     * count scales up with corpus size to keep buckets bounded.
     * Norms/dots sum in index order so the oracle matches exactly. */
-  def embeddingDup(spark: SparkSession, dir: String, threshold: Double = 0.98): DataFrame = {
-    val e = t(spark, dir, "embeddings")
+  def embeddingDup(spark: SparkSession, dir: String, threshold: Double = 0.98): DataFrame =
+    embeddingDupOn(t(spark, dir, "embeddings"), threshold)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def embeddingDupOn(emb: DataFrame, threshold: Double = 0.98): DataFrame = {
+    val e = emb
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", expr(
         "sqrt(aggregate(transform(v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))"))
@@ -566,9 +590,13 @@ object Dedup {
     * pre-filter (a Bloom filter over train grams, broadcast) would
     * drop in front of the exact join; the exact join is kept as the
     * confirm stage so the DuckDB oracle arbitrates bit-for-bit. */
-  def contamination(spark: SparkSession, dir: String, salt: String = "graft_v1"): DataFrame = {
+  def contamination(spark: SparkSession, dir: String, salt: String = "graft_v1"): DataFrame =
+    contaminationOn(t(spark, dir, "documents"), salt)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def contaminationOn(docs: DataFrame, salt: String = "graft_v1"): DataFrame = {
     val b = portableHash(concat_ws(":", lit(salt), col("doc_id"))) % 100
-    val tagged = shingles(spark, dir)
+    val tagged = shinglesOn(docs)
       .withColumn("split",
         when(b < 80, "train").when(b < 90, "val").otherwise("test"))
     val trainGrams = tagged.filter(col("split") === "train")
@@ -591,10 +619,14 @@ object Dedup {
     * sliver of the corpus), so it BROADCASTs into the metadata join
     * at real scale; the election window partitions by group, bounded
     * by group size, never corpus-wide. */
-  def canonicalSelect(spark: SparkSession, dir: String, minEstSim: Double = 0.25): DataFrame = {
+  def canonicalSelect(spark: SparkSession, dir: String, minEstSim: Double = 0.25): DataFrame =
+    canonicalSelectOn(t(spark, dir, "documents"), minEstSim)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def canonicalSelectOn(docsIn: DataFrame, minEstSim: Double = 0.25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val groups = dupGroups(spark, dir, minEstSim)
-    val docs = t(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val groups = dupGroupsOn(docsIn, minEstSim)
+    val docs = docsIn.select(col("doc_id"), col("n_chars"))
     val w = Window.partitionBy(col("canonical_id"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     docs.join(broadcast(groups), "doc_id")
@@ -779,7 +811,7 @@ object Dedup {
 
   /** Core of d11 over any (doc_id, text) frame — the spec drives this
     * with synthetic multi-paragraph strings the corpus lacks. */
-  private[operators] def paragraphDedupOn(docs: DataFrame): DataFrame = {
+  def paragraphDedupOn(docs: DataFrame): DataFrame = {
     val w = SpanWords
     val spans = docs
       .select(col("doc_id"), explode(split(col("text"), "\\n\\s*\\n")).as("para"))
@@ -835,7 +867,7 @@ object Dedup {
     spanMinhashDupsOn(
       t(spark, dir, "documents").select(col("doc_id"), col("text")), minEq, maxBucket)
 
-  private[operators] def spanMinhashDupsOn(docs: DataFrame, minEq: Int,
+  def spanMinhashDupsOn(docs: DataFrame, minEq: Int,
                                            maxBucket: Int): DataFrame = {
     val w = SpanWords
     val nBands = NumHashes / 2

@@ -84,8 +84,12 @@ object Similarity {
 
   /** ANN via hyperplane-LSH: candidates share the query's bucket;
     * exact cosine re-rank within the bucket only. */
-  def annLsh(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame = {
-    val e = vectors(spark, dir).withColumn("bucket", bucketExpr)
+  def annLsh(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame =
+    annLshOn(t(spark, dir, "embeddings"), qid, k)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def annLshOn(emb: DataFrame, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val e = vectorsOn(emb).withColumn("bucket", bucketExpr)
     val q = e.filter(col("vec_id") === qid)
       .select(col("v").as("qv"), col("nrm").as("qn"), col("bucket").as("qbucket"))
     val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
@@ -107,9 +111,13 @@ object Similarity {
     * to a shuffled equi-join on the int bucket key — never a cross
     * product. row_number (cos desc, vec_id asc) makes top-k ties
     * deterministic for the oracle. */
-  def batchKnn(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+  def batchKnn(spark: SparkSession, dir: String, nQueries: Int = 8, k: Int = 5): DataFrame =
+    batchKnnOn(t(spark, dir, "embeddings"), nQueries, k)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def batchKnnOn(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = vectors(spark, dir).withColumn("bucket", bucketExpr)
+    val e = vectorsOn(emb).withColumn("bucket", bucketExpr)
     val qs = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))
@@ -144,8 +152,12 @@ object Similarity {
     * fix for the single-probe recall cliff when the query sits near a
     * hyperplane. Candidates grow ~(NumPlanes+1)× but stay an
     * equi-match on a small int key; exact cosine re-ranks. */
-  def annMultiProbe(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame = {
-    val e = vectors(spark, dir).withColumn("bucket", bucketExpr)
+  def annMultiProbe(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame =
+    annMultiProbeOn(t(spark, dir, "embeddings"), qid, k)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def annMultiProbeOn(emb: DataFrame, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val e = vectorsOn(emb).withColumn("bucket", bucketExpr)
     val q = e.filter(col("vec_id") === qid)
       .select(col("v").as("qv"), col("nrm").as("qn"), col("bucket").as("qbucket"))
     val probeSet = array(
@@ -598,8 +610,12 @@ object Similarity {
     * bit-identical (the d5/s1 convention). A constant dimension
     * (mx = mn) encodes 0 and reconstructs its midpoint. At 100 TB
     * the scan reads the int8 index, never the float vectors. */
-  def sqTopK(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame = {
-    val e = vectors(spark, dir)
+  def sqTopK(spark: SparkSession, dir: String, qid: Long = 0L, k: Int = 10): DataFrame =
+    sqTopKOn(t(spark, dir, "embeddings"), qid, k)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def sqTopKOn(emb: DataFrame, qid: Long = 0L, k: Int = 10): DataFrame = {
+    val e = vectorsOn(emb)
     val aggs = (0 until Dim).flatMap { i =>
       Seq(min(element_at(col("v"), i + 1)).as(s"mn$i"),
         max(element_at(col("v"), i + 1)).as(s"mx$i"))
@@ -727,7 +743,11 @@ object Similarity {
 
   /** Bucket histogram — sanity view of LSH spread (skew check). */
   def lshBucketStats(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "embeddings")
+    lshBucketStatsOn(t(spark, dir, "embeddings"))
+
+  /** Source-parameterized form (SQL facade entry). */
+  def lshBucketStatsOn(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), asDouble.as("v"))
       .withColumn("bucket", bucketExpr)
       .groupBy(col("bucket"))

@@ -16,7 +16,11 @@ object TextOps {
   /** Whitespace tokenization + counts. split on \s+ matches the
     * oracle's string_split_regex. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    tokenStatsOn(t(spark, dir, "documents"))
+
+  /** Source-parameterized form (SQL facade entry). */
+  def tokenStatsOn(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).as("n_tokens"),
@@ -99,7 +103,11 @@ object TextOps {
     * alphanumeric+space only, collapsed whitespace). The idiomatic
     * exact-dup key at scale — 16 bytes/doc instead of the full text. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    fingerprintOn(t(spark, dir, "documents"))
+
+  /** Source-parameterized form (SQL facade entry). */
+  def fingerprintOn(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         md5(regexp_replace(
@@ -396,7 +404,11 @@ object TextOps {
       lit(0L))
 
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    bpeTokenCountsOn(t(spark, dir, "documents"))
+
+  /** Source-parameterized form (SQL facade entry). */
+  def bpeTokenCountsOn(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         size(bpeWords).cast("long").as("n_words"),
@@ -717,7 +729,11 @@ object TextOps {
     * hash-matches without float formatting hazards; means/ratios are
     * the caller's division away. */
   def corpusCard(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    corpusCardOn(t(spark, dir, "documents"))
+
+  /** Source-parameterized form (SQL facade entry). */
+  def corpusCardOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("lang"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
         length(col("text")).cast("long").as("chars"))
@@ -1134,8 +1150,12 @@ object TextOps {
     * and the application is ONE narrow codegen'd per-document
     * projection — zero shuffle at any corpus size and any k. */
   def bpeLearnedTokens(spark: SparkSession, dir: String,
-                       rounds: Int = BpeLearnRounds): DataFrame = {
-    val docs = t(spark, dir, "documents")
+                       rounds: Int = BpeLearnRounds): DataFrame =
+    bpeLearnedTokensOn(t(spark, dir, "documents"), rounds)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def bpeLearnedTokensOn(docs: DataFrame,
+                         rounds: Int = BpeLearnRounds): DataFrame = {
     val merges = learnMergesFromDocs(docs, rounds)
       .sortBy(_._1).map(m => (m._2, m._3))
     bpeApplyMergesOn(docs, merges)

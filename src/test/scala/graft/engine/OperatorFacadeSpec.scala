@@ -124,4 +124,71 @@ class OperatorFacadeSpec extends AnyFunSuite {
     val got = rows(g.query(s"EXECUTE OPERATOR ivf_topk(dir = '$dir', qid = 0, k = 10)"))
     assert(got == rows(Similarity.ivfTopK(spark, dir, 0L, 10)) && got.size == 10)
   }
+
+  /** Round 12: the registry covers the whole pipeline library — every
+    * new registration gets a route-parity check against its Scala
+    * entry point on the same data (table-driven; empty-and-equal
+    * would be vacuous, so non-emptiness is asserted where the
+    * sf0.001 corpus produces rows). */
+  private lazy val routeParity: Seq[(String, String, org.apache.spark.sql.DataFrame, Boolean)] = Seq(
+    ("ngram_jaccard", "EXECUTE OPERATOR ngram_jaccard(source = 'documents', threshold = 0.5)",
+      Dedup.ngramJaccard(spark, dir), true),
+    ("simhash_dups", "EXECUTE OPERATOR simhash_dups(source = 'documents')",
+      Dedup.simhashDups(spark, dir), true),
+    ("embedding_dup", "EXECUTE OPERATOR embedding_dup(source = 'embeddings', threshold = 0.4)",
+      Dedup.embeddingDup(spark, dir, 0.4), false),
+    ("incremental_dedup", s"EXECUTE OPERATOR incremental_dedup(dir = '$dir')",
+      Dedup.incrementalDedup(spark, dir), true),
+    ("contamination", "EXECUTE OPERATOR contamination(source = 'documents')",
+      Dedup.contamination(spark, dir), true),
+    ("canonical_select", "EXECUTE OPERATOR canonical_select(source = 'documents')",
+      Dedup.canonicalSelect(spark, dir), true),
+    ("semantic_dedup", s"EXECUTE OPERATOR semantic_dedup(dir = '$dir', threshold = 0.4)",
+      Similarity.semanticDedup(spark, dir, 0.4), false),
+    ("paragraph_dedup", "EXECUTE OPERATOR paragraph_dedup(source = 'documents')",
+      Dedup.paragraphDedup(spark, dir), true),
+    ("winnow_dups", "EXECUTE OPERATOR winnow_dups(source = 'documents')",
+      Dedup.winnowDups(spark, dir), true),
+    ("span_minhash", "EXECUTE OPERATOR span_minhash(source = 'documents')",
+      Dedup.spanMinhashDups(spark, dir), true),
+    ("ann_lsh", "EXECUTE OPERATOR ann_lsh(source = 'embeddings', qid = 0, k = 10)",
+      Similarity.annLsh(spark, dir, 0L, 10), true),
+    ("lsh_buckets", "EXECUTE OPERATOR lsh_buckets(source = 'embeddings')",
+      Similarity.lshBucketStats(spark, dir), true),
+    ("ann_multiprobe", "EXECUTE OPERATOR ann_multiprobe(source = 'embeddings', qid = 0, k = 10)",
+      Similarity.annMultiProbe(spark, dir, 0L, 10), true),
+    ("batch_knn", "EXECUTE OPERATOR batch_knn(source = 'embeddings', n_queries = 8, k = 5)",
+      Similarity.batchKnn(spark, dir, 8, 5), true),
+    ("ivf_batch_knn", s"EXECUTE OPERATOR ivf_batch_knn(dir = '$dir', n_queries = 8, k = 5)",
+      Similarity.ivfBatchKnn(spark, dir, 8, 5), true),
+    ("pq_topk", s"EXECUTE OPERATOR pq_topk(dir = '$dir', qid = 0, k = 10)",
+      Similarity.pqTopK(spark, dir, 0L, 10), true),
+    ("pq_rerank", s"EXECUTE OPERATOR pq_rerank(dir = '$dir', qid = 0, k = 10, candidates = 50)",
+      Similarity.pqRerank(spark, dir, 0L, 10, 50), true),
+    ("sq_topk", "EXECUTE OPERATOR sq_topk(source = 'embeddings', qid = 0, k = 10)",
+      Similarity.sqTopK(spark, dir, 0L, 10), true),
+    ("ivfpq_topk", s"EXECUTE OPERATOR ivfpq_topk(dir = '$dir', qid = 0, k = 10)",
+      Similarity.ivfPqTopK(spark, dir, 0L, 10), true),
+    ("token_stats", "EXECUTE OPERATOR token_stats(source = 'documents')",
+      TextOps.tokenStats(spark, dir), true),
+    ("fingerprint", "EXECUTE OPERATOR fingerprint(source = 'documents')",
+      TextOps.fingerprint(spark, dir), true),
+    ("bpe_tokens", "EXECUTE OPERATOR bpe_tokens(source = 'documents')",
+      TextOps.bpeTokenCounts(spark, dir), true),
+    ("learned_tokens", "EXECUTE OPERATOR learned_tokens(source = 'documents', rounds = 8)",
+      TextOps.bpeLearnedTokens(spark, dir, 8), true),
+    ("corpus_card", "EXECUTE OPERATOR corpus_card(source = 'documents')",
+      TextOps.corpusCard(spark, dir), true))
+
+  routeParity.foreach { case (name, stmt, direct, expectRows) =>
+    test(s"route parity: $name") {
+      val got = rows(g.query(stmt))
+      assert(got == rows(direct), s"$name facade route diverges from Scala entry")
+      if (expectRows) assert(got.nonEmpty, s"$name parity is vacuous (0 rows)")
+    }
+  }
+
+  test("registry covers at least 30 operators") {
+    assert(Operators.all.size >= 30, s"only ${Operators.all.size} registered")
+  }
 }
