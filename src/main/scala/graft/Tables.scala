@@ -31,14 +31,29 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
-  private def mtimeOf(path: String): Long = {
+  /** (mtime, length) stamp: mtime alone has ms (sometimes whole-s)
+    * granularity, so a regeneration landing in the same tick would
+    * serve the stale schema — the length narrows that window to
+    * same-tick AND same-size (round-11 ADVICE). */
+  private def stampOf(path: String): String = {
     val f = new java.io.File(path)
-    if (f.exists) f.lastModified else -1L
+    if (f.exists) s"${f.lastModified}:${f.length}" else "-1"
   }
 
-  private def cachedSchema(spark: SparkSession, path: String): StructType =
-    schemaCache.computeIfAbsent(s"$path@${mtimeOf(path)}",
-      _ => spark.read.parquet(path).schema)
+  private def cachedSchema(spark: SparkSession, path: String): StructType = {
+    val key = s"$path@${stampOf(path)}"
+    val hit = schemaCache.get(key)
+    if (hit != null) hit
+    else {
+      val schema = spark.read.parquet(path).schema
+      // One live generation per path: drop prior stamps so repeated
+      // in-place regenerations (the localverify/bench loop) don't
+      // accumulate unboundedly.
+      schemaCache.keySet.removeIf(_.startsWith(path + "@"))
+      schemaCache.put(key, schema)
+      schema
+    }
+  }
 
   /** Opt-in HOT-TABLE mode for the small-query floor: q2/q29-class
     * queries on local[32] are dominated by the fixed cost of a cold
@@ -144,10 +159,12 @@ object Tables {
       // absent → "table not found" for those queries), not every
       // facade-routed query. Round 10 lost documents-only operators
       // to an events-table schema drift through this exact path.
+      var allClean = true
       all.foreach { n =>
         try t(spark, dir, n).createOrReplaceTempView(n)
         catch {
           case e: Exception =>
+            allClean = false
             // Drop any stale view from a previous dir: failing loudly
             // beats silently serving the previous catalog's data.
             spark.catalog.dropTempView(n)
@@ -156,7 +173,15 @@ object Tables {
                 s"queries over it will fail: ${String.valueOf(e.getMessage).take(200)}")
         }
       }
-      registeredDir.put(spark, dir)
+      // Record the dir ONLY on a clean sweep: a partial registration
+      // must retry on the next call, so a parquet fixed in place gets
+      // its view back instead of staying dropped for the JVM lifetime
+      // while preflight reports all-healthy (round-11 ADVICE). A
+      // partial sweep also CLEARS any previous record — the catalog
+      // is now a mix of dirs, so the next call for either dir must
+      // do a full re-register, not an idempotence skip.
+      if (allClean) registeredDir.put(spark, dir)
+      else registeredDir.remove(spark)
     }
 
   /** Load preflight: attempt a scan-build of every table, returning

@@ -639,8 +639,34 @@ class Engine(val spark: SparkSession) {
     * position columns → coerce types → apply DEFAULTs → fill
     * AUTO_INCREMENT → NOT NULL check → UNIQUE check → append.
     * All checks are distributed aggregates, not driver loops. */
+  /** The database's local directory, for the writer lock; None for
+    * non-local locations (cluster URIs lock at the storage layer). */
+  private def dbDir(db: String): Option[java.io.File] =
+    try {
+      val loc = spark.catalog.getDatabase(db).locationUri
+      val uri = new java.net.URI(loc)
+      val f =
+        if (uri.getScheme == null) new java.io.File(loc)
+        else if (uri.getScheme == "file") new java.io.File(uri.getPath)
+        else null
+      Option(f).filter(_.isDirectory)
+    } catch { case _: Exception => None }
+
   private def insertDataFrame(db: String, tbl: String, tm: TableMeta,
+                              cols: Seq[String], src: DataFrame): (Payload, DataFrame, () => Unit) =
+    // Single-writer lock around validate -> fill -> write -> counter
+    // advance (DbLock): UNIQUE and AUTO_INCREMENT checks are only
+    // sound with no concurrent writer, the guarantee the reference
+    // gets from its Sled directory flock (database/mod.rs:72-92).
+    DbLock.withWriter(dbDir(db))(insertDataFrameLocked(db, tbl, tm, cols, src))
+
+  private def insertDataFrameLocked(db: String, tbl: String, tm0: TableMeta,
                               cols: Seq[String], src: DataFrame): (Payload, DataFrame, () => Unit) = {
+    // The caller resolved its TableMeta BEFORE the lock — a stale
+    // autoCounter snapshot under concurrency (two writers both
+    // reading counter=1 was the exact collision ConcurrentDmlSpec
+    // reproduces). Re-read inside the critical section.
+    val tm = meta.get(db, tbl).getOrElse(tm0)
     // Sub-step timing for the bulk-INSERT profile (ProfileG7); zero
     // cost unless GRAFT_INSERT_PROF is set in the environment.
     val profOn = sys.env.contains("GRAFT_INSERT_PROF")
@@ -737,7 +763,32 @@ class Engine(val spark: SparkSession) {
         if (bad > 0)
           throw new EngineException(s"null value in NOT NULL column ${cm.name}")
       }
+    // Single-job fast path for the canonical bulk INSERT…SELECT: the
+    // auto column is STATICALLY all-null (absent from the column list
+    // with no DEFAULT — nothing to scan to know every row draws an
+    // id), there are no other constraints to pre-validate, and the
+    // un-staged narrow batch arrives as ONE partition (the common
+    // single-file source below maxPartitionBytes), so the dense-fill
+    // prefix-sum basis is trivially [0] and the per-partition stats
+    // job has nothing left to compute — the row count folds into the
+    // write job's Observation and the counter advances by it after
+    // the write. A multi-partition batch still pays the one stats
+    // pass (it needs real offsets); measured: removes ~0.15-0.2 s
+    // per 600k-row insert at sf0.1.
+    val autoStaticAllNull = autoCol.exists(cm =>
+      !cols.exists(_.equalsIgnoreCase(cm.name)) && cm.default.isEmpty)
+    val fastSingleAuto = autoStaticAllNull && notNullCols.isEmpty &&
+      uniqueCols.isEmpty && tm.csvPath.isEmpty && tm.xlsxPath.isEmpty &&
+      !needStage && out.queryExecution.toRdd.getNumPartitions == 1
     autoCol match {
+      case Some(cm) if fastSingleAuto =>
+        // Partition 0 ⇒ monotonically_increasing_id has no pid bits:
+        // it IS the intra-partition counter, so the fill is
+        // start + counter with no offset lookup at all.
+        val mid = col("__graft_mid")
+        out = out.withColumn("__graft_mid", monotonically_increasing_id())
+          .withColumn(cm.name, (lit(tm.autoCounter) + mid).cast(cm.dataType))
+          .drop("__graft_mid")
       case Some(cm) =>
         val statAggs = Seq(
           count(lit(1)).as("__total"),
@@ -883,6 +934,7 @@ class Engine(val spark: SparkSession) {
         // cores anyway.)
         tm.xlsxPath.foreach(syncXlsx)
     }
+    if (fastSingleAuto) autoFilled = n // every cell was null by construction
     autoCol.foreach(_ => meta.update(db, tbl)(m => m.copy(autoCounter = m.autoCounter + autoFilled)))
     (Payload.Insert(n), out, releaseStage)
     } catch { case e: Throwable => releaseStage(); throw e }
@@ -901,6 +953,7 @@ class Engine(val spark: SparkSession) {
         if (tm.jdbc) throw new EngineException(
           s"UPDATE on JDBC-mounted table $db.$tbl is not supported (INSERT is); " +
             "run the update in the external database")
+        DbLock.withWriter(dbDir(db)) {
         val cond = Option(wherePart).map(dialectExpr).getOrElse(lit(true))
         val assigns: Map[String, Column] = splitTop(setPart, ',').map { a =>
           val eq = a.indexOf('=')
@@ -980,6 +1033,7 @@ class Engine(val spark: SparkSession) {
           overwriteTable(db, tbl, out)
           Payload.Update(n)
         }
+        }
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
     }
   }
@@ -993,6 +1047,7 @@ class Engine(val spark: SparkSession) {
         if (tm.jdbc) throw new EngineException(
           s"DELETE on JDBC-mounted table $db.$tbl is not supported (INSERT is); " +
             "run the delete in the external database")
+        DbLock.withWriter(dbDir(db)) {
         val t = spark.table(s"`$db`.`$tbl`")
         // A foldable condition (no WHERE, or WHERE 1=1 style) turns
         // the keep-filter into a constant — the optimizer then
@@ -1056,6 +1111,7 @@ class Engine(val spark: SparkSession) {
             overwriteTable(db, tbl, kept)
             Payload.Delete(n)
           case (None, None) => throw new IllegalStateException("unreachable")
+        }
         }
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
     }

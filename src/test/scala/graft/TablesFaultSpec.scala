@@ -50,6 +50,24 @@ class TablesFaultSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM events").head.getLong(0) > 0)
   }
 
+  test("a table fixed in place gets its view back on the next registerAll") {
+    // Round-11 ADVICE: a partial sweep must NOT record the dir as
+    // registered — otherwise fixing the broken parquet at the same
+    // path leaves the dropped view missing for the JVM lifetime
+    // while preflight (which bypasses the catalog) reports healthy.
+    val dir = corruptDir()
+    Tables.registerAll(spark, dir)
+    intercept[Exception](spark.sql("SELECT * FROM events").collect())
+    // Fix the broken file in place (same path, same dir).
+    java.nio.file.Files.copy(
+      new java.io.File(s"${SparkFixture.Sf0001}/events.parquet").toPath,
+      new java.io.File(s"$dir/events.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Tables.registerAll(spark, dir) // must retry, not idempotence-skip
+    assert(spark.sql("SELECT count(*) FROM events").head.getLong(0) > 0)
+    Tables.registerAll(spark, SparkFixture.Sf0001)
+  }
+
   test("preflight names exactly the unreadable tables") {
     val dir = corruptDir()
     val bad = Tables.preflight(spark, dir)
