@@ -809,11 +809,14 @@ object Dedup {
   def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
     paragraphDedupOn(t(spark, dir, "documents").select(col("doc_id"), col("text")))
 
-  /** Core of d11 over any (doc_id, text) frame — the spec drives this
-    * with synthetic multi-paragraph strings the corpus lacks. */
-  def paragraphDedupOn(docs: DataFrame): DataFrame = {
+  /** d11's span extraction over any (doc_id, text) frame: paragraph
+    * split, then [[SpanWords]]-word chunking, one (doc_id, fp) row
+    * per span. Stateless narrow ops only, so it runs unchanged on a
+    * STREAMING frame (the d11 streaming twin reuses it verbatim —
+    * one definition, two execution modes). */
+  def spanFps(docs: DataFrame): DataFrame = {
     val w = SpanWords
-    val spans = docs
+    docs
       .select(col("doc_id"), explode(split(col("text"), "\\n\\s*\\n")).as("para"))
       .select(col("doc_id"),
         filter(split(trim(col("para")), "\\s+"), x => length(x) > lit(0)).as("ws"))
@@ -822,6 +825,12 @@ object Dedup {
         sequence(lit(1), ceil(size(col("ws")) / lit(w.toDouble)).cast("int")),
         c => md5(concat_ws(" ", slice(col("ws"), (c - lit(1)) * w + lit(1), lit(w))))
       )).as("fp"))
+  }
+
+  /** Core of d11 over any (doc_id, text) frame — the spec drives this
+    * with synthetic multi-paragraph strings the corpus lacks. */
+  def paragraphDedupOn(docs: DataFrame): DataFrame = {
+    val spans = spanFps(docs)
     val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     spans
       .withColumn("nd", size(collect_set(col("doc_id")).over(byFp)).cast("long"))

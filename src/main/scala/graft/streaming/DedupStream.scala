@@ -106,4 +106,54 @@ object DedupStream {
       }
       .toDF("doc_id", "exact_match", "n_near", "best_near", "status")
   }
+
+  /** Streaming twin of d11 sub-document (span-level) dedup — the one
+    * dedup family that had no streaming counterpart through round 11:
+    * score each arriving document's spans against the STANDING
+    * span-frequency index (same deployment shape as the d7 twin
+    * above: the corpus index is static and built once; the stream
+    * classifies at ingest).
+    *
+    * A span is boilerplate when its exact fingerprint appears in ≥2
+    * distinct corpus documents — d11's definition, precomputed here
+    * into a static (fp, is_dup) table. The stream side reuses
+    * [[Dedup.spanFps]] VERBATIM (stateless narrow ops), left-joins
+    * the index (stream-static equi-join, pruned to the batch's fp
+    * keys), and folds each doc's span rows in one
+    * flatMapGroupsWithState pass.
+    *
+    * Bounded state, documented: ONE boolean per classified doc_id
+    * (first-seen guard — re-arrivals are not re-emitted), nothing
+    * else; the span index lives in the static plan, not in state.
+    * When the stream replays exactly the corpus the index was built
+    * from, output is set-equal to batch d11 (StreamingSpec pins it);
+    * all of a doc's spans travel in its own row, so the fold never
+    * spans micro-batches. */
+  def streamingSpanScore(spark: SparkSession, dir: String,
+                         newDocs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val idx = Dedup.spanFps(
+        t(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .groupBy(col("fp"))
+      .agg((size(collect_set(col("doc_id"))) >= 2).as("is_dup"))
+    Dedup.spanFps(newDocs)
+      .join(idx, Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("dup"))
+      .as[(Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (docId, rows, state) =>
+          if (state.exists) Iterator.empty // already scored
+          else {
+            state.update(true)
+            val rs = rows.toSeq
+            val dups = rs.count(_._2).toLong
+            Iterator.single(
+              (docId, rs.size.toLong, dups, dups.toDouble / rs.size))
+          }
+      }
+      .toDF("doc_id", "n_spans", "n_dup_spans", "dup_frac")
+  }
 }

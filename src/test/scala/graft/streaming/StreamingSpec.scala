@@ -100,6 +100,25 @@ class StreamingSpec extends AnyFunSuite {
         s"batch:\n${batch.toSeq.sortBy(_.head.toString).mkString("\n")}")
   }
 
+  test("streaming span-level dedup scores equal batch d11 on the replayed corpus") {
+    val dir = SparkFixture.Sf0001
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    runToMemory(
+      DedupStream.streamingSpanScore(spark, dir, stream),
+      "stream_d11", "append")
+    val streamed = spark.table("stream_d11").collect().map(_.toSeq).toSet
+    val batch = graft.operators.Dedup.paragraphDedup(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream size=${streamed.size} batch size=${batch.size}")
+  }
+
   test("streaming query plan carries the watermark") {
     val df = EventOps.streamingTumbling(spark, dir = SparkFixture.Sf0001)
     assert(df.isStreaming)
