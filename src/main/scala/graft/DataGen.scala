@@ -60,6 +60,11 @@ object DataGen {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // ~20 MB row groups: a single-file table still scans in
+      // parallel (Spark assigns row groups to byte-range splits) —
+      // the multi-row-group layout a pyarrow-style generator
+      // produces, and the shape a real large table always has.
+      .config("spark.hadoop.parquet.block.size", (20 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
