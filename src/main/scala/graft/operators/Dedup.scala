@@ -1023,14 +1023,17 @@ object Dedup {
        |  FROM ud a JOIN ud b ON a.fp = b.fp AND a.doc_id < b.doc_id),
        |bands AS (
        |  $bandsUnion),
-       |bc AS (SELECT band_id, k1, k2, count(*) AS n FROM bands GROUP BY 1, 2, 3),
+       |bcap AS MATERIALIZED (
+       |  SELECT band_id, k1, k2 FROM bands GROUP BY 1, 2, 3
+       |  HAVING count(*) <= $maxBucket),
+       |bandsf AS MATERIALIZED (
+       |  SELECT a.fp, a.band_id, a.k1, a.k2
+       |  FROM bands a JOIN bcap USING (band_id, k1, k2)),
        |cpair AS (
        |  SELECT DISTINCT a.fp AS fp_a, b.fp AS fp_b
-       |  FROM bands a
-       |  JOIN bands b ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
-       |    AND a.fp < b.fp
-       |  JOIN bc ON bc.band_id = a.band_id AND bc.k1 = a.k1 AND bc.k2 = a.k2
-       |  WHERE bc.n <= $maxBucket),
+       |  FROM bandsf a
+       |  JOIN bandsf b ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
+       |    AND a.fp < b.fp),
        |cfilt AS (
        |  SELECT c.fp_a, c.fp_b FROM cpair c
        |  JOIN sigc sa ON sa.fp = c.fp_a
