@@ -777,9 +777,18 @@ class Engine(val spark: SparkSession) {
     // per 600k-row insert at sf0.1.
     val autoStaticAllNull = autoCol.exists(cm =>
       !cols.exists(_.equalsIgnoreCase(cm.name)) && cm.default.isEmpty)
+    // Probe the partition count only for local-relation sources
+    // (VALUES / literal batches): building toRdd for a file-scan
+    // batch costs a full physical-planning pass that the multi-split
+    // scan then wastes (it won't be 1 partition at any realistic
+    // parallelism).
+    def localSrc = out.queryExecution.optimizedPlan.collectLeaves().forall { p =>
+      p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation] ||
+        p.getClass.getSimpleName == "OneRowRelation"
+    }
     val fastSingleAuto = autoStaticAllNull && notNullCols.isEmpty &&
       uniqueCols.isEmpty && tm.csvPath.isEmpty && tm.xlsxPath.isEmpty &&
-      !needStage && out.queryExecution.toRdd.getNumPartitions == 1
+      !needStage && localSrc && out.queryExecution.toRdd.getNumPartitions == 1
     autoCol match {
       case Some(cm) if fastSingleAuto =>
         // Partition 0 ⇒ monotonically_increasing_id has no pid bits:
