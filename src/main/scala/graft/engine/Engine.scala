@@ -743,9 +743,35 @@ class Engine(val spark: SparkSession) {
       else out
     // The checkpointed RDD is ContextCleaner-tracked: it is released
     // when `out` becomes unreachable after this call returns, so the
-    // release hook has nothing eager to do (kept for signature parity
-    // with callers that invoke it on failure paths).
-    val releaseStage: () => Unit = () => ()
+    // release hook has nothing eager to do beyond restoring the
+    // write-sizing conf below; callers invoke it on failure paths too.
+    //
+    // Bulk-write task sizing: Spark's split heuristic
+    // (FilePartition.maxSplitBytes = min(maxPartitionBytes,
+    // max(openCost, totalBytes / minPartitionNum))) maximizes SCAN
+    // parallelism, so a small-file INSERT…SELECT source explodes into
+    // dozens of sub-MB scan tasks — and the write inherits that as
+    // dozens of tiny output files plus a per-file footer/open bill on
+    // every later read of the table (the small-files anti-pattern).
+    // Floor the split size for this batch's jobs by lowering
+    // minPartitionNum to cores/4: a small batch writes a handful of
+    // right-sized files, while a big source stays
+    // maxPartitionBytes-bound exactly as on a cluster. Restored in
+    // the batch-release hook, NOT a finally — the INSERT-as-CTE path
+    // re-executes the batch after this returns, and the auto-id fill
+    // is only deterministic if every job of the batch sees the same
+    // splits.
+    val sizeWriteTasks = tm.csvPath.isEmpty && tm.xlsxPath.isEmpty
+    val minPartKey = "spark.sql.files.minPartitionNum"
+    val prevMinPart = if (sizeWriteTasks) spark.conf.getOption(minPartKey) else None
+    if (sizeWriteTasks)
+      spark.conf.set(minPartKey,
+        math.max(1, spark.sparkContext.defaultParallelism / 4).toString)
+    val releaseStage: () => Unit = () =>
+      if (sizeWriteTasks) prevMinPart match {
+        case Some(v) => spark.conf.set(minPartKey, v)
+        case None => spark.conf.unset(minPartKey)
+      }
     try {
     // Pre-write validation. With AUTO_INCREMENT, ONE per-partition
     // stats job materializes the cache and yields the row count, the
