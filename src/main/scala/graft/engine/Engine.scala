@@ -825,15 +825,33 @@ class Engine(val spark: SparkSession) {
           .withColumn(cm.name, (lit(tm.autoCounter) + mid).cast(cm.dataType))
           .drop("__graft_mid")
       case Some(cm) =>
-        val statAggs = Seq(
-          count(lit(1)).as("__total"),
-          coalesce(sum(when(col(cm.name).isNull, 1L).otherwise(0L)), lit(0L)).as("__nulls")) ++
-          notNullCols.map(c2 => coalesce(sum(when(col(c2.name).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_${c2.name}"))
-        val perPart = prof("stats_job")(out.groupBy(spark_partition_id().as("__pid"))
-          .agg(statAggs.head, statAggs.tail: _*).collect())
-        n = perPart.map(_.getLong(1)).sum
-        autoFilled = perPart.map(_.getLong(2)).sum
-        requireNoNulls(notNullCols.indices.map(i => perPart.map(_.getLong(i + 3)).sum))
+        // Footer fast path: the all-null-auto, no-other-constraint
+        // batch over a pure parquet projection needs only per-scan-
+        // partition row counts, and those are metadata (FooterCounts).
+        // Skipping the stats job removes a full distributed pass over
+        // the source — the dominant pre-write cost at any scale.
+        val footerCounts: Option[Array[Long]] =
+          if (autoStaticAllNull && notNullCols.isEmpty && uniqueCols.isEmpty &&
+            !needStage) prof("footer_counts")(
+            FooterCounts.perPartitionCounts(spark, out))
+          else None
+        val nullsByPid: Map[Long, Long] = footerCounts match {
+          case Some(counts) =>
+            n = counts.sum
+            autoFilled = n
+            counts.zipWithIndex.map { case (c, p) => p.toLong -> c }.toMap
+          case None =>
+            val statAggs = Seq(
+              count(lit(1)).as("__total"),
+              coalesce(sum(when(col(cm.name).isNull, 1L).otherwise(0L)), lit(0L)).as("__nulls")) ++
+              notNullCols.map(c2 => coalesce(sum(when(col(c2.name).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_${c2.name}"))
+            val perPart = prof("stats_job")(out.groupBy(spark_partition_id().as("__pid"))
+              .agg(statAggs.head, statAggs.tail: _*).collect())
+            n = perPart.map(_.getLong(1)).sum
+            autoFilled = perPart.map(_.getLong(2)).sum
+            requireNoNulls(notNullCols.indices.map(i => perPart.map(_.getLong(i + 3)).sum))
+            perPart.map(r => r.getInt(0).toLong -> r.getLong(2)).toMap
+        }
         // Dense numbering without a shuffle and without leaving
         // codegen: monotonically_increasing_id embeds
         // (partitionId << 33 | intra-partition counter) with the
@@ -846,7 +864,6 @@ class Engine(val spark: SparkSession) {
         // whose Row↔InternalRow round trip re-ran in every downstream
         // job and dominated bulk-INSERT cost.)
         val start = tm.autoCounter
-        val nullsByPid = perPart.map(r => r.getInt(0).toLong -> r.getLong(2)).toMap
         val maxPid = if (nullsByPid.isEmpty) -1L else nullsByPid.keys.max
         val offsets = Array.iterate(0L -> 0L, ((maxPid + 2).toInt).max(1)) {
           case (p, acc) => (p + 1) -> (acc + nullsByPid.getOrElse(p, 0L))
