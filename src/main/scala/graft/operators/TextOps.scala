@@ -30,10 +30,14 @@ object TextOps {
   /** Quality scoring: length, mean token length, stopword ratio,
     * all-alpha ratio — the standard cheap heuristics applied before
     * expensive model-based filtering. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreOn(t(spark, dir, "documents"))
+
+  /** Source-parameterized form (SQL facade entry). */
+  def qualityScoreOn(docs: DataFrame): DataFrame = {
     val toks = size(split(trim(col("text")), "\\s+"))
     val stops = size(split(col("text"), "\\bthe\\b")) - 1
-    t(spark, dir, "documents")
+    docs
       .select(
         col("doc_id"),
         col("lang"),
@@ -47,13 +51,17 @@ object TextOps {
     * heuristic (real pipelines use fastText; same plan shape). The
     * marker count for language L = occurrences of L's most common
     * function word as a standalone token. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOn(t(spark, dir, "documents"))
+
+  /** Source-parameterized form (SQL facade entry). */
+  def langIdOn(docs: DataFrame): DataFrame = {
     def marker(word: String) =
       (length(col("text")) - length(regexp_replace(col("text"), lit(" " + word + " "), lit("")))) /
         lit(word.length + 2)
     val en = marker("the"); val fr = marker("le"); val de = marker("der")
     val es = marker("el"); val zh = marker("de")
-    t(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("lang"),
         en.as("c_en"), fr.as("c_fr"), de.as("c_de"), es.as("c_es"), zh.as("c_zh"))
       .withColumn("predicted",
@@ -154,12 +162,16 @@ object TextOps {
   val SampleRates: Seq[(String, Int)] = // permille kept per lang
     Seq("en" -> 400, "fr" -> 1000, "de" -> 1000, "es" -> 700, "zh" -> 700)
 
-  def stratifiedSample(spark: SparkSession, dir: String, salt: String = "graft_s1"): DataFrame = {
+  def stratifiedSample(spark: SparkSession, dir: String, salt: String = "graft_s1"): DataFrame =
+    stratifiedSampleOn(t(spark, dir, "documents"), salt)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def stratifiedSampleOn(docs: DataFrame, salt: String = "graft_s1"): DataFrame = {
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id"))) % 1000
     val rate = SampleRates.foldRight(lit(0): org.apache.spark.sql.Column) {
       case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
     }
-    t(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("lang"))
       .filter(h < rate)
   }
@@ -184,13 +196,18 @@ object TextOps {
     * spillable window sort; the cumulative sum is a running ROWS
     * frame, never a per-group buffer. */
   def tokenBudget(spark: SparkSession, dir: String, budgetTokens: Long = 2000L,
-                  salt: String = "graft_v1"): DataFrame = {
+                  salt: String = "graft_v1"): DataFrame =
+    tokenBudgetOn(t(spark, dir, "documents"), budgetTokens, salt)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def tokenBudgetOn(docs: DataFrame, budgetTokens: Long = 2000L,
+                    salt: String = "graft_v1"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("h").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    t(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("lang"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
         h.as("h"))
@@ -229,8 +246,12 @@ object TextOps {
     * broadcasts the vocab (never shuffles the corpus on token); the
     * per-doc reduce is the only corpus-sized shuffle and its
     * aggregates are all partial-combined. */
-  def corpusFreqScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = t(spark, dir, "documents")
+  def corpusFreqScore(spark: SparkSession, dir: String): DataFrame =
+    corpusFreqScoreOn(t(spark, dir, "documents"))
+
+  /** Source-parameterized form (SQL facade entry). */
+  def corpusFreqScoreOn(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
     toks.join(broadcast(freq), "tok")
@@ -468,13 +489,18 @@ object TextOps {
     * expression, ONE shuffle on lang, a spillable running ROWS-frame
     * window — the t10 fold adds per-row CPU, never a shuffle. */
   def tokenBudgetBpe(spark: SparkSession, dir: String, budgetTokens: Long = 3000L,
-                     salt: String = "graft_v1"): DataFrame = {
+                     salt: String = "graft_v1"): DataFrame =
+    tokenBudgetBpeOn(t(spark, dir, "documents"), budgetTokens, salt)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def tokenBudgetBpeOn(docs: DataFrame, budgetTokens: Long = 3000L,
+                       salt: String = "graft_v1"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("h").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    t(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("lang"), bpeDocTokens.as("n_tokens"), h.as("h"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("cum_before") < budgetTokens)
@@ -510,13 +536,18 @@ object TextOps {
     * spillable running ROWS frame; the division/modulo are free
     * row-local arithmetic on the frame's output. */
   def sequencePack(spark: SparkSession, dir: String, ctxTokens: Long = 512L,
-                   salt: String = "graft_v1"): DataFrame = {
+                   salt: String = "graft_v1"): DataFrame =
+    sequencePackOn(t(spark, dir, "documents"), ctxTokens, salt)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def sequencePackOn(docs: DataFrame, ctxTokens: Long = 512L,
+                     salt: String = "graft_v1"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("h").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    t(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("lang"), bpeDocTokens.as("n_tokens"), h.as("h"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
@@ -552,12 +583,17 @@ object TextOps {
     * hashes. One shuffle on lang + a spillable window sort, the s6
     * per-group top-k shape; k rows per stratum survive. */
   def fixedKSample(spark: SparkSession, dir: String, k: Int = 50,
-                   salt: String = "graft_k1"): DataFrame = {
+                   salt: String = "graft_k1"): DataFrame =
+    fixedKSampleOn(t(spark, dir, "documents"), k, salt)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def fixedKSampleOn(docs: DataFrame, k: Int = 50,
+                     salt: String = "graft_k1"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("h").asc, col("doc_id").asc)
-    t(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("lang"), h.as("h"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -628,12 +664,17 @@ object TextOps {
     * already tunes to the target file size (raise N at 100 TB),
     * never by corpus size. */
   def shardManifest(spark: SparkSession, dir: String, shards: Int = 64,
-                    salt: String = "graft_sh1"): DataFrame = {
+                    salt: String = "graft_sh1"): DataFrame =
+    shardManifestOn(t(spark, dir, "documents"), shards, salt)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def shardManifestOn(docs: DataFrame, shards: Int = 64,
+                      salt: String = "graft_sh1"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("h").asc, col("doc_id").asc)
-    t(spark, dir, "documents")
+    docs
       .select(col("doc_id"), h.as("h"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
         length(col("text")).cast("long").as("chars"))
@@ -684,8 +725,13 @@ object TextOps {
     Seq("src0" -> 30, "src1" -> 25, "src2" -> 20, "src3" -> 15, "src4" -> 10)
 
   def mixtureSample(spark: SparkSession, dir: String, budget: Long = 60L,
-                    salt: String = "graft_m1"): DataFrame = {
-    val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+                    salt: String = "graft_m1"): DataFrame =
+    mixtureSampleOn(t(spark, dir, "documents"), budget, salt)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def mixtureSampleOn(src: DataFrame, budget: Long = 60L,
+                      salt: String = "graft_m1"): DataFrame = {
+    val docs = src.select(col("doc_id"), col("source"))
     val wExpr = MixtureWeights.foldRight(lit(0L): org.apache.spark.sql.Column) {
       case ((s0, w0), acc) => when(col("source") === s0, lit(w0.toLong)).otherwise(acc)
     }
@@ -766,8 +812,11 @@ object TextOps {
     * count rides a separate #langs-row aggregate joined back
     * (broadcast). ttr_ppm uses integer `div` — exact and identical
     * in both engines, no float hash hazard. */
-  def vocabStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+  def vocabStats(spark: SparkSession, dir: String): DataFrame =
+    vocabStatsOn(t(spark, dir, "documents"))
+
+  /** Source-parameterized form (SQL facade entry). */
+  def vocabStatsOn(docs: DataFrame): DataFrame = {
     val freq = docs
       .select(col("lang"),
         explode(split(trim(col("text")), "\\s+")).as("w"))
@@ -843,9 +892,15 @@ object TextOps {
     * declarative plan — a checkpointed result explains as LogicalRDD. */
   private[graft] def bigramPredictability(
       spark: SparkSession, dir: String, broadcastCap: Long,
+      materialize: Boolean = true): DataFrame =
+    bigramPredictabilityOn(t(spark, dir, "documents"), broadcastCap, materialize)
+
+  /** Source-parameterized form (SQL facade entry). */
+  def bigramPredictabilityOn(docs: DataFrame,
+      broadcastCap: Long = BigramModelBroadcastCap,
       materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bgs = t(spark, dir, "documents")
+    val bgs = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
       // sequence(1, 0) would generate a DESCENDING [1, 0] — guard
       // short docs to an empty bigram list explicitly.
