@@ -80,4 +80,66 @@ object ArrayDot {
     org.apache.spark.sql.graft.Shims.column(ArrayDot(
       org.apache.spark.sql.graft.Shims.expression(a),
       org.apache.spark.sql.graft.Shims.expression(b)))
+
+  /** Column-level wrapper for [[ArrayL2]]. */
+  def l2(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Shims.column(ArrayL2(
+      org.apache.spark.sql.graft.Shims.expression(a),
+      org.apache.spark.sql.graft.Shims.expression(b)))
+}
+
+/** Squared L2 distance of two ARRAY<DOUBLE> columns — [[ArrayDot]]'s
+  * sibling for the PQ encoder's argmin loops (s8/s9/s11: 8 subspaces
+  * × 16 codebook entries of interpreted `aggregate(zip_with((x,y) ->
+  * (x-y)*(x-y)))` per row). Same bit-parity contract: left-to-right
+  * sum of (x_i − y_i)², identical to the fold it replaces and to the
+  * oracle's `list_sum(list_transform(...))`. */
+case class ArrayL2(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"array_l2 expects ARRAY<DOUBLE>, got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayL2 =
+    copy(left = newLeft, right = newRight)
 }

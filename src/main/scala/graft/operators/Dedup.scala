@@ -909,9 +909,17 @@ object Dedup {
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"),
         first(col("ws")).as("ws")) // ws identical within an fp group
       .filter(size(col("docs")) <= maxBucket)
+    // Hoist the word hash: portableHash is an md5 + base-conv per
+    // word, and evaluating it inside each of the 16 permutation
+    // array_mins re-ran it 16× per word (measured ~40% of d13 wall).
+    // As a separate multi-referenced projection column it computes
+    // once per word — CollapseProject keeps non-cheap expressions
+    // referenced >1× in their own Project, so the optimizer cannot
+    // inline it back. Values are identical: the permutations consume
+    // the same `portableHash(wd) % P`.
+    val hs = transform(col("ws"), wd => portableHash(wd) % P)
     val sig = array((0 until NumHashes).map { i =>
-      array_min(transform(col("ws"),
-        wd => ((portableHash(wd) % P) * As(i) + Bs(i)) % P))
+      array_min(transform(col("hs"), x => (x * As(i) + Bs(i)) % P))
     }: _*)
     // `contents` fans out to four consumers (exact tier, band census,
     // band probe, near-tier holder expansion): cache it so the
@@ -927,7 +935,8 @@ object Dedup {
     // stats for planning; the eager localCheckpoint of the (tiny)
     // result below lets the finally release the cache before this
     // returns, so no CacheManager entry outlives the call.
-    val contents = grouped.select(col("fp"), col("docs"), sig.as("sig"))
+    val contents = grouped.withColumn("hs", hs)
+      .select(col("fp"), col("docs"), sig.as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
 

@@ -56,7 +56,7 @@ object Similarity {
   def bruteTopKOn(emb: DataFrame, qid: Long = 0L, k: Int = 10): DataFrame = {
     val e = vectorsOn(emb)
     val q = e.filter(col("vec_id") === qid).select(col("v").as("qv"), col("nrm").as("qn"))
-    val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    val dot = graft.functions.ArrayDot.dot(col("v"), col("qv"))
     e.filter(col("vec_id") =!= qid)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), (dot / (col("nrm") * col("qn"))).as("cos_sim"))
@@ -135,7 +135,7 @@ object Similarity {
     val e = vectorsOn(emb).withColumn("bucket", bucketExpr)
     val q = e.filter(col("vec_id") === qid)
       .select(col("v").as("qv"), col("nrm").as("qn"), col("bucket").as("qbucket"))
-    val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    val dot = graft.functions.ArrayDot.dot(col("v"), col("qv"))
     e.crossJoin(broadcast(q))
       .filter(col("bucket") === col("qbucket") && col("vec_id") =!= qid)
       .select(col("vec_id"), col("bucket"), (dot / (col("nrm") * col("qn"))).as("cos_sim"))
@@ -164,7 +164,7 @@ object Similarity {
     val qs = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))
-    val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    val dot = graft.functions.ArrayDot.dot(col("v"), col("qv"))
     val cand = e.join(broadcast(qs),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -206,7 +206,7 @@ object Similarity {
     val probeSet = array(
       col("qbucket") +: (0 until NumPlanes).map(p =>
         col("qbucket").bitwiseXOR(lit(1L << p))): _*)
-    val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    val dot = graft.functions.ArrayDot.dot(col("v"), col("qv"))
     e.crossJoin(broadcast(q))
       .filter(array_contains(probeSet, col("bucket")) && col("vec_id") =!= qid)
       .select(col("vec_id"), (dot / (col("nrm") * col("qn"))).as("cos_sim"))
@@ -256,8 +256,7 @@ object Similarity {
     array(cents.map { case (cid, cv) =>
       val cnrm = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
       val cvLit = array(cv.map(lit): _*)
-      val dotc = aggregate(zip_with(col("v"), cvLit, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val dotc = graft.functions.ArrayDot.dot(col("v"), cvLit)
       struct((dotc / (col("nrm") * lit(cnrm))).as("cos_c"), lit(-cid).as("ncid"))
     }: _*)
 
@@ -366,7 +365,7 @@ object Similarity {
       .collect().map(_.getLong(0)).toSeq
     val q = e.filter(col("vec_id") === qid)
       .select(col("v").as("qv"), col("nrm").as("qn"))
-    val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    val dot = graft.functions.ArrayDot.dot(col("v"), col("qv"))
     lists.filter(col("cid").isin(probeIds: _*) && col("vec_id") =!= qid)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), (dot / (col("nrm") * col("qn"))).as("cos_sim"))
@@ -394,7 +393,7 @@ object Similarity {
     val qs = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(probeCidsExpr(idx.cents)).as("cid"))
-    val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    val dot = graft.functions.ArrayDot.dot(col("v"), col("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     lists.join(broadcast(qs), Seq("cid"))
@@ -524,14 +523,16 @@ object Similarity {
   private def pqCodesExpr(cb: Seq[Seq[Seq[Double]]]): Column = {
     val cbLit = array(cb.map(cbM =>
       array(cbM.map(c => array(c.map(lit): _*)): _*)): _*)
+    // Inner argmin distance through the native ArrayL2 (same
+    // left-to-right (x−y)² fold as the zip_with form it replaces):
+    // the 8×16 per-row encoder loop was the interpreted hot spot of
+    // the whole PQ family.
     transform(sequence(lit(0), lit(PqM - 1)), m =>
       array_min(transform(sequence(lit(0), lit(PqK - 1)), j =>
         struct(
-          aggregate(
-            zip_with(slice(col("v"), m * PqSub + 1, lit(PqSub)),
-              element_at(element_at(cbLit, m + 1), j + 1),
-              (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, x) => acc + x).as("d"),
+          graft.functions.ArrayDot.l2(
+            slice(col("v"), m * PqSub + 1, lit(PqSub)),
+            element_at(element_at(cbLit, m + 1), j + 1)).as("d"),
           j.as("j")))).getField("j"))
   }
 
@@ -620,7 +621,7 @@ object Similarity {
     val e = vectors(spark, dir)
     val q = e.filter(col("vec_id") === qid)
       .select(col("v").as("qv"), col("nrm").as("qn"))
-    val dot = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    val dot = graft.functions.ArrayDot.dot(col("v"), col("qv"))
     e.filter(col("vec_id").isin(cands.map(_._1): _*))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), element_at(adistOf, col("vec_id")).as("adist"),
