@@ -529,6 +529,25 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .filter(col("n_docs") > 1)
 
+  /** Census cap for d5's in-bucket pair enumeration. Adaptive bits
+    * ([[Similarity.adaptiveBits]]) bound the UNIFORM part of pair
+    * volume, but a degenerate cluster of near-identical vectors
+    * agrees on every hyperplane sign — finer hashing cannot split
+    * it, so one adversarial cluster (a million copies of the same
+    * boilerplate page's embedding at 100 TB) would still make a
+    * single quadratic bucket. Buckets above the cap switch to a
+    * REPRESENTATIVE STAR: each member is exact-cosine-verified
+    * against the bucket's min-vec_id vector only — linear in bucket
+    * size. Unlike d3's drop-whole policy, members of a giant
+    * near-identical cluster are still reported as dups (of the
+    * representative), which is all a dedup consumer needs — it keeps
+    * one member either way; what is given up is the pair list among
+    * non-representative members. The cap sits well above the worst
+    * measured occupancy (sf1: max bucket 520 at 12 bits), so battery
+    * results are unchanged at every measured scale; the DuckDB
+    * oracle replays both tiers exactly. */
+  val MaxEmbBucket = 1024
+
   /** Embedding-cosine near-dup pairs via hyperplane-LSH candidate
     * generation: bucket every vector by [[Similarity.bucketExpr]]
     * (sign pattern of 8 deterministic hyperplanes), equi-join on the
@@ -537,13 +556,16 @@ object Dedup {
     * is Σ n_b² over buckets instead of n² (round 1 did the outright
     * all-pairs cross join). Near-identical vectors agree on nearly
     * every hyperplane sign, so recall at cos ≥ 0.98 is high; the plane
-    * count scales up with corpus size to keep buckets bounded.
+    * count scales up with corpus size to keep buckets bounded, and a
+    * census cap ([[MaxEmbBucket]]) bounds the one case finer hashing
+    * cannot: an adversarial near-identical cluster.
     * Norms/dots sum in index order so the oracle matches exactly. */
   def embeddingDup(spark: SparkSession, dir: String, threshold: Double = 0.98): DataFrame =
     embeddingDupOn(t(spark, dir, "embeddings"), threshold)
 
   /** Source-parameterized form (SQL facade entry). */
-  def embeddingDupOn(emb: DataFrame, threshold: Double = 0.98): DataFrame = {
+  def embeddingDupOn(emb: DataFrame, threshold: Double = 0.98,
+                     maxBucket: Int = MaxEmbBucket): DataFrame = {
     // Adaptive bucket granularity (Similarity.adaptiveBits): one cheap
     // count sizes the hyperplane-bit count so expected occupancy — and
     // with it the all-pairs-within-bucket volume — stays constant per
@@ -559,9 +581,26 @@ object Dedup {
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", sqrt(graft.functions.ArrayDot.dot(col("v"), col("v"))))
       .withColumn("bucket", Similarity.bucketExprBits(bits))
+    // Bucket census as a WINDOW over the same bucket partitioning the
+    // pair join shuffles on — zero additional shuffles (a separate
+    // census aggregate + tag join measured 0.35 → 0.73 s at sf0.1;
+    // the window form costs one spillable within-partition sort).
+    // rep = min(vec_id), so star pairs keep id_a < id_b by
+    // construction (every non-rep member id exceeds the min). Both
+    // tiers ride ONE bucket-keyed equi-join — the tier split lives in
+    // the join condition: an under-cap a-row pairs with every later
+    // bucket-mate, an over-cap a-row pairs only if it IS the
+    // representative. Never a cross product; per-bucket output is
+    // min(n_b²/2, n_b − 1).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    val a = e.withColumn("n_b", count(lit(1)).over(w))
+      .withColumn("rep", min(col("vec_id")).over(w))
     val dot = graft.functions.ArrayDot.dot(col("a.v"), col("b.v"))
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    a.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && (
+          (col("a.n_b") <= maxBucket && col("a.vec_id") < col("b.vec_id")) ||
+          (col("a.n_b") > maxBucket && col("a.vec_id") === col("a.rep") &&
+            col("b.vec_id") =!= col("a.rep"))))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         (dot / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
@@ -771,16 +810,27 @@ object Dedup {
        |  CAST(n_chars AS BIGINT) AS keep_n_chars
        |FROM j WHERE rk = 1""".stripMargin
 
-  def embeddingDupOracleSql(threshold: Double): String =
+  def embeddingDupOracleSql(threshold: Double,
+                            maxBucket: Int = MaxEmbBucket): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |bits AS (SELECT ${Similarity.adaptiveBitsSql("count(*)")} AS b FROM embeddings),
        |n AS (SELECT vec_id, v,
        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-       |  ${Similarity.bucketSqlBits("v", "(SELECT b FROM bits)")} AS bucket FROM e)
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       |  list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos_sim
-       |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $threshold""".stripMargin
+       |  ${Similarity.bucketSqlBits("v", "(SELECT b FROM bits)")} AS bucket FROM e),
+       |c AS (SELECT bucket, count(*) AS n_b, min(vec_id) AS rep FROM n GROUP BY bucket),
+       |small AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos_sim
+       |  FROM n a JOIN c ON a.bucket = c.bucket AND c.n_b <= $maxBucket
+       |  JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |big AS (
+       |  SELECT r.vec_id AS id_a, m.vec_id AS id_b,
+       |    list_sum(list_transform(range(1, 65), i -> r.v[i] * m.v[i])) / (r.nrm * m.nrm) AS cos_sim
+       |  FROM n m JOIN c ON m.bucket = c.bucket AND c.n_b > $maxBucket AND m.vec_id <> c.rep
+       |  JOIN n r ON r.vec_id = c.rep)
+       |SELECT id_a, id_b, cos_sim FROM small WHERE cos_sim >= $threshold
+       |UNION ALL
+       |SELECT id_a, id_b, cos_sim FROM big WHERE cos_sim >= $threshold""".stripMargin
 
   // ------------------------------------------------------------------
   // d11: paragraph/span-level exact dedup

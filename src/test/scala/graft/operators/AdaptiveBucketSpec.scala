@@ -97,4 +97,49 @@ class AdaptiveBucketSpec extends AnyFunSuite {
     val got = Dedup.embeddingDupOn(emb, 0.4).collect().map(_.toSeq).toSet
     assert(got == legacy.collect().map(_.toSeq).toSet && got.nonEmpty)
   }
+
+  /** Synthetic embeddings frame: a 10-member near-identical cluster
+    * (scalar multiples of one base vector — identical hyperplane sign
+    * pattern by construction, so ONE bucket that finer hashing can
+    * never split) plus hash-derived fillers in other buckets. */
+  private def adversarialEmb = {
+    import spark.implicits._
+    val base = (0 until 64).map(d => (((d * 37 + 11) % 23) - 11).toFloat / 7f)
+    val cluster = (0 until 10).map(c => (c.toLong, base.map(_ * (c + 1))))
+    val fillers = (0 until 4).map { i =>
+      (100L + i, (0 until 64).map(d =>
+        (((d * 13 + i * 7 + 5) % 19) - 9).toFloat / (3f + i % 2)))
+    }
+    // fillers 100/102 share sign patterns pairwise with nothing else;
+    // what matters below is only that their buckets stay under-cap.
+    (cluster ++ fillers).toDF("vec_id", "embedding")
+  }
+
+  test("d5 census cap: over-cap buckets emit representative-star pairs only") {
+    val emb = adversarialEmb
+    val rows = Dedup.embeddingDupOn(emb, 0.9, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val clusterPairs = rows.filter { case (a, b, _) => b <= 9 || a <= 9 }
+    // Star shape: every cluster pair anchors at the min-id rep (0) —
+    // 9 pairs, never a non-rep (i, j) pair, linear in cluster size.
+    assert(clusterPairs.length == 9)
+    assert(clusterPairs.forall { case (a, b, cos) =>
+      a == 0L && b >= 1L && b <= 9L && cos > 0.999
+    })
+    // The same corpus UNCAPPED enumerates all 45 cluster pairs — the
+    // quadratic volume the cap is bounding.
+    val uncapped = Dedup.embeddingDupOn(emb, 0.9, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => b <= 9 || a <= 9 }
+    assert(uncapped.length == 45)
+  }
+
+  test("d5 census cap: default cap is inert at battery scales") {
+    val emb = graft.Tables.t(spark, SparkFixture.Sf0001, "embeddings")
+    val capped = Dedup.embeddingDupOn(emb, 0.4).collect().map(_.toSeq).toSet
+    val unbounded =
+      Dedup.embeddingDupOn(emb, 0.4, maxBucket = Int.MaxValue)
+        .collect().map(_.toSeq).toSet
+    assert(capped == unbounded && capped.nonEmpty)
+  }
 }
