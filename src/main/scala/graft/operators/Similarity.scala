@@ -409,7 +409,12 @@ object Similarity {
     * clustering (everything in one cell) must fail soft, like d2's
     * DF cap and d3's band cap. SemDeDup at scale keeps cells small
     * by growing k with the corpus (k ∝ n), so a binding cap signals
-    * a mis-sized k, not normal data. */
+    * a mis-sized k, not normal data. Over-cap cells are not dropped
+    * whole (d5's census-cap argument: no exact-dedup tier sits
+    * upstream of the embedding path to catch a degenerate cluster) —
+    * they switch to a REPRESENTATIVE STAR, each member verified
+    * against the cell's min-vec_id vector only, linear in cell
+    * size. */
   val MaxSemCluster = 10000
 
   /** d10: SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023,
@@ -452,18 +457,30 @@ object Similarity {
     val refined =
       if (rb == 0) lists.withColumn("rbkt", lit(0L))
       else lists.withColumn("rbkt", bucketExprBits(rb))
-    refined
-      .groupBy(col("cid"), col("rbkt"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("v"), col("nrm")))).as("ms"))
-      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxCluster)
-      .select(col("cid"), explode(expr(
-        """flatten(transform(ms, (a, i) ->
-          |  transform(slice(ms, i + 2, size(ms) - i - 1), b ->
-          |    named_struct('id_a', a.vec_id, 'id_b', b.vec_id,
-          |      'cos_sim', aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
-          |        cast(0.0 as double), (acc, x) -> acc + x) / (a.nrm * b.nrm)))))""".stripMargin)).as("p"))
-      .select(col("cid"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.cos_sim").as("cos_sim"))
+    // Same two-tier join shape as d5's census cap (Dedup.embeddingDupOn):
+    // a window census over the (cid, rbkt) partitioning the pair join
+    // shuffles on — no giant collect_list cell rows (the old shape
+    // materialized an over-cap cell as one multi-MB array row BEFORE
+    // the cap filter could drop it), no extra shuffles, and the pair
+    // dot runs through the native codegen'd ArrayDot instead of the
+    // interpreted per-pair zip_with fold the array-lambda form was
+    // stuck with. Under-cap cells enumerate all (i < j) pairs;
+    // over-cap cells emit representative-star pairs only. The b side
+    // is a re-read of the materialized index parquet, not a pipeline
+    // recompute.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"), col("rbkt"))
+    val a = refined.withColumn("n_c", count(lit(1)).over(w))
+      .withColumn("rep", min(col("vec_id")).over(w))
+    val dot = graft.functions.ArrayDot.dot(col("a.v"), col("b.v"))
+    a.as("a").join(refined.as("b"),
+        col("a.cid") === col("b.cid") && col("a.rbkt") === col("b.rbkt") && (
+          (col("a.n_c") <= maxCluster && col("a.vec_id") < col("b.vec_id")) ||
+          (col("a.n_c") > maxCluster && col("a.vec_id") === col("a.rep") &&
+            col("b.vec_id") =!= col("a.rep"))))
+      .select(col("a.cid").as("cid"), col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        (dot / (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -912,8 +929,9 @@ object Similarity {
   }
 
   /** d10 oracle: the trained assignment (va) joined back to the
-    * vectors, in-cluster pairs under the size cap, exact cosine in
-    * the same fold order. */
+    * vectors, in-cluster pairs in the same fold order — all pairs
+    * under the size cap, representative-star pairs above it (the
+    * same two-tier condition the Spark join carries). */
   def semanticDedupOracleSql(threshold: Double, maxCluster: Int = MaxSemCluster): String = {
     val cos = s"list_sum(list_transform(range(1, ${Dim + 1}), " +
       "i -> m1.v[i] * m2.v[i])) / (m1.nrm * m2.nrm)"
@@ -922,12 +940,14 @@ object Similarity {
        |m AS (SELECT va.cid, n.vec_id, n.v, n.nrm,
        |  ${bucketSqlBits("n.v", "(SELECT rb FROM rbits)")} AS rbkt
        |  FROM va JOIN n ON n.vec_id = va.vec_id),
-       |sz AS (SELECT cid, rbkt, count(*) AS cn FROM m GROUP BY cid, rbkt)
+       |sz AS (SELECT cid, rbkt, count(*) AS cn, min(vec_id) AS rep
+       |  FROM m GROUP BY cid, rbkt)
        |SELECT m1.cid, m1.vec_id AS id_a, m2.vec_id AS id_b, $cos AS cos_sim
        |FROM m m1 JOIN m m2 ON m1.cid = m2.cid AND m1.rbkt = m2.rbkt
-       |  AND m1.vec_id < m2.vec_id
        |JOIN sz ON sz.cid = m1.cid AND sz.rbkt = m1.rbkt
-       |WHERE sz.cn BETWEEN 2 AND $maxCluster AND $cos >= $threshold""".stripMargin
+       |WHERE ((sz.cn <= $maxCluster AND m1.vec_id < m2.vec_id)
+       |    OR (sz.cn > $maxCluster AND m1.vec_id = sz.rep AND m2.vec_id <> sz.rep))
+       |  AND $cos >= $threshold""".stripMargin
   }
 
   /** Trained-index probe + re-rank for one query. */

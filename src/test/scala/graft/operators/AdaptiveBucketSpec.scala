@@ -134,6 +134,34 @@ class AdaptiveBucketSpec extends AnyFunSuite {
     assert(uncapped.length == 45)
   }
 
+  test("d10 census cap: over-cap cells emit representative-star pairs only") {
+    // Uncapped at threshold -2 reveals every cell's full membership
+    // (all in-cell pairs survive a cos floor below -1), so the capped
+    // expectation is derivable without re-touching the index: for
+    // cells over the cap keep only pairs anchored at the cell's min
+    // id, then apply the real threshold.
+    val all = Similarity
+      .semanticDedup(spark, SparkFixture.Sf0001, -2.0, maxCluster = Int.MaxValue)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byCell = all.groupBy(_._1).map { case (cid, ps) =>
+      cid -> ps.flatMap(p => Seq(p._2, p._3)).distinct.sorted
+    }
+    val cap = 3
+    val expected = all.filter { case (cid, a, b, cos) =>
+      val members = byCell(cid)
+      (if (members.length <= cap) true else a == members.min) && cos >= 0.4
+    }.map(p => (p._1, p._2, p._3, p._4)).toSet
+    assert(byCell.values.exists(_.length > cap),
+      "fixture must contain at least one over-cap cell")
+    val got = Similarity
+      .semanticDedup(spark, SparkFixture.Sf0001, 0.4, maxCluster = cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("d5 census cap: default cap is inert at battery scales") {
     val emb = graft.Tables.t(spark, SparkFixture.Sf0001, "embeddings")
     val capped = Dedup.embeddingDupOn(emb, 0.4).collect().map(_.toSeq).toSet

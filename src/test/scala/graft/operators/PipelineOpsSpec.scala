@@ -162,8 +162,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       val direct = (0 until va.length).foldLeft(0.0)((acc, i) => acc + va(i) * vb(i)) / (na * nb)
       assert(math.abs(cos - direct) <= 1e-12)
     }
-    // cap binds: no cluster fits in size 1, result must be empty
-    assert(Similarity.semanticDedup(spark, dir, threshold = thr, maxCluster = 1).isEmpty)
+    // cap binds: at maxCluster = 1 every multi-member cell is over-cap
+    // and switches to the representative star — pairs anchor at the
+    // cell's min id, never member-vs-member (the round-12 census-cap
+    // contract; the pre-cap drop-whole policy silently KEPT over-cap
+    // clusters).
+    val starred = Similarity
+      .semanticDedup(spark, dir, threshold = thr, maxCluster = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val minByCell = vecs.keys.toSeq.groupBy(assign).map { case (c, ids) => c -> ids.min }
+    assert(starred.nonEmpty)
+    starred.foreach { case (cid, a, b) =>
+      assert(a == minByCell(cid) && b != a && assign(b) == cid)
+    }
+    // and the star tier is the threshold-filtered subset of the
+    // rep-anchored expected pairs
+    assert(starred.map(s => (s._2, s._3)).toSet ==
+      expected.filter { case (cid, a, _) => a == minByCell(cid) }
+        .map(p => (p._2, p._3)))
   }
 
   test("narrow sigExpr equals the explode/groupBy minhash signatures") {
