@@ -398,4 +398,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("bpe_doc_tokens"), s"t19 apply not the native expression:\n$p")
     assert(p.length < 5000, s"plan grew with k (${p.length} chars):\n${p.take(2000)}")
   }
+
+  test("d5 census tier: window rides the pair join's bucket shuffle — ≤2 exchanges") {
+    // The census cap MUST NOT add shuffles: a separate census
+    // aggregate + tag join measured 3× (0.35 → 1.03 s at sf0.1).
+    // Expected shape: one hash exchange for the a-side window (the
+    // same bucket partitioning the join keys on) and at most one for
+    // the b side (AQE may broadcast it instead at small scale).
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+    val p = plan(Dedup.embeddingDupOn(emb, 0.4))
+    assert(!p.contains("CartesianProduct"), s"d5 cross product:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"d5 census tier added shuffles ($shuffles):\n$p")
+  }
+
+  test("d10 census tier: window rides the pair join's cell shuffle — ≤2 exchanges") {
+    val p = plan(Similarity.semanticDedup(spark, dir, 0.2))
+    assert(!p.contains("CartesianProduct"), s"d10 cross product:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"d10 census tier added shuffles ($shuffles):\n$p")
+  }
 }
