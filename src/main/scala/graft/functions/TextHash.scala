@@ -1,0 +1,225 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native one-pass MinHash signature over a pre-hashed token array —
+  * the per-span hot loop of d13 and the streaming [[graft.operators
+  * .Dedup.sigExpr]].
+  *
+  * The `array((0 until 16).map(i => array_min(transform(hs, x ->
+  * (x * A_i + B_i) % P))))` form it replaces runs INTERPRETED
+  * (higher-order functions don't participate in whole-stage codegen)
+  * and ALLOCATES a fresh permuted array per permutation per row —
+  * 16 transient arrays per span. This form is one primitive loop
+  * over the input maintaining 16 running minima: zero allocations
+  * beyond the result.
+  *
+  * Bit-parity contract: identical integer arithmetic ((x*a + b) % p
+  * with Java wrap/remainder semantics — exactly what Spark's
+  * Multiply/Add/Remainder on LongType compute with ANSI off, and
+  * what the DuckDB oracle's `list_min(list_transform(...))` replays;
+  * a, x < p ≈ 1e9 so the product never overflows anyway). Null
+  * elements are skipped like array_min; an empty or all-null input
+  * yields an array of nulls, exactly as array_min-of-empty is null.
+  * Null input propagates null via the null-safe wrapper. */
+case class MinHashSigs(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs expects ARRAY<BIGINT>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var seen = false
+    var i = 0
+    val n = xs.numElements()
+    while (i < n) {
+      if (!xs.isNullAt(i)) {
+        seen = true
+        val x = xs.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (x * as(j) + bs(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (seen) new GenericArrayData(mins.map(Long.box))
+    else new GenericArrayData(Array.fill[Any](k)(null))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("mhAs", as.toArray, "long[]")
+    val bsRef = ctx.addReferenceObj("mhBs", bs.toArray, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val k = as.length
+      val mins = ctx.freshName("mins")
+      val seen = ctx.freshName("seen")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $seen = false;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $seen = true;
+         |    long $x = $a.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $v = ($x * $asRef[$j] + $bsRef[$j]) % ${p}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |}
+         |Object[] $out = new Object[$k];
+         |for (int $j = 0; $j < $k; $j++) {
+         |  $out[$j] = $seen ? (Object) java.lang.Long.valueOf($mins[$j]) : null;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+/** Native winnowing fingerprint selection (Schleimer et al. 2003)
+  * over a word array — d12's per-document kernel: hash every
+  * K-word-gram (the 60-bit md5 prefix, identical to
+  * [[graft.operators.Dedup.portableHash]] =
+  * `conv(substring(md5(s), 1, 15), 16, 10)`), slide a window of W
+  * consecutive gram hashes, keep each window's minimum, and return
+  * the distinct minima in first-occurrence order (array_distinct
+  * semantics).
+  *
+  * The nested higher-order form it replaces allocated a fresh
+  * sliced array per window per document (`array_min(slice(hs, j,
+  * W))` — millions of transient arrays at sf1) and evaluated md5
+  * inside an interpreted lambda. This form hashes each gram once
+  * into a primitive array and keeps a rolling window minimum with
+  * zero per-window allocation.
+  *
+  * Bit-parity contract: the gram string is the K words joined by a
+  * single space with null words skipped (concat_ws semantics); the
+  * 60-bit value is the first 15 hex chars of the md5 — i.e. the
+  * first 8 bytes big-endian shifted right by 4 — exactly what the
+  * SQL form and the DuckDB oracle (`('0x' || substr(md5(s), 1,
+  * 15))::BIGINT`) compute. Window layout matches `sequence(1,
+  * greatest(n_grams - W + 1, 1))` + clamping slice: full W-windows
+  * when n_grams ≥ W, ONE all-gram window otherwise. Inputs with
+  * fewer than K words yield an empty array (callers filter them);
+  * null input propagates null. */
+case class WinnowSelect(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_select expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val grams = n - k + 1
+    if (grams < 1) return new GenericArrayData(Array.empty[Any])
+    val md = WinnowSelect.digest.get()
+    val hs = new Array[Long](grams)
+    var i = 0
+    while (i < grams) {
+      md.reset()
+      var t = i
+      var emitted = false
+      while (t < i + k) {
+        if (!words.isNullAt(t)) {
+          if (emitted) md.update(' '.toByte)
+          md.update(words.getUTF8String(t).getBytes)
+          emitted = true
+        }
+        t += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hs(i) = v >>> 4
+      i += 1
+    }
+    val m = math.max(grams - w + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < m) {
+      var mn = Long.MaxValue
+      var t = j
+      val end = math.min(j + w, grams)
+      while (t < end) { if (hs(t) < mn) mn = hs(t); t += 1 }
+      seen.add(mn)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // The body is md5 + collection work, not a tight primitive loop —
+    // delegate to eval via a bound reference (the surrounding stage
+    // stays whole-stage compiled; only this expression runs through
+    // its Scala implementation, which is already a single fused pass).
+    val self = ctx.addReferenceObj("winnowSelect", this, classOf[WinnowSelect].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.evalGram($a);
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point — public so generated code can call it. */
+  def evalGram(input: Any): Any = nullSafeEval(input)
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
+
+object WinnowSelect {
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+}
+
+object TextHash {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.Shims
+
+  /** Column wrapper: all NumHashes permutation minima in one pass. */
+  def minhashSigs(xs: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    Shims.column(MinHashSigs(Shims.expression(xs), as, bs, p))
+
+  /** Column wrapper: winnowing fingerprint selection over a word array. */
+  def winnowSelect(words: Column, k: Int, w: Int): Column =
+    Shims.column(WinnowSelect(Shims.expression(words), k, w))
+}

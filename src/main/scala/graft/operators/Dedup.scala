@@ -145,15 +145,19 @@ object Dedup {
     winnowFpsOn(t(spark, dir, "documents"))
 
   private def winnowFpsOn(docs: DataFrame): DataFrame =
+    // Selection runs in the native graft.functions.WinnowSelect kernel:
+    // the previous nested higher-order form evaluated md5 inside an
+    // interpreted lambda and allocated a fresh sliced array PER WINDOW
+    // (`array_min(slice(hs, j, W))` — millions of transient arrays at
+    // sf1); the kernel hashes each gram once into a primitive array
+    // and keeps a rolling window minimum. Values are bit-identical
+    // (same 60-bit md5 prefix, same window layout, same
+    // first-occurrence distinct) — pinned by TextHashSpec.
     docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= WinnowK)
-      .select(col("doc_id"), explode(expr(
-        s"""flatten(transform(array(
-           |  transform(sequence(1, size(w) - ${WinnowK - 1}), i ->
-           |    cast(conv(substring(md5(concat_ws(' ', slice(w, i, $WinnowK))), 1, 15), 16, 10) as bigint))),
-           |  hs -> array_distinct(transform(sequence(1, greatest(size(hs) - ${WinnowW - 1}, 1)), j ->
-           |    array_min(slice(hs, j, $WinnowW))))))""".stripMargin)).as("fp"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextHash.winnowSelect(col("w"), WinnowK, WinnowW)).as("fp"))
 
   def winnowDups(spark: SparkSession, dir: String, minShared: Long = 2L,
                  maxDf: Int = MaxShingleDf): DataFrame =
@@ -619,9 +623,9 @@ object Dedup {
     val grams = array_distinct(transform(sequence(lit(1), size(w) - 2), i =>
       concat_ws(" ", slice(w, i, lit(3)))))
     val xs = transform(grams, g => portableHash(g) % P)
-    when(size(w) >= 3,
-      array((0 until NumHashes).map(i =>
-        array_min(transform(xs, x => (x * As(i) + Bs(i)) % P))): _*))
+    // One-pass native permutation minima (graft.functions.MinHashSigs)
+    // — bit-identical to the 16 × array_min(transform(...)) form.
+    when(size(w) >= 3, graft.functions.TextHash.minhashSigs(xs, As, Bs, P))
   }
 
   /** d8: benchmark-contamination detection — the decontamination pass
@@ -968,9 +972,11 @@ object Dedup {
     // inline it back. Values are identical: the permutations consume
     // the same `portableHash(wd) % P`.
     val hs = transform(col("ws"), wd => portableHash(wd) % P)
-    val sig = array((0 until NumHashes).map { i =>
-      array_min(transform(col("hs"), x => (x * As(i) + Bs(i)) % P))
-    }: _*)
+    // All 16 permutation minima in ONE pass over hs via the native
+    // MinHashSigs kernel — the 16 × array_min(transform(...)) form
+    // allocated a permuted array per permutation per span and ran
+    // interpreted. Bit-identical arithmetic (TextHashSpec).
+    val sig = graft.functions.TextHash.minhashSigs(col("hs"), As, Bs, P)
     // `contents` fans out to four consumers (exact tier, band census,
     // band probe, near-tier holder expansion): cache it so the
     // scan+explode+two-shuffle subtree above materializes once —
