@@ -206,9 +206,95 @@ case class WinnowSelect(child: Expression, k: Int, w: Int)
 }
 
 object WinnowSelect {
-  private val digest = new ThreadLocal[MessageDigest] {
+  private[functions] val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
+}
+
+/** Native stride-1 gram digests over a word array — d14's gram
+  * stream: one `struct(pos, md5(words[pos..pos+w-1] joined ' '))`
+  * per window position, 1-based positions, lowercase 32-char hex
+  * exactly like Spark's `md5(concat_ws(' ', slice(ws, p, w)))` and
+  * the DuckDB oracle's `md5(array_to_string(list_slice(...), ' '))`.
+  *
+  * The higher-order form it replaces evaluated md5 inside an
+  * interpreted lambda and allocated a sliced array + a joined string
+  * per position (stride-1 windows touch every word w times). This
+  * form feeds the digest incrementally — no slice, no join string —
+  * and allocates only the output. Null words are skipped like
+  * concat_ws; inputs shorter than w yield an empty array (callers
+  * filter them); null input propagates null. */
+case class GramDigests(child: Expression, w: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("g", StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_digests expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val grams = n - w + 1
+    if (grams < 1) return new GenericArrayData(Array.empty[Any])
+    val md = WinnowSelect.digest.get()
+    val out = new Array[Any](grams)
+    var p = 0
+    while (p < grams) {
+      md.reset()
+      var t = p
+      var emitted = false
+      while (t < p + w) {
+        if (!words.isNullAt(t)) {
+          if (emitted) md.update(' '.toByte)
+          md.update(words.getUTF8String(t).getBytes)
+          emitted = true
+        }
+        t += 1
+      }
+      val d = md.digest()
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = hexDigits((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = hexDigits(d(b) & 0xf)
+        b += 1
+      }
+      out(p) = new GenericInternalRow(
+        Array[Any](p + 1, UTF8String.fromString(new String(hex))))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // md5 + struct construction — delegate to the fused Scala pass
+    // via a bound reference (same pattern as WinnowSelect).
+    val self = ctx.addReferenceObj("gramDigests", this, classOf[GramDigests].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.evalGram($a);
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point — public so generated code can call it. */
+  def evalGram(input: Any): Any = nullSafeEval(input)
+
+  override protected def withNewChildInternal(newChild: Expression): GramDigests =
+    copy(child = newChild)
 }
 
 object TextHash {
@@ -222,4 +308,8 @@ object TextHash {
   /** Column wrapper: winnowing fingerprint selection over a word array. */
   def winnowSelect(words: Column, k: Int, w: Int): Column =
     Shims.column(WinnowSelect(Shims.expression(words), k, w))
+
+  /** Column wrapper: stride-1 (pos, md5-hex) gram digests. */
+  def gramDigests(words: Column, w: Int): Column =
+    Shims.column(GramDigests(Shims.expression(words), w))
 }

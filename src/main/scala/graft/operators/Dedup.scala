@@ -1193,9 +1193,12 @@ object Dedup {
       .select(col("doc_id"),
         filter(split(trim(col("text")), "\\s+"), x => length(x) > lit(0)).as("ws"))
       .filter(size(col("ws")) >= w)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(ws) - ${w - 1}),
-           |  p -> struct(p AS pos, md5(concat_ws(' ', slice(ws, p, $w))) AS g))""".stripMargin)).as("t"))
+      // Native GramDigests kernel: the higher-order form ran md5 in
+      // an interpreted lambda and allocated a slice + joined string
+      // per position (stride-1 windows touch every word w times).
+      // Hex/positions bit-identical — pinned by TextHashSpec.
+      .select(col("doc_id"),
+        explode(graft.functions.TextHash.gramDigests(col("ws"), w)).as("t"))
       .select(col("doc_id"), col("t.pos").as("pos"), col("t.g").as("g"))
       // Two consumers (census, posting probe): disk-cache one gram
       // materialization instead of re-running the scan+window explode

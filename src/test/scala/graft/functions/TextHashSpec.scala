@@ -78,6 +78,40 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("GramDigests equals the per-position md5(concat_ws(slice)) form") {
+    val w = Dedup.SpanWords
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val legacy = expr(
+      s"""transform(sequence(1, size(ws) - ${w - 1}),
+         |  p -> struct(p AS pos, md5(concat_ws(' ', slice(ws, p, $w))) AS g))""".stripMargin)
+    val rows = docs
+      .select(col("doc_id"),
+        filter(split(trim(col("text")), "\\s+"), x => length(x) > lit(0)).as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), legacy.as("a"),
+        TextHash.gramDigests(col("ws"), w).as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getString(1)))
+      val b = r.getSeq[org.apache.spark.sql.Row](2).map(x => (x.getInt(0), x.getString(1)))
+      assert(a == b, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("GramDigests edges: short input empty, null words skipped") {
+    val r = spark.sql("SELECT 1")
+      .select(
+        TextHash.gramDigests(expr("array('a','b')"), 3).as("short"),
+        TextHash.gramDigests(
+          expr("array('a', cast(null as string), 'b')"), 3).as("nulls"))
+      .collect()(0)
+    assert(r.getSeq[Any](0) == Seq.empty)
+    val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex("a b")
+    val got = r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getString(1)))
+    assert(got == Seq((1, hex)))
+  }
+
   test("WinnowSelect edges: exactly K words, fewer grams than W, null words") {
     import Dedup.{WinnowK, WinnowW}
     // K words → 1 gram → 1 window (fewer grams than W clamps to one
