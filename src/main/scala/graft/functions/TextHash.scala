@@ -297,6 +297,92 @@ case class GramDigests(child: Expression, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native one-pass repetition statistics over a word array — the t6
+  * (Gopher/MassiveText quality heuristics) kernel, also composed by
+  * c1's quality gate: `struct(n_words, n_distinct, top_word_n,
+  * top_bigram_n, sum_word_len)`, all integral so downstream division
+  * points and the DuckDB oracle are unaffected (the counts are
+  * algorithm-independent).
+  *
+  * The form it replaces ran two interpreted `aggregate(array_sort(
+  * ...))` run-length folds (one per-element struct allocation each
+  * step), an `array_distinct`, a length fold, AND materialized the
+  * full bigram array per document. This is one pass with two hash
+  * maps. Word length counts Unicode code points (`UTF8String
+  * .numChars`) exactly like Spark's `length`; bigram keys are the
+  * words joined by a single space exactly like the `concat(w_i, ' ',
+  * w_{i+1})` array it replaces. Null words do not occur in this
+  * library's split output; for robustness they are skipped (and
+  * counted distinct-once, like array_distinct) — parity on real
+  * corpora is spec-pinned. Null input propagates null. */
+case class RepStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_words", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_word_n", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_bigram_n", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_word_len", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rep_stats expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val wordCount = new java.util.HashMap[String, Long]()
+    val bigramCount = new java.util.HashMap[String, Long]()
+    var sumLen = 0L
+    var sawNull = false
+    var prev: String = null
+    var i = 0
+    while (i < n) {
+      if (words.isNullAt(i)) { sawNull = true; prev = null }
+      else {
+        val u = words.getUTF8String(i)
+        val s = u.toString
+        sumLen += u.numChars()
+        wordCount.merge(s, 1L, (a, b) => a + b)
+        if (prev != null) bigramCount.merge(prev + " " + s, 1L, (a, b) => a + b)
+        prev = s
+      }
+      i += 1
+    }
+    def maxOf(m: java.util.HashMap[String, Long]): Long = {
+      var best = 0L
+      val it = m.values().iterator()
+      while (it.hasNext) { val v = it.next(); if (v > best) best = v }
+      best
+    }
+    new GenericInternalRow(Array[Any](
+      n.toLong,
+      wordCount.size.toLong + (if (sawNull) 1L else 0L),
+      maxOf(wordCount),
+      if (n >= 2) maxOf(bigramCount) else 0L,
+      sumLen))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("repStats", this, classOf[RepStats].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+         |  $self.evalGram($a);
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point — public so generated code can call it. */
+  def evalGram(input: Any): Any = nullSafeEval(input)
+
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
 object TextHash {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.Shims
@@ -312,4 +398,8 @@ object TextHash {
   /** Column wrapper: stride-1 (pos, md5-hex) gram digests. */
   def gramDigests(words: Column, w: Int): Column =
     Shims.column(GramDigests(Shims.expression(words), w))
+
+  /** Column wrapper: one-pass t6 repetition statistics. */
+  def repStats(words: Column): Column =
+    Shims.column(RepStats(Shims.expression(words)))
 }

@@ -39,26 +39,25 @@ object CorpusPrep {
     * composes. With the binding, the pushed predicate is one
     * single-evaluation expression (0.9 s). */
   private def t6Keep: Column = {
-    val wsExpr = split(trim(col("text")), "\\s+")
-    element_at(transform(array(wsExpr), ws => {
-      val bgExpr = when(size(ws) >= 2,
-        transform(sequence(lit(1), size(ws) - 1),
-          i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
-        .otherwise(array().cast("array<string>"))
-      element_at(transform(array(bgExpr), bg => {
-        val nWords = size(ws).cast("long")
-        val nDistinct = size(array_distinct(ws)).cast("long")
-        val topWord = TextOps.modeCount(ws)
-        val topBigram = when(size(bg) > 0, TextOps.modeCount(bg)).otherwise(lit(0L))
-        val sumWordLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
-        val meanWordLen = sumWordLen.cast("double") / nWords.cast("double")
-        val ttr = nDistinct.cast("double") / nWords.cast("double")
-        val topWordFrac = topWord.cast("double") / nWords.cast("double")
-        val topBigramFrac =
-          topBigram.cast("double") / greatest(nWords - 1, lit(1L)).cast("double")
-        meanWordLen.between(3.0, 10.0) && ttr >= 0.10 &&
-          topWordFrac <= 0.20 && topBigramFrac <= 0.20
-      }), 1)
+    // One native RepStats pass (graft.functions.TextHash) replaces
+    // the nested word/bigram array bindings — the kernel computes all
+    // five integral stats itself, so only the STRUCT needs the
+    // evaluate-once lambda binding against predicate-pushdown
+    // re-substitution (the original hazard: the pushed Filter inlined
+    // the stat sub-expressions per reference, re-splitting each doc
+    // ~16×).
+    val stExpr = graft.functions.TextHash.repStats(split(trim(col("text")), "\\s+"))
+    element_at(transform(array(stExpr), st => {
+      val nWords = st.getField("n_words")
+      val meanWordLen =
+        st.getField("sum_word_len").cast("double") / nWords.cast("double")
+      val ttr = st.getField("n_distinct").cast("double") / nWords.cast("double")
+      val topWordFrac =
+        st.getField("top_word_n").cast("double") / nWords.cast("double")
+      val topBigramFrac = st.getField("top_bigram_n").cast("double") /
+        greatest(nWords - 1, lit(1L)).cast("double")
+      meanWordLen.between(3.0, 10.0) && ttr >= 0.10 &&
+        topWordFrac <= 0.20 && topBigramFrac <= 0.20
     }), 1)
   }
 

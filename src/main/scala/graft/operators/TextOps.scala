@@ -284,23 +284,6 @@ object TextOps {
     * pins the narrow plan). Counts stay integers until one final
     * division so the DuckDB oracle matches bit-for-bit; the O(d·n)
     * mode-count is bounded by document length, not corpus size. */
-  /** Most-frequent-element count via sort + one run-length fold:
-    * O(n log n) against the obvious O(distinct·n) count-per-distinct
-    * form — for a 100k-token document that is ~10⁶ vs ~10⁹
-    * comparisons per row. The first element compares against a NULL
-    * `prev`, which makes the condition NULL → run restarts at 1.
-    * (The oracle keeps the naive per-distinct count: the integer
-    * result is algorithm-independent.) */
-  private[operators] def modeCount(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(
-      array_sort(arr),
-      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, w) => {
-        val run = when(acc.getField("prev") === w, acc.getField("run") + 1).otherwise(lit(1L))
-        struct(w.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame =
     repetitionColumns(t(spark, dir, "documents"))
 
@@ -310,19 +293,23 @@ object TextOps {
     * straight into a streaming ingest pipeline with no rewrite
     * (StreamingSpec proves stream output set-equals batch). */
   def repetitionColumns(docs: DataFrame): DataFrame = {
+    // All five integral stats in ONE pass via the native RepStats
+    // kernel (graft.functions.TextHash) — the previous form ran two
+    // interpreted sort+run-length folds, an array_distinct, a length
+    // fold, and materialized the bigram array per document. `st` is
+    // projected in its own Select: referenced 5× and non-cheap, so
+    // CollapseProject cannot inline the kernel per field reference
+    // (the d13 hoist guarantee). Values bit-identical (TextHashSpec).
     val base = docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
-      .withColumn("bg", when(size(col("ws")) >= 2, expr(
-        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
-        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"),
+        graft.functions.TextHash.repStats(split(trim(col("text")), "\\s+")).as("st"))
       .select(
         col("doc_id"),
-        size(col("ws")).cast("long").as("n_words"),
-        expr("size(array_distinct(ws))").cast("long").as("n_distinct"),
-        modeCount(col("ws")).as("top_word_n"),
-        when(size(col("bg")) > 0, modeCount(col("bg")))
-          .otherwise(lit(0L)).as("top_bigram_n"),
-        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").as("sum_word_len"))
+        col("st.n_words").as("n_words"),
+        col("st.n_distinct").as("n_distinct"),
+        col("st.top_word_n").as("top_word_n"),
+        col("st.top_bigram_n").as("top_bigram_n"),
+        col("st.sum_word_len").as("sum_word_len"))
     base.select(
       col("doc_id"), col("n_words"),
       (col("n_distinct").cast("double") / col("n_words").cast("double")).as("ttr"),

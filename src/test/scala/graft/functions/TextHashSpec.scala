@@ -99,6 +99,61 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("RepStats equals the interpreted sort/fold/distinct stat forms") {
+    val docs = graft.Tables.t(spark, dir, "documents")
+    // The retired forms, verbatim: run-length mode count over
+    // array_sort, array_distinct size, length fold, bigram array.
+    def mode(arr: String) =
+      s"""aggregate(array_sort($arr),
+         |  struct(cast(null as string) AS prev, 0L AS run, 0L AS best),
+         |  (acc, w) -> struct(w AS prev,
+         |    CASE WHEN acc.prev = w THEN acc.run + 1 ELSE 1L END AS run,
+         |    greatest(acc.best,
+         |      CASE WHEN acc.prev = w THEN acc.run + 1 ELSE 1L END) AS best),
+         |  acc -> acc.best)""".stripMargin
+    val rows = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .withColumn("bg", when(size(col("ws")) >= 2, expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("a_words"),
+        expr("size(array_distinct(ws))").cast("long").as("a_distinct"),
+        expr(mode("ws")).as("a_top_word"),
+        when(size(col("bg")) > 0, expr(mode("bg"))).otherwise(lit(0L)).as("a_top_bigram"),
+        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").as("a_sum_len"),
+        TextHash.repStats(col("ws")).as("st"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val st = r.getStruct(6)
+      assert(Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        Seq(st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3), st.getLong(4)),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("RepStats edges: single word, repeated words, unicode lengths") {
+    val r = spark.sql("SELECT 1")
+      .select(
+        TextHash.repStats(expr("array('a')")).as("one"),
+        TextHash.repStats(expr("array('x','x','y','x y','x y')")).as("rep"),
+        TextHash.repStats(expr("array('héllo','日本')")).as("uni"))
+      .collect()(0)
+    val one = r.getStruct(0)
+    assert((one.getLong(0), one.getLong(1), one.getLong(2), one.getLong(3), one.getLong(4)) ==
+      ((1L, 1L, 1L, 0L, 1L)))
+    val rep = r.getStruct(1)
+    // words: x×2, y, 'x y'×2 → top word 2; bigrams "x x","x y",
+    // "y x y","x y x y" all distinct → top bigram 1; distinct 3;
+    // sum len 1+1+1+3+3 = 9
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2), rep.getLong(3), rep.getLong(4)) ==
+      ((5L, 3L, 2L, 1L, 9L)))
+    val uni = r.getStruct(2)
+    // code-point lengths like Spark's length(): 5 + 2
+    assert((uni.getLong(0), uni.getLong(4)) == ((2L, 7L)))
+  }
+
   test("GramDigests edges: short input empty, null words skipped") {
     val r = spark.sql("SELECT 1")
       .select(
