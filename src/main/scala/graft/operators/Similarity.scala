@@ -537,21 +537,18 @@ object Similarity {
     array(dtab.map(row => array(row.map(lit): _*)): _*)
   }
 
-  private def pqCodesExpr(cb: Seq[Seq[Seq[Double]]]): Column = {
-    val cbLit = array(cb.map(cbM =>
-      array(cbM.map(c => array(c.map(lit): _*)): _*)): _*)
-    // Inner argmin distance through the native ArrayL2 (same
-    // left-to-right (x−y)² fold as the zip_with form it replaces):
-    // the 8×16 per-row encoder loop was the interpreted hot spot of
-    // the whole PQ family.
-    transform(sequence(lit(0), lit(PqM - 1)), m =>
-      array_min(transform(sequence(lit(0), lit(PqK - 1)), j =>
-        struct(
-          graft.functions.ArrayDot.l2(
-            slice(col("v"), m * PqSub + 1, lit(PqSub)),
-            element_at(element_at(cbLit, m + 1), j + 1)).as("d"),
-          j.as("j")))).getField("j"))
-  }
+  private def pqCodesExpr(cb: Seq[Seq[Seq[Double]]]): Column =
+    // Fully native encoder (graft.functions.PqEncode): the codebook
+    // rides as a reference object and all PqM argmins run as one
+    // fused primitive loop. The previous hybrid (native ArrayL2
+    // inside interpreted transform/array_min/struct machinery) still
+    // paid a slice allocation + a struct + an ordering comparison per
+    // (m, j) per row — 128 of each. Identical argmin contract:
+    // left-to-right (x−y)² fold per entry, strict-< tie-break to the
+    // smallest j (the struct-ordering (d ASC, j ASC) min and the
+    // oracle's row_number tiebreak).
+    graft.functions.ArrayDot.pqEncode(col("v"),
+      cb.map(_.map(_.toArray).toArray).toArray)
 
   /** s8: PQ top-k by asymmetric distance computation (ADC). Encoding
     * AND scoring are one narrow projection over the corpus scan: each
@@ -709,27 +706,18 @@ object Similarity {
     val mxs = (0 until Dim).map(i => mmRow.getDouble(2 * i + 1))
     val qv = e.filter(col("vec_id") === qid)
       .select(col("v")).collect()(0).getSeq[Double](0).toIndexedSeq
-    val mnLit = array(mns.map(lit): _*)
-    val mxLit = array(mxs.map(lit): _*)
-    val codeExpr = transform(sequence(lit(0), lit(Dim - 1)), i => {
-      val mn = element_at(mnLit, i + 1); val mx = element_at(mxLit, i + 1)
-      val x = element_at(col("v"), i + 1)
-      when(mx > mn,
-        least(lit(255L), greatest(lit(0L),
-          floor((x - mn) * lit(255.0) / (mx - mn)))))
-        .otherwise(lit(0L))
-    })
-    val qLit = array(qv.map(lit): _*)
-    e.select(col("vec_id"), codeExpr.as("cs"))
+    // Encode + reconstruction distance in ONE fused native pass
+    // (graft.functions.SqScan; bounds and query ride as reference
+    // objects) — the per-dimension transform + aggregate pair it
+    // replaces ran ~128 boxed interpreter steps per row. `st` is
+    // projected in its own Select (referenced twice, non-cheap) so
+    // CollapseProject cannot inline the kernel per field reference.
+    val st = graft.functions.ArrayDot.sqScan(
+      col("v"), mns.toArray, mxs.toArray, qv.toArray)
+    e.select(col("vec_id"), st.as("st"))
       .select(col("vec_id"),
-        array_join(transform(col("cs"), c => c.cast("string")), "-").as("code_str"),
-        aggregate(sequence(lit(0), lit(Dim - 1)), lit(0.0), (acc, i) => {
-          val mn = element_at(mnLit, i + 1); val mx = element_at(mxLit, i + 1)
-          val r = mn + (element_at(col("cs"), i + 1).cast("double") + lit(0.5)) *
-            (mx - mn) / lit(255.0)
-          val d = element_at(qLit, i + 1) - r
-          acc + d * d
-        }).as("adist"))
+        array_join(transform(col("st.cs"), c => c.cast("string")), "-").as("code_str"),
+        col("st.adist").as("adist"))
       .filter(col("vec_id") =!= qid)
       .orderBy(col("adist").asc, col("vec_id").asc)
       .limit(k)

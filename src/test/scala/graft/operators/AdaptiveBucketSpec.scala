@@ -162,6 +162,29 @@ class AdaptiveBucketSpec extends AnyFunSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("PqEncode equals the hybrid transform/array_min/struct encoder") {
+    import Similarity.{PqK, PqM, PqSub}
+    val e = Similarity.vectors(spark, SparkFixture.Sf0001)
+    val cb = Similarity.pqCodebooks(e)
+    val cbLit = array(cb.map(cbM =>
+      array(cbM.map(c => array(c.map(lit): _*)): _*)): _*)
+    val legacy = transform(sequence(lit(0), lit(PqM - 1)), m =>
+      array_min(transform(sequence(lit(0), lit(PqK - 1)), j =>
+        struct(
+          graft.functions.ArrayDot.l2(
+            slice(col("v"), m * PqSub + 1, lit(PqSub)),
+            element_at(element_at(cbLit, m + 1), j + 1)).as("d"),
+          j.as("j")))).getField("j"))
+    val rows = e.select(col("vec_id"), legacy.as("a"),
+        graft.functions.ArrayDot.pqEncode(col("v"),
+          cb.map(_.map(_.toArray).toArray).toArray).as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("d5 census cap: default cap is inert at battery scales") {
     val emb = graft.Tables.t(spark, SparkFixture.Sf0001, "embeddings")
     val capped = Dedup.embeddingDupOn(emb, 0.4).collect().map(_.toSeq).toSet
