@@ -383,6 +383,180 @@ case class RepStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native distinct word w-grams over a word array — the shingle
+  * builder shared by d2 (n-gram Jaccard), d8 (contamination) and the
+  * MinHash signature paths: each position's w words joined by a
+  * single space (concat_ws semantics — null words skipped), distinct
+  * in first-occurrence order (array_distinct semantics).
+  *
+  * The `array_distinct(transform(sequence(1, size(w) - (k-1)), i ->
+  * concat_ws(' ', slice(w, i, k))))` form it replaces ran interpreted
+  * and allocated a sliced array + a joined string per position; this
+  * form builds each gram into one reused StringBuilder and dedupes
+  * through a LinkedHashSet. Inputs shorter than w yield an empty
+  * array (callers filter them); null input propagates null. */
+case class WordGrams(child: Expression, w: Int) extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_grams expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val grams = n - w + 1
+    if (grams < 1) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < grams) {
+      sb.setLength(0)
+      var t = i
+      var emitted = false
+      while (t < i + w) {
+        if (!words.isNullAt(t)) {
+          if (emitted) sb.append(' ')
+          sb.append(words.getUTF8String(t).toString)
+          emitted = true
+        }
+        t += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // String + collection work — delegate to the fused Scala pass via
+    // a bound reference (same pattern as WinnowSelect/GramDigests).
+    val self = ctx.addReferenceObj("wordGrams", this, classOf[WordGrams].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.evalGram($a);
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point — public so generated code can call it. */
+  def evalGram(input: Any): Any = nullSafeEval(input)
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
+/** Native word w-gram 60-bit hashes over a word array — the fused
+  * `portableHash(gram) % p` stream the MinHash paths consume: each
+  * gram is its w words joined by a single space (concat_ws null-skip
+  * for w ≥ 2), hashed to the first 15 hex chars of its md5 parsed
+  * base-16 (= first 8 digest bytes big-endian >>> 4 — identical to
+  * [[graft.operators.Dedup.portableHash]] and the DuckDB oracle's
+  * `('0x' || substr(md5(s), 1, 15))::BIGINT`), taken `% p`.
+  *
+  * With `distinct = true` the grams dedupe on their STRING content in
+  * first-occurrence order before hashing (array_distinct-then-hash
+  * parity — dedup-by-hash would differ under an md5 collision);
+  * replaces `transform(array_distinct(transform(...slice...)), g ->
+  * portableHash(g) % p)`. With `distinct = false` and w = 1 it is the
+  * per-word form `transform(ws, wd -> portableHash(wd) % p)` with
+  * per-element null propagation (a null word yields a null hash,
+  * exactly like the lambda). Inputs shorter than w yield an empty
+  * array; null input propagates null. */
+case class GramHashes(child: Expression, w: Int, p: Long, distinct: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = !distinct && w == 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  private def hash60(md: MessageDigest, s: String): Long = {
+    md.reset()
+    md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md.digest()
+    var v = 0L
+    var b = 0
+    while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    (v >>> 4) % p
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val grams = n - w + 1
+    if (grams < 1) return new GenericArrayData(Array.empty[Any])
+    val md = WinnowSelect.digest.get()
+    if (w == 1 && !distinct) {
+      // Per-word lambda parity: null word → null element.
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) =
+          if (words.isNullAt(i)) null
+          else Long.box(hash60(md, words.getUTF8String(i).toString))
+        i += 1
+      }
+      return new GenericArrayData(out)
+    }
+    val sb = new java.lang.StringBuilder()
+    val seen = new java.util.LinkedHashSet[String]()
+    val kept = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < grams) {
+      sb.setLength(0)
+      var t = i
+      var emitted = false
+      while (t < i + w) {
+        if (!words.isNullAt(t)) {
+          if (emitted) sb.append(' ')
+          sb.append(words.getUTF8String(t).toString)
+          emitted = true
+        }
+        t += 1
+      }
+      val g = sb.toString
+      if (distinct) seen.add(g) else kept.add(g)
+      i += 1
+    }
+    val src: java.util.Iterator[String] =
+      if (distinct) seen.iterator() else kept.iterator()
+    val out = new Array[Any](if (distinct) seen.size else kept.size)
+    var o = 0
+    while (src.hasNext) { out(o) = Long.box(hash60(md, src.next())); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("gramHashes", this, classOf[GramHashes].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.evalGram($a);
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point — public so generated code can call it. */
+  def evalGram(input: Any): Any = nullSafeEval(input)
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
 object TextHash {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.Shims
@@ -402,4 +576,12 @@ object TextHash {
   /** Column wrapper: one-pass t6 repetition statistics. */
   def repStats(words: Column): Column =
     Shims.column(RepStats(Shims.expression(words)))
+
+  /** Column wrapper: distinct w-gram strings in first-occurrence order. */
+  def wordGrams(words: Column, w: Int): Column =
+    Shims.column(WordGrams(Shims.expression(words), w))
+
+  /** Column wrapper: w-gram 60-bit portable hashes mod p. */
+  def gramHashes(words: Column, w: Int, p: Long, distinct: Boolean): Column =
+    Shims.column(GramHashes(Shims.expression(words), w, p, distinct))
 }

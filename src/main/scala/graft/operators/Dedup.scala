@@ -42,9 +42,12 @@ object Dedup {
     docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"
-      ))).as("shingle"))
+      // Native WordGrams kernel: the `array_distinct(transform(
+      // sequence(...), i -> concat_ws(' ', slice(w, i, 3))))` form it
+      // replaces ran interpreted and allocated a slice + joined string
+      // per position (parity pinned in TextHashSpec/TextHashPropSpec).
+      .select(col("doc_id"),
+        explode(graft.functions.TextHash.wordGrams(col("w"), 3)).as("shingle"))
 
   /** Exact dedup: group by content fingerprint, keep the smallest
     * doc_id as canonical. Shuffles digests only. */
@@ -197,17 +200,30 @@ object Dedup {
        |SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= $minShared""".stripMargin
 
   /** Per-doc MinHash signature (NumHashes portable permutations).
-    * One narrow pass over shingles + one groupBy(doc_id). */
+    * ROW-LOCAL: each doc's distinct gram hashes and all permutation
+    * minima compute in one narrow projection (GramHashes +
+    * MinHashSigs kernels) — no shingle explode, no groupBy(doc_id)
+    * shuffle. Values are bit-identical to the explode + 16-way min
+    * aggregation this replaces (min over the same hash set, same
+    * (x*a+b)%p arithmetic — the form the DuckDB oracle replays), and
+    * d3/d6/d9's signature stage sheds its corpus-wide exchange: the
+    * only remaining shuffle in d3 is the banding groupBy itself. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSignaturesOn(t(spark, dir, "documents"))
 
   def minhashSignaturesOn(docs: DataFrame): DataFrame = {
-    val xm = (portableHash(col("shingle")) % P).as("xm")
-    val withHash = shinglesOn(docs).select(col("doc_id"), xm)
-    val aggs = (0 until NumHashes).map { i =>
-      min((col("xm") * As(i) + Bs(i)) % P).as(s"mh$i")
-    }
-    withHash.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sig = graft.functions.TextHash.minhashSigs(
+      graft.functions.TextHash.gramHashes(col("w"), 3, P, distinct = true),
+      As, Bs, P)
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      // bind sig in its own projection: referenced 16× below, and
+      // CollapseProject keeps non-cheap multi-referenced expressions
+      // in their own Project, so the kernel chain runs once per doc
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id") +: (0 until NumHashes).map(i =>
+        element_at(col("sig"), i + 1).as(s"mh$i")): _*)
   }
 
   /** Band-bucket size cap for MinHash-LSH: in-bucket pair generation
@@ -620,11 +636,12 @@ object Dedup {
     * way). */
   def sigExpr(text: Column): Column = {
     val w = split(trim(text), "\\s+")
-    val grams = array_distinct(transform(sequence(lit(1), size(w) - 2), i =>
-      concat_ws(" ", slice(w, i, lit(3)))))
-    val xs = transform(grams, g => portableHash(g) % P)
-    // One-pass native permutation minima (graft.functions.MinHashSigs)
-    // — bit-identical to the 16 × array_min(transform(...)) form.
+    // Fused native chain: distinct 3-gram hashes (GramHashes — the
+    // interpreted array_distinct(transform(...concat_ws(slice)...))
+    // + per-gram md5 lambda it replaces) into the one-pass
+    // permutation minima (MinHashSigs). Bit-identical values
+    // (TextHashSpec / TextHashPropSpec).
+    val xs = graft.functions.TextHash.gramHashes(w, 3, P, distinct = true)
     when(size(w) >= 3, graft.functions.TextHash.minhashSigs(xs, As, Bs, P))
   }
 
@@ -969,9 +986,11 @@ object Dedup {
     // As a separate multi-referenced projection column it computes
     // once per word — CollapseProject keeps non-cheap expressions
     // referenced >1× in their own Project, so the optimizer cannot
-    // inline it back. Values are identical: the permutations consume
-    // the same `portableHash(wd) % P`.
-    val hs = transform(col("ws"), wd => portableHash(wd) % P)
+    // inline it back. Native GramHashes kernel at w=1 (per-word form,
+    // null words propagate per element — the interpreted
+    // `transform(ws, wd -> portableHash(wd) % P)` lambda it replaces,
+    // bit-identical, parity-pinned in TextHashPropSpec).
+    val hs = graft.functions.TextHash.gramHashes(col("ws"), 1, P, distinct = false)
     // All 16 permutation minima in ONE pass over hs via the native
     // MinHashSigs kernel — the 16 × array_min(transform(...)) form
     // allocated a permuted array per permutation per span and ran

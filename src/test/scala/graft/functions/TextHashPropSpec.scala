@@ -78,6 +78,30 @@ object TextHashPropSpec extends Properties("textHash") {
     rows.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
   }
 
+  property("wordGramsAndGramHashesEqualInterpretedForms") = Prop.forAll(Gen.listOfN(5, wordsGen)) { docs =>
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val P = Dedup.P
+    val rows = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+      .toDF("doc_id", "ws")
+      .filter(size(col("ws")) >= 3)
+      .select(
+        expr("array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3))))").as("a"),
+        TextHash.wordGrams(col("ws"), 3).as("b"),
+        expr(
+          s"""transform(array_distinct(transform(sequence(1, size(ws) - 2), i ->
+             |  concat_ws(' ', slice(ws, i, 3)))),
+             |  g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % $P)""".stripMargin).as("c"),
+        TextHash.gramHashes(col("ws"), 3, P, distinct = true).as("d"),
+        expr(s"transform(ws, wd -> cast(conv(substring(md5(wd), 1, 15), 16, 10) as bigint) % $P)").as("e"),
+        TextHash.gramHashes(col("ws"), 1, P, distinct = false).as("f"))
+      .collect()
+    rows.forall(r =>
+      r.getSeq[String](0) == r.getSeq[String](1) &&
+        r.getSeq[Long](2) == r.getSeq[Long](3) &&
+        r.getSeq[Long](4) == r.getSeq[Long](5))
+  }
+
   property("gramDigestsEqualsInterpretedForm") = Prop.forAll(Gen.listOfN(5, wordsGen)) { docs =>
     import org.apache.spark.sql.functions._
     import spark.implicits._

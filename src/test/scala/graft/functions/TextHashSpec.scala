@@ -56,6 +56,79 @@ class TextHashSpec extends AnyFunSuite {
     assert(r.isNullAt(3))
   }
 
+  test("WordGrams equals array_distinct(transform(concat_ws(slice))) on the corpus") {
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val rows = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3))))").as("a"),
+        TextHash.wordGrams(col("w"), 3).as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // order-sensitive: first-occurrence distinct must match
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("GramHashes (distinct) equals hash-of-distinct-grams; (w=1) equals the per-word lambda") {
+    import Dedup.P
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val rows = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        expr(
+          s"""transform(array_distinct(transform(sequence(1, size(w) - 2), i ->
+             |  concat_ws(' ', slice(w, i, 3)))),
+             |  g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % $P)""".stripMargin).as("a"),
+        TextHash.gramHashes(col("w"), 3, P, distinct = true).as("b"),
+        expr(s"transform(w, wd -> cast(conv(substring(md5(wd), 1, 15), 16, 10) as bigint) % $P)").as("c"),
+        TextHash.gramHashes(col("w"), 1, P, distinct = false).as("d"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)} grams")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4), s"doc ${r.getLong(0)} words")
+    }
+  }
+
+  test("GramHashes edge cases: short input, null word at w=1, null input") {
+    import Dedup.P
+    val r = spark.sql("SELECT 1")
+      .select(
+        TextHash.gramHashes(expr("array('a', 'b')"), 3, P, distinct = true).as("short"),
+        TextHash.gramHashes(expr("array('a', cast(null as string))"), 1, P, distinct = false).as("nw"),
+        expr(s"transform(array('a', cast(null as string)), wd -> cast(conv(substring(md5(wd), 1, 15), 16, 10) as bigint) % $P)").as("nwRef"),
+        TextHash.gramHashes(expr("cast(null as array<string>)"), 3, P, distinct = true).as("nn"))
+      .collect()(0)
+    assert(r.getSeq[Any](0) == Seq.empty)
+    assert(r.getSeq[Any](1) == r.getSeq[Any](2)) // null word → null hash, like the lambda
+    assert(r.isNullAt(3))
+  }
+
+  test("row-local minhashSignatures equals the explode + groupBy aggregation form") {
+    import Dedup.{As, Bs, NumHashes, P}
+    val docs = graft.Tables.t(spark, dir, "documents")
+    // The retired batch form, verbatim: explode distinct shingles,
+    // hash each, 16-way min aggregation per doc.
+    val legacy = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3))))")).as("shingle"))
+      .select(col("doc_id"),
+        (Dedup.portableHash(col("shingle")) % P).as("xm"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min((col("xm") * As(0) + Bs(0)) % P).as("mh0"),
+        (1 until NumHashes).map(i => min((col("xm") * As(i) + Bs(i)) % P).as(s"mh$i")): _*)
+    val a = legacy.orderBy("doc_id").collect().map(_.toSeq)
+    val b = Dedup.minhashSignatures(spark, dir).orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
   test("WinnowSelect equals the nested higher-order winnowing form") {
     import Dedup.{WinnowK, WinnowW}
     val docs = graft.Tables.t(spark, dir, "documents")
