@@ -411,28 +411,26 @@ case class WordGrams(child: Expression, w: Int) extends UnaryExpression {
     val n = words.numElements()
     val grams = n - w + 1
     if (grams < 1) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]()
-    val sb = new java.lang.StringBuilder()
+    // Stay on UTF8String end to end: concatWs builds each gram
+    // directly from the word bytes (null-skip — ConcatWs semantics)
+    // and the set dedupes on byte content, no java.lang.String
+    // round-trips anywhere.
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val buf = new Array[UTF8String](w)
     var i = 0
     while (i < grams) {
-      sb.setLength(0)
-      var t = i
-      var emitted = false
-      while (t < i + w) {
-        if (!words.isNullAt(t)) {
-          if (emitted) sb.append(' ')
-          sb.append(words.getUTF8String(t).toString)
-          emitted = true
-        }
+      var t = 0
+      while (t < w) {
+        buf(t) = if (words.isNullAt(i + t)) null else words.getUTF8String(i + t)
         t += 1
       }
-      seen.add(sb.toString)
+      seen.add(UTF8String.concatWs(WordGrams.space, buf: _*))
       i += 1
     }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var o = 0
-    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
     new GenericArrayData(out)
   }
 
@@ -453,6 +451,11 @@ case class WordGrams(child: Expression, w: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): WordGrams =
     copy(child = newChild)
+}
+
+object WordGrams {
+  private[functions] val space =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 }
 
 /** Native word w-gram 60-bit hashes over a word array — the fused
@@ -484,9 +487,9 @@ case class GramHashes(child: Expression, w: Int, p: Long, distinct: Boolean)
       s"gram_hashes expects ARRAY<STRING>, got ${t.sql}")
   }
 
-  private def hash60(md: MessageDigest, s: String): Long = {
+  private def hash60(md: MessageDigest, u: org.apache.spark.unsafe.types.UTF8String): Long = {
     md.reset()
-    md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(u.getBytes) // UTF-8 bytes straight off the value, no String round-trip
     val d = md.digest()
     var v = 0L
     var b = 0
@@ -507,32 +510,28 @@ case class GramHashes(child: Expression, w: Int, p: Long, distinct: Boolean)
       while (i < n) {
         out(i) =
           if (words.isNullAt(i)) null
-          else Long.box(hash60(md, words.getUTF8String(i).toString))
+          else Long.box(hash60(md, words.getUTF8String(i)))
         i += 1
       }
       return new GenericArrayData(out)
     }
-    val sb = new java.lang.StringBuilder()
-    val seen = new java.util.LinkedHashSet[String]()
-    val kept = new java.util.ArrayList[String]()
+    // Grams build directly from the word bytes (concatWs null-skip)
+    // and dedupe on byte content — see WordGrams.
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val kept = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+    val buf = new Array[org.apache.spark.unsafe.types.UTF8String](w)
     var i = 0
     while (i < grams) {
-      sb.setLength(0)
-      var t = i
-      var emitted = false
-      while (t < i + w) {
-        if (!words.isNullAt(t)) {
-          if (emitted) sb.append(' ')
-          sb.append(words.getUTF8String(t).toString)
-          emitted = true
-        }
+      var t = 0
+      while (t < w) {
+        buf(t) = if (words.isNullAt(i + t)) null else words.getUTF8String(i + t)
         t += 1
       }
-      val g = sb.toString
+      val g = org.apache.spark.unsafe.types.UTF8String.concatWs(WordGrams.space, buf: _*)
       if (distinct) seen.add(g) else kept.add(g)
       i += 1
     }
-    val src: java.util.Iterator[String] =
+    val src: java.util.Iterator[org.apache.spark.unsafe.types.UTF8String] =
       if (distinct) seen.iterator() else kept.iterator()
     val out = new Array[Any](if (distinct) seen.size else kept.size)
     var o = 0
