@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native in-bucket pair enumeration over a sorted id list — the
+  * posting-list hot loop of d2 (n-gram Jaccard), d12 (winnowing) and
+  * d13's exact tier: all (i < j) element pairs as
+  * `struct(<aName>, <bName>)`, in i-major j-minor order.
+  *
+  * The `flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2,
+  * size(ds) - i - 1), b -> named_struct(...))))` form it replaces ran
+  * interpreted and allocated a sliced array per element plus a
+  * nested array per element before the flatten — per POSTING LIST,
+  * inside the cap-bounded but massively-replicated bucket stream.
+  * This form writes the m·(m−1)/2 output structs in one pass with no
+  * intermediate allocation. Null elements pass through into pairs
+  * like the lambda (they do not occur in practice — ids come from
+  * collect_list). Null input propagates null; empty and single-element
+  * input yield an empty array (flatten-of-empty parity). */
+case class SortedPairs(child: Expression, aName: String, bName: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sorted_pairs expects ARRAY<BIGINT>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField(aName, LongType, nullable = true),
+      StructField(bName, LongType, nullable = true))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n * (n - 1) / 2)
+    var o = 0
+    var i = 0
+    while (i < n) {
+      val a: Any = if (xs.isNullAt(i)) null else Long.box(xs.getLong(i))
+      var j = i + 1
+      while (j < n) {
+        val b: Any = if (xs.isNullAt(j)) null else Long.box(xs.getLong(j))
+        out(o) = new GenericInternalRow(Array[Any](a, b))
+        o += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Collection/struct work — delegate to the fused Scala pass via a
+    // bound reference (same pattern as WinnowSelect/GramDigests).
+    val self = ctx.addReferenceObj("sortedPairs", this, classOf[SortedPairs].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.evalPairs($a);
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point — public so generated code can call it. */
+  def evalPairs(input: Any): Any = nullSafeEval(input)
+
+  override protected def withNewChildInternal(newChild: Expression): SortedPairs =
+    copy(child = newChild)
+}
+
+/** Native in-bucket pair enumeration WITH MinHash agreement — the
+  * LSH-bucket hot loop of d3/minhashLsh (and through it d6/d7/d9)
+  * and d13's near tier: over a sorted `array<struct<key, sig>>`, all
+  * (i < j) pairs as `struct(<aName>, <bName>, n_eq)` where `n_eq`
+  * counts positions on which the two signature arrays agree.
+  *
+  * Replaces the interpreted nested-transform pair build PLUS the
+  * per-pair `aggregate(zip_with(a.sig, b.sig, (x, y) -> CASE WHEN
+  * x = y THEN 1 ELSE 0 END), 0, +)` fold — which allocated a zipped
+  * array and ran a 16-step interpreted fold per candidate pair. Same
+  * null semantics as the CASE (a position with any null counts 0);
+  * the key is taken from the struct's first field and may be BIGINT
+  * (doc ids) or STRING (span fingerprints). Empty/single input yields
+  * an empty array; null input propagates null. */
+case class SigAgreePairs(child: Expression, aName: String, bName: String)
+    extends UnaryExpression {
+
+  private def keyType: DataType = child.dataType match {
+    case ArrayType(st: StructType, _) if st.fields.nonEmpty => st.fields(0).dataType
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(k, s)), _)
+        if (k.dataType == LongType || k.dataType == StringType) &&
+          s.dataType.isInstanceOf[ArrayType] &&
+          s.dataType.asInstanceOf[ArrayType].elementType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sig_agree_pairs expects ARRAY<STRUCT<key BIGINT|STRING, sig ARRAY<BIGINT>>>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField(aName, keyType, nullable = true),
+      StructField(bName, keyType, nullable = true),
+      StructField("n_eq", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ms = input.asInstanceOf[ArrayData]
+    val n = ms.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val kt = keyType
+    val keys = new Array[Any](n)
+    val sigs = new Array[ArrayData](n)
+    var i = 0
+    while (i < n) {
+      val row = ms.getStruct(i, 2)
+      keys(i) = if (row.isNullAt(0)) null else row.get(0, kt)
+      sigs(i) = if (row.isNullAt(1)) null else row.getArray(1)
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var o = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        var eq = 0
+        val sa = sigs(i)
+        val sb = sigs(j)
+        if (sa != null && sb != null) {
+          val k = math.min(sa.numElements(), sb.numElements())
+          var t = 0
+          while (t < k) {
+            if (!sa.isNullAt(t) && !sb.isNullAt(t) && sa.getLong(t) == sb.getLong(t)) eq += 1
+            t += 1
+          }
+        }
+        out(o) = new GenericInternalRow(Array[Any](keys(i), keys(j), eq))
+        o += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sigAgreePairs", this, classOf[SigAgreePairs].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.evalPairs($a);
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point — public so generated code can call it. */
+  def evalPairs(input: Any): Any = nullSafeEval(input)
+
+  override protected def withNewChildInternal(newChild: Expression): SigAgreePairs =
+    copy(child = newChild)
+}
+
+object Pairs {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.Shims
+
+  /** Column wrapper: all (i < j) pairs of a sorted BIGINT list. */
+  def sortedPairs(ds: Column, aName: String, bName: String): Column =
+    Shims.column(SortedPairs(Shims.expression(ds), aName, bName))
+
+  /** Column wrapper: all (i < j) (key, sig) pairs with agreement count. */
+  def sigAgreePairs(ms: Column, aName: String, bName: String): Column =
+    Shims.column(SigAgreePairs(Shims.expression(ms), aName, bName))
+}

@@ -109,10 +109,11 @@ object Dedup {
     val counts = buckets.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = buckets
-      .select(explode(expr(
-        """flatten(transform(ds, (a, i) ->
-          |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
-          |    named_struct('id_a', a, 'id_b', b))))""".stripMargin)).as("p"))
+      // Native SortedPairs kernel: the nested flatten(transform(
+      // slice...)) form it replaces ran interpreted and allocated a
+      // slice + nested array per element per posting list
+      // (parity pinned in PairsSpec).
+      .select(explode(graft.functions.Pairs.sortedPairs(col("ds"), "id_a", "id_b")).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -173,10 +174,7 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
-      .select(explode(expr(
-        """flatten(transform(ds, (a, i) ->
-          |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
-          |    named_struct('id_a', a, 'id_b', b))))""".stripMargin)).as("p"))
+      .select(explode(graft.functions.Pairs.sortedPairs(col("ds"), "id_a", "id_b")).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -274,14 +272,11 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
       // all (i < j) pairs within the bucket; ms sorted by doc_id so
-      // id_a < id_b holds by construction
-      .select(explode(expr(
-        s"""flatten(transform(ms, (a, i) ->
-           |  transform(slice(ms, i + 2, size(ms) - i - 1), b ->
-           |    named_struct(
-           |      'id_a', a.doc_id, 'id_b', b.doc_id,
-           |      'n_eq', aggregate(zip_with(a.sig, b.sig,
-           |        (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)))))""".stripMargin)).as("p"))
+      // id_a < id_b holds by construction. Native SigAgreePairs
+      // kernel: pair build + 16-way signature-agreement count in one
+      // pass, replacing the interpreted nested transform + per-pair
+      // aggregate(zip_with(...)) fold (parity pinned in PairsSpec).
+      .select(explode(graft.functions.Pairs.sigAgreePairs(col("ms"), "id_a", "id_b")).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         (col("p.n_eq").cast("double") / NumHashes).as("est_sim"))
       .distinct() // a pair matching in k bands appears k times, same est_sim
@@ -1019,10 +1014,8 @@ object Dedup {
     // (16/16 signature agreement is implied, always ≥ minEq).
     val exactPairs = contents
       .filter(size(col("docs")) > 1)
-      .select(col("fp"), explode(expr(
-        """flatten(transform(docs, (a, i) ->
-          |  transform(slice(docs, i + 2, size(docs) - i - 1),
-          |    b -> struct(a AS id_a, b AS id_b))))""".stripMargin)).as("p"))
+      .select(col("fp"),
+        explode(graft.functions.Pairs.sortedPairs(col("docs"), "id_a", "id_b")).as("p"))
       .select(col("p.id_a").as("id_a"), col("fp").as("fp_a"),
         col("p.id_b").as("id_b"), col("fp").as("fp_b"))
 
@@ -1053,12 +1046,7 @@ object Dedup {
       .join(liveBuckets, Seq("band_id", "band_key"))
       .groupBy(col("band_id"), col("band_key"))
       .agg(array_sort(collect_list(struct(col("fp"), col("sig")))).as("ms"))
-      .select(explode(expr(
-        s"""flatten(transform(ms, (a, i) ->
-           |  transform(slice(ms, i + 2, size(ms) - i - 1), b ->
-           |    named_struct('fp_a', a.fp, 'fp_b', b.fp,
-           |      'n_eq', aggregate(zip_with(a.sig, b.sig,
-           |        (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)))))""".stripMargin)).as("p"))
+      .select(explode(graft.functions.Pairs.sigAgreePairs(col("ms"), "fp_a", "fp_b")).as("p"))
       .filter(col("p.n_eq") >= minEq)
       .select(col("p.fp_a").as("fp_a"), col("p.fp_b").as("fp_b"))
       .distinct() // a content pair matching in k bands appears k times

@@ -33,6 +33,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"projection did not prune the scan: $read")
   }
 
+  test("d3 signatures: row-local kernel chain runs once, no explode/groupBy shuffle") {
+    val df = Dedup.minhashSignatures(spark, dir)
+    val p = plan(df)
+    // The signature stage is one narrow projection: no exchange at
+    // all (the retired form shuffled every (doc, shingle-hash) row
+    // into a 16-way min aggregation).
+    assert(!p.contains("Exchange"), s"signature stage shuffles:\n$p")
+    assert(!p.contains("Generate"), s"signature stage explodes shingles:\n$p")
+    // The kernel chain binds ONCE: CollapseProject must not inline
+    // the multi-referenced sig array into each of the 16 mh columns.
+    val opt = df.queryExecution.optimizedPlan.toString
+    val hits = "gramhashes".r.findAllIn(opt.toLowerCase).size
+    assert(hits == 1, s"GramHashes evaluates $hits times in the optimized plan:\n$opt")
+  }
+
   test("q3: filtered dimension broadcasts; top-k is TakeOrderedAndProject") {
     val p = plan(CoreQueries.q3TopRevenue(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q3:\n$p")
