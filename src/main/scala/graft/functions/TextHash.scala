@@ -224,15 +224,24 @@ object WinnowSelect {
   * and allocates only the output. Null words are skipped like
   * concat_ws; inputs shorter than w yield an empty array (callers
   * filter them); null input propagates null. */
-case class GramDigests(child: Expression, w: Int) extends UnaryExpression {
+case class GramDigests(child: Expression, w: Int, hexOut: Boolean = true)
+    extends UnaryExpression {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.unsafe.types.UTF8String
 
+  /** With `hexOut = false` the digest rides as the RAW 16 md5 bytes
+    * (BinaryType) instead of the 32-char lowercase hex string — the
+    * same value, half the shuffle bytes, for consumers that use the
+    * digest purely as a group/join key (d14's census + posting
+    * stages shuffle the O(corpus tokens) gram stream three times).
+    * `hex(g)` of the binary form equals the hex form exactly. */
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("g", StringType, nullable = false))),
+      org.apache.spark.sql.types.StructField("g",
+        if (hexOut) StringType else org.apache.spark.sql.types.BinaryType,
+        nullable = false))),
     containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -264,15 +273,17 @@ case class GramDigests(child: Expression, w: Int) extends UnaryExpression {
         t += 1
       }
       val d = md.digest()
-      val hex = new Array[Char](32)
-      var b = 0
-      while (b < 16) {
-        hex(2 * b) = hexDigits((d(b) >> 4) & 0xf)
-        hex(2 * b + 1) = hexDigits(d(b) & 0xf)
-        b += 1
-      }
-      out(p) = new GenericInternalRow(
-        Array[Any](p + 1, UTF8String.fromString(new String(hex))))
+      val g: Any = if (hexOut) {
+        val hex = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hex(2 * b) = hexDigits((d(b) >> 4) & 0xf)
+          hex(2 * b + 1) = hexDigits(d(b) & 0xf)
+          b += 1
+        }
+        UTF8String.fromString(new String(hex))
+      } else d
+      out(p) = new GenericInternalRow(Array[Any](p + 1, g))
       p += 1
     }
     new GenericArrayData(out)
@@ -571,6 +582,11 @@ object TextHash {
   /** Column wrapper: stride-1 (pos, md5-hex) gram digests. */
   def gramDigests(words: Column, w: Int): Column =
     Shims.column(GramDigests(Shims.expression(words), w))
+
+  /** Column wrapper: stride-1 (pos, raw-16-byte md5) gram digests —
+    * half the shuffle bytes for key-only consumers (hex(g) parity). */
+  def gramDigestsBin(words: Column, w: Int): Column =
+    Shims.column(GramDigests(Shims.expression(words), w, hexOut = false))
 
   /** Column wrapper: one-pass t6 repetition statistics. */
   def repStats(words: Column): Column =

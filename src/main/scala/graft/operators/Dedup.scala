@@ -1203,9 +1203,13 @@ object Dedup {
       // Native GramDigests kernel: the higher-order form ran md5 in
       // an interpreted lambda and allocated a slice + joined string
       // per position (stride-1 windows touch every word w times).
-      // Hex/positions bit-identical — pinned by TextHashSpec.
+      // BINARY digests (raw 16 md5 bytes, not the 32-char hex): the
+      // digest is purely a group/join key here — never output — and
+      // this stream shuffles three times (census, probe join,
+      // collect), so half the key bytes is half the exchange volume.
+      // hex(g) parity with the hex form pinned by TextHashSpec.
       .select(col("doc_id"),
-        explode(graft.functions.TextHash.gramDigests(col("ws"), w)).as("t"))
+        explode(graft.functions.TextHash.gramDigestsBin(col("ws"), w)).as("t"))
       .select(col("doc_id"), col("t.pos").as("pos"), col("t.g").as("g"))
       // Two consumers (census, posting probe): disk-cache one gram
       // materialization instead of re-running the scan+window explode

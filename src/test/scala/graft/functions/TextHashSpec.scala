@@ -172,6 +172,27 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("GramDigests binary form: hex(g) equals the hex form exactly") {
+    val w = Dedup.SpanWords
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val rows = docs
+      .select(col("doc_id"),
+        filter(split(trim(col("text")), "\\s+"), x => length(x) > lit(0)).as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"),
+        TextHash.gramDigests(col("ws"), w).as("a"),
+        TextHash.gramDigestsBin(col("ws"), w).as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getString(1)))
+      val b = r.getSeq[org.apache.spark.sql.Row](2).map { x =>
+        (x.getInt(0), x.getAs[Array[Byte]](1).map("%02x".format(_)).mkString)
+      }
+      assert(a == b, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("RepStats equals the interpreted sort/fold/distinct stat forms") {
     val docs = graft.Tables.t(spark, dir, "documents")
     // The retired forms, verbatim: run-length mode count over
