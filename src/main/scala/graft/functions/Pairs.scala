@@ -173,6 +173,63 @@ case class SigAgreePairs(child: Expression, aName: String, bName: String)
     copy(child = newChild)
 }
 
+/** Native adjacent-bigram stream over a word array — t17's
+  * `transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1,
+  * ws[i] AS w2))` (with the short-input empty-array guard folded in):
+  * one struct per adjacent word pair, in order, duplicates kept. The
+  * lambda form ran interpreted with two GetArrayItem evaluations and
+  * a struct allocation per position — and t17's stream feeds two
+  * consumers (the corpus bigram LM and the per-doc hit join), so the
+  * tax was paid twice. Null words pass through as null fields like
+  * the lambda. Inputs under 2 words yield an empty array; null input
+  * propagates null. */
+case class WordBigrams(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_bigrams expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w1", StringType, nullable = true),
+      StructField("w2", StringType, nullable = true))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ws = input.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev: Any = if (ws.isNullAt(0)) null else ws.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur: Any = if (ws.isNullAt(i)) null else ws.getUTF8String(i)
+      out(i - 1) = new GenericInternalRow(Array[Any](prev, cur))
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordBigrams", this, classOf[WordBigrams].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.evalPairs($a);
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point — public so generated code can call it. */
+  def evalPairs(input: Any): Any = nullSafeEval(input)
+
+  override protected def withNewChildInternal(newChild: Expression): WordBigrams =
+    copy(child = newChild)
+}
+
 object Pairs {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.Shims
@@ -184,4 +241,8 @@ object Pairs {
   /** Column wrapper: all (i < j) (key, sig) pairs with agreement count. */
   def sigAgreePairs(ms: Column, aName: String, bName: String): Column =
     Shims.column(SigAgreePairs(Shims.expression(ms), aName, bName))
+
+  /** Column wrapper: adjacent (w1, w2) bigram structs, in order. */
+  def wordBigrams(ws: Column): Column =
+    Shims.column(WordBigrams(Shims.expression(ws)))
 }

@@ -889,12 +889,13 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val bgs = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
-      // sequence(1, 0) would generate a DESCENDING [1, 0] — guard
-      // short docs to an empty bigram list explicitly.
-      .select(col("doc_id"), explode(expr(
-        """if(size(ws) < 2, array(),
-          |   transform(sequence(1, size(ws) - 1),
-          |     i -> struct(ws[i - 1] AS w1, ws[i] AS w2)))""".stripMargin)).as("bg"))
+      // Native WordBigrams kernel (short docs yield an empty array —
+      // the retired lambda needed an explicit guard because
+      // sequence(1, 0) generates a DESCENDING [1, 0]); the stream
+      // feeds two consumers, so the interpreted per-position struct
+      // build was paid twice. Parity pinned in PairsSpec.
+      .select(col("doc_id"),
+        explode(graft.functions.Pairs.wordBigrams(col("ws"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     // persist + finally-unpersist after the (doc-sized) result
     // materializes below — no CacheManager entry outlives the call,

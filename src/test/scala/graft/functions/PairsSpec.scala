@@ -90,6 +90,24 @@ class PairsSpec extends AnyFunSuite {
     assert(got == Seq(("aa", "bb", 2), ("aa", "cc", 1), ("bb", "cc", 2)))
   }
 
+  test("WordBigrams equals the guarded transform(sequence) lambda on the corpus") {
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val legacy = expr(
+      """if(size(ws) < 2, array(),
+        |   transform(sequence(1, size(ws) - 1),
+        |     i -> struct(ws[i - 1] AS w1, ws[i] AS w2)))""".stripMargin)
+    val rows = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), legacy.as("a"), Pairs.wordBigrams(col("ws")).as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getString(1)))
+      val b = r.getSeq[org.apache.spark.sql.Row](2).map(x => (x.getString(0), x.getString(1)))
+      assert(a == b, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("edge cases: empty, single-element, null input") {
     val r = spark.sql("SELECT 1")
       .select(
