@@ -394,6 +394,83 @@ case class RepStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native row-local SimHash over a token array — d4's whole
+  * signature in one pass: each token's 60-bit md5-prefix hash (the
+  * [[graft.operators.Dedup.portableHash]] value, NO modulus), a ±1
+  * vote per bit position per token, recomposed to the bits-wide
+  * fingerprint. Replaces the token explode + groupBy(doc_id) with
+  * `bits` conditional-sum aggregates — the signature stage sheds its
+  * corpus-wide shuffle exactly like the row-local MinHash path.
+  *
+  * Bit-parity contract: vote arithmetic matches the aggregate form
+  * term for term — bit b votes +1 when `(h >> b) & 1 = 1`, else −1
+  * (a null token's CASE falls through to −1 on every bit; split
+  * output contains none in practice); bit b sets `1L << b` in the
+  * result when its vote sum is strictly positive. An empty array
+  * (unreachable — split yields at least one element) gives all-zero
+  * sums, i.e. fingerprint 0, like an all-negative vote; null input
+  * propagates null. */
+case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash expects ARRAY<STRING>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    val votes = new Array[Long](bits)
+    val md = WinnowSelect.digest.get()
+    var i = 0
+    while (i < n) {
+      if (words.isNullAt(i)) {
+        var b = 0
+        while (b < bits) { votes(b) -= 1; b += 1 }
+      } else {
+        md.reset()
+        md.update(words.getUTF8String(i).getBytes)
+        val d = md.digest()
+        var v = 0L
+        var t = 0
+        while (t < 8) { v = (v << 8) | (d(t) & 0xffL); t += 1 }
+        v = v >>> 4
+        var b = 0
+        while (b < bits) {
+          votes(b) += (if (((v >> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) out += (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simHash", this, classOf[SimHash].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = ((java.lang.Long) $self.evalHash($a)).longValue();
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point — public so generated code can call it. */
+  def evalHash(input: Any): Any = nullSafeEval(input)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
 /** Native distinct word w-grams over a word array — the shingle
   * builder shared by d2 (n-gram Jaccard), d8 (contamination) and the
   * MinHash signature paths: each position's w words joined by a
@@ -599,4 +676,8 @@ object TextHash {
   /** Column wrapper: w-gram 60-bit portable hashes mod p. */
   def gramHashes(words: Column, w: Int, p: Long, distinct: Boolean): Column =
     Shims.column(GramHashes(Shims.expression(words), w, p, distinct))
+
+  /** Column wrapper: row-local SimHash fingerprint over a token array. */
+  def simHash(words: Column, bits: Int): Column =
+    Shims.column(SimHash(Shims.expression(words), bits))
 }

@@ -519,19 +519,16 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOn(t(spark, dir, "documents"))
 
-  def simhashOn(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .select(col("doc_id"), portableHash(col("tok")).as("h"))
-    val bitSums = (0 until SimHashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
-    }
-    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until SimHashBits).map { b =>
-          when(col(s"s$b") > 0, lit(1L) * (1L << b)).otherwise(0L)
-        }.reduce(_ + _).as("simhash"))
-  }
+  def simhashOn(docs: DataFrame): DataFrame =
+    // Native row-local SimHash kernel: the whole fingerprint in one
+    // pass over the token array — the retired form exploded tokens
+    // and shuffled O(corpus tokens) rows into a groupBy(doc_id) with
+    // SimHashBits conditional-sum aggregates. Votes and recompose
+    // arithmetic are term-identical (parity pinned in TextHashSpec);
+    // the DuckDB oracle still replays the explode+aggregate form.
+    docs.select(col("doc_id"),
+      graft.functions.TextHash.simHash(
+        split(trim(col("text")), "\\s+"), SimHashBits).as("simhash"))
 
   /** SimHash bucket dup groups: simhash values shared by >1 doc. */
   def simhashDups(spark: SparkSession, dir: String): DataFrame =

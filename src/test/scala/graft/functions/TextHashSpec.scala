@@ -172,6 +172,28 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("row-local SimHash equals the explode + bit-vote aggregation form") {
+    import Dedup.SimHashBits
+    val docs = graft.Tables.t(spark, dir, "documents")
+    // The retired form, verbatim: explode tokens, hash, one ±1
+    // conditional sum per bit, recompose.
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"), Dedup.portableHash(col("tok")).as("h"))
+    val bitSums = (0 until SimHashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val legacy = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimHashBits).map { b =>
+          when(col(s"s$b") > 0, lit(1L) * (1L << b)).otherwise(0L)
+        }.reduce(_ + _).as("simhash"))
+    val a = legacy.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Dedup.simhash(spark, dir).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
   test("GramDigests binary form: hex(g) equals the hex form exactly") {
     val w = Dedup.SpanWords
     val docs = graft.Tables.t(spark, dir, "documents")
