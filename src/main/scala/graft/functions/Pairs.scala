@@ -173,6 +173,148 @@ case class SigAgreePairs(child: Expression, aName: String, bName: String)
     copy(child = newChild)
 }
 
+/** Native holder-set cross expansion — d13's span-instance fan-out:
+  * every (da, db) pair from two holder lists with `da != db`, in
+  * a-major b-minor order, exactly the
+  * `filter(flatten(transform(docs_a, a -> transform(docs_b, b ->
+  * struct(a, b)))), p -> p.da != p.db)` form it replaces (which
+  * allocated a nested array per element and ran the filter
+  * interpreted over the full cross). Null elements pair like the
+  * lambda (null != x is NULL → filtered out, so pairs with a null
+  * side are DROPPED — matching the SQL filter's null semantics).
+  * Either input null propagates null. */
+case class CrossPairsNe(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cross_pairs_ne expects two ARRAY<BIGINT>, got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("da", LongType, nullable = true),
+      StructField("db", LongType, nullable = true))),
+    containsNull = false)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val m = ys.numElements()
+    val out = new java.util.ArrayList[Any](n * m)
+    var i = 0
+    while (i < n) {
+      if (!xs.isNullAt(i)) {
+        val da = xs.getLong(i)
+        var j = 0
+        while (j < m) {
+          if (!ys.isNullAt(j)) {
+            val db = ys.getLong(j)
+            if (da != db)
+              out.add(new GenericInternalRow(Array[Any](Long.box(da), Long.box(db))))
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("crossPairsNe", this, classOf[CrossPairsNe].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.evalPairs($a, $b);
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point — public so generated code can call it. */
+  def evalPairs(a: Any, b: Any): Any = nullSafeEval(a, b)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CrossPairsNe =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native cross-document position pairs — d14's gram-hit fan-out
+  * over a sorted `array<struct<doc_id, pos>>` posting list: all
+  * (i < j) pairs whose doc_ids DIFFER, as `struct(id_a, pos_a,
+  * id_b, pos_b)` — the `flatten(transform(ms, (a, i) ->
+  * transform(filter(slice(ms, i + 2, ...), b -> b.doc_id !=
+  * a.doc_id), ...)))` form it replaces (slice + filter + nested
+  * array allocations per element, interpreted). Null structs do not
+  * occur (collect_list skips nulls); handled by skipping, matching
+  * the filter's null-drop. Null input propagates null. */
+case class PosPairs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(d, p)), _)
+        if d.dataType == LongType && p.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pos_pairs expects ARRAY<STRUCT<doc_id BIGINT, pos INT>>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", LongType, nullable = true),
+      StructField("pos_a", IntegerType, nullable = true),
+      StructField("id_b", LongType, nullable = true),
+      StructField("pos_b", IntegerType, nullable = true))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ms = input.asInstanceOf[ArrayData]
+    val n = ms.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val ids = new Array[Long](n)
+    val pos = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val row = ms.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      pos(i) = row.getInt(1)
+      i += 1
+    }
+    val out = new java.util.ArrayList[Any](n)
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (ids(i) != ids(j))
+          out.add(new GenericInternalRow(Array[Any](
+            Long.box(ids(i)), Int.box(pos(i)), Long.box(ids(j)), Int.box(pos(j)))))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("posPairs", this, classOf[PosPairs].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $self.evalPairs($a);
+       """.stripMargin
+    })
+  }
+
+  /** Codegen entry point — public so generated code can call it. */
+  def evalPairs(input: Any): Any = nullSafeEval(input)
+
+  override protected def withNewChildInternal(newChild: Expression): PosPairs =
+    copy(child = newChild)
+}
+
 /** Native adjacent-bigram stream over a word array — t17's
   * `transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1,
   * ws[i] AS w2))` (with the short-input empty-array guard folded in):
@@ -245,4 +387,12 @@ object Pairs {
   /** Column wrapper: adjacent (w1, w2) bigram structs, in order. */
   def wordBigrams(ws: Column): Column =
     Shims.column(WordBigrams(Shims.expression(ws)))
+
+  /** Column wrapper: cross product of two id lists, unequal ids only. */
+  def crossPairsNe(a: Column, b: Column): Column =
+    Shims.column(CrossPairsNe(Shims.expression(a), Shims.expression(b)))
+
+  /** Column wrapper: cross-document (i < j) position pairs. */
+  def posPairs(ms: Column): Column =
+    Shims.column(PosPairs(Shims.expression(ms)))
 }

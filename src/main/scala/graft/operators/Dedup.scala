@@ -1050,10 +1050,11 @@ object Dedup {
     val nearPairs = contentPairs
       .join(contents.select(col("fp").as("fp_a"), col("docs").as("docs_a")), "fp_a")
       .join(contents.select(col("fp").as("fp_b"), col("docs").as("docs_b")), "fp_b")
-      .select(col("fp_a"), col("fp_b"), explode(expr(
-        """filter(flatten(transform(docs_a, a ->
-          |  transform(docs_b, b -> struct(a AS da, b AS db)))),
-          |  p -> p.da != p.db)""".stripMargin)).as("p"))
+      .select(col("fp_a"), col("fp_b"),
+        // Native CrossPairsNe kernel: the interpreted
+        // filter(flatten(transform×transform)) cross it replaces
+        // allocated a nested array per element (PairsSpec parity).
+        explode(graft.functions.Pairs.crossPairsNe(col("docs_a"), col("docs_b"))).as("p"))
       .select(
         when(col("p.da") < col("p.db"), col("p.da")).otherwise(col("p.db")).as("id_a"),
         when(col("p.da") < col("p.db"), col("fp_a")).otherwise(col("fp_b")).as("fp_a"),
@@ -1228,12 +1229,10 @@ object Dedup {
     val hits = grams.join(live, "g")
       .groupBy(col("g"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("pos")))).as("ms"))
-      .select(explode(expr(
-        """flatten(transform(ms, (a, i) ->
-          |  transform(filter(slice(ms, i + 2, size(ms) - i - 1),
-          |      b -> b.doc_id != a.doc_id),
-          |    b -> struct(a.doc_id AS id_a, a.pos AS pos_a,
-          |      b.doc_id AS id_b, b.pos AS pos_b))))""".stripMargin)).as("p"))
+      // Native PosPairs kernel: cross-doc (i < j) position pairs in
+      // one pass — the nested transform/filter/slice form it
+      // replaces ran interpreted (PairsSpec parity).
+      .select(explode(graft.functions.Pairs.posPairs(col("ms"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.pos_a").as("pos_a"),
         col("p.id_b").as("id_b"), col("p.pos_b").as("pos_b"))
     val runs = hits

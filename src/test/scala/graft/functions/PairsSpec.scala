@@ -108,6 +108,60 @@ class PairsSpec extends AnyFunSuite {
     }
   }
 
+  test("CrossPairsNe equals the filter(flatten(transform x transform)) cross") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1L, 2L), array(2L, 3L, 4L)),
+        |  (array(5L), array(5L)),
+        |  (array(6L, 7L), array(8L)),
+        |  (cast(array() as array<bigint>), array(1L))
+        |AS t(docs_a, docs_b)""".stripMargin)
+    val legacy = expr(
+      """filter(flatten(transform(docs_a, a ->
+        |  transform(docs_b, b -> struct(a AS da, b AS db)))),
+        |  p -> p.da != p.db)""".stripMargin)
+    val rows = df
+      .select(legacy.as("a"), Pairs.crossPairsNe(col("docs_a"), col("docs_b")).as("b"))
+      .collect()
+    rows.foreach { r =>
+      val a = r.getSeq[org.apache.spark.sql.Row](0).map(x => (x.getLong(0), x.getLong(1)))
+      val b = r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1)))
+      assert(a == b)
+    }
+  }
+
+  test("PosPairs equals the cross-doc transform/filter/slice form on real posting lists") {
+    import Dedup.SpanWords
+    val docs = graft.Tables.t(spark, dir, "documents")
+    // d14's real gram posting lists: digest → sorted (doc_id, pos)
+    val buckets = docs
+      .select(col("doc_id"),
+        filter(split(trim(col("text")), "\\s+"), x => length(x) > lit(0)).as("ws"))
+      .filter(size(col("ws")) >= SpanWords)
+      .select(col("doc_id"),
+        explode(TextHash.gramDigests(col("ws"), SpanWords)).as("t"))
+      .groupBy(col("t.g"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("t.pos").as("pos")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val legacy = expr(
+      """flatten(transform(ms, (a, i) ->
+        |  transform(filter(slice(ms, i + 2, size(ms) - i - 1),
+        |      b -> b.doc_id != a.doc_id),
+        |    b -> struct(a.doc_id AS id_a, a.pos AS pos_a,
+        |      b.doc_id AS id_b, b.pos AS pos_b))))""".stripMargin)
+    val rows = buckets
+      .select(legacy.as("a"), Pairs.posPairs(col("ms")).as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getSeq[org.apache.spark.sql.Row](0)
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getInt(3)))
+      val b = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getInt(3)))
+      assert(a == b)
+    }
+  }
+
   test("edge cases: empty, single-element, null input") {
     val r = spark.sql("SELECT 1")
       .select(
