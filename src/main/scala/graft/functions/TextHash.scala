@@ -483,10 +483,19 @@ case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   * form builds each gram into one reused StringBuilder and dedupes
   * through a LinkedHashSet. Inputs shorter than w yield an empty
   * array (callers filter them); null input propagates null. */
-case class WordGrams(child: Expression, w: Int) extends UnaryExpression {
+case class WordGrams(child: Expression, w: Int, digestOut: Boolean = false)
+    extends UnaryExpression {
   import org.apache.spark.unsafe.types.UTF8String
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  /** With `digestOut = true` each distinct gram rides as its RAW 16
+    * md5 bytes (BinaryType) instead of the gram string — md5-as-
+    * identity, the same contract d1's exact dedup makes for whole
+    * documents — for consumers that use the gram purely as a
+    * group/join key (d2's posting lists, d8's train-gram join):
+    * same distinct set, ~half the exchange bytes. */
+  override def dataType: DataType = ArrayType(
+    if (digestOut) org.apache.spark.sql.types.BinaryType else StringType,
+    containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -518,7 +527,17 @@ case class WordGrams(child: Expression, w: Int) extends UnaryExpression {
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var o = 0
-    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    if (digestOut) {
+      val md = WinnowSelect.digest.get()
+      while (it.hasNext) {
+        md.reset()
+        md.update(it.next().getBytes)
+        out(o) = md.digest()
+        o += 1
+      }
+    } else {
+      while (it.hasNext) { out(o) = it.next(); o += 1 }
+    }
     new GenericArrayData(out)
   }
 
@@ -672,6 +691,10 @@ object TextHash {
   /** Column wrapper: distinct w-gram strings in first-occurrence order. */
   def wordGrams(words: Column, w: Int): Column =
     Shims.column(WordGrams(Shims.expression(words), w))
+
+  /** Column wrapper: distinct w-gram raw md5 digests (key-only use). */
+  def wordGramDigests(words: Column, w: Int): Column =
+    Shims.column(WordGrams(Shims.expression(words), w, digestOut = true))
 
   /** Column wrapper: w-gram 60-bit portable hashes mod p. */
   def gramHashes(words: Column, w: Int, p: Long, distinct: Boolean): Column =

@@ -46,8 +46,13 @@ object Dedup {
       // sequence(...), i -> concat_ws(' ', slice(w, i, 3))))` form it
       // replaces ran interpreted and allocated a slice + joined string
       // per position (parity pinned in TextHashSpec/TextHashPropSpec).
+      // The shingle rides as its RAW 16-byte md5 (md5-as-identity —
+      // d1's whole-document contract applied per gram): d2 and d8 use
+      // it purely as a group/join key that never reaches output, and
+      // this stream is exchanged on that key, so half the key bytes
+      // is half the shuffle volume. Same distinct set per doc.
       .select(col("doc_id"),
-        explode(graft.functions.TextHash.wordGrams(col("w"), 3)).as("shingle"))
+        explode(graft.functions.TextHash.wordGramDigests(col("w"), 3)).as("shingle"))
 
   /** Exact dedup: group by content fingerprint, keep the smallest
     * doc_id as canonical. Shuffles digests only. */

@@ -94,6 +94,25 @@ class TextHashSpec extends AnyFunSuite {
     }
   }
 
+  test("WordGrams digest form: each entry is md5 of the corresponding gram string") {
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val rows = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        expr("transform(" +
+          "array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3))))," +
+          " g -> md5(g))").as("a"),
+        TextHash.wordGramDigests(col("w"), 3).as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getSeq[String](1)
+      val b = r.getSeq[Array[Byte]](2).map(_.map("%02x".format(_)).mkString)
+      assert(a == b, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("GramHashes edge cases: short input, null word at w=1, null input") {
     import Dedup.P
     val r = spark.sql("SELECT 1")
