@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables.t
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -456,20 +456,35 @@ object CoreQueries {
     * stats per group — the percentile family from the extension
     * surface (SURVEY.md §2.7 "absent whole categories").
     *
-    * Formulated as a distributed rank-and-interpolate, NOT the
-    * built-in `percentile` aggregate: `percentile` buffers every
-    * group value in one executor array (OOM once a group holds
-    * billions of rows), where this shape is one shuffle on the group
-    * key + a SPILLABLE per-group sort (WindowExec's external row
-    * array), so memory stays bounded however large the group. Each
-    * row then contributes to a percentile only if its rank is the
-    * floor/ceil neighbor of the target position — the final
-    * aggregation is a map-side-combined sum of ≤2 non-zero terms per
-    * group. Interpolation replicates Spark's Percentile/DuckDB
-    * quantile_cont arithmetic term-for-term (lower·(hi−pos) +
-    * upper·(pos−lo)), so the oracle hash still matches bit-exactly.
-    * Parallelism is bounded by group cardinality (inherent to exact
-    * ranking); q31's sketch remains the recommended 100 TB tier. */
+    * Formulated as a RANGE-PARTITIONED DISTRIBUTED SELECTION, not
+    * the built-in `percentile` aggregate and not a per-group window
+    * sort: `percentile` buffers every group value in one executor
+    * array (OOM once a group holds billions of rows), and ranking
+    * via row_number over a per-group window full-sorts each group in
+    * ONE task — with a 3-value group key that is 3 tasks sorting the
+    * whole table, at any cluster size. Instead:
+    *
+    *  1. `repartitionByRange(g, v)` splits every group's values
+    *     across ALL shuffle partitions in sorted partition order.
+    *  2. A tiny aggregate counts rows per (partition, group); a
+    *     window over this P×|g|-row table turns counts into each
+    *     partition's global rank OFFSET for the group (and group
+    *     totals n).
+    *  3. Each partition ranks only its own slice (row_number over
+    *     (pid, g) — P×|g| window partitions, each ~1/P of the data),
+    *     and global_rank = offset + local_rank.
+    *  4. The 6 wanted ranks per group (floor/ceil of p·(n−1) for
+    *     each percentile, with interpolation weights) are derived
+    *     declaratively from n and broadcast; a broadcast join keeps
+    *     only the ≤6 hit rows per group, and a map-side-combined sum
+    *     interpolates — term-for-term the Spark Percentile/DuckDB
+    *     quantile_cont arithmetic (lower·(hi−pos) + upper·(pos−lo)),
+    *     so the oracle hash still matches bit-exactly.
+    *
+    * Sort parallelism is therefore NOT bounded by group cardinality:
+    * every core sorts ~|data|/P rows whatever the group key. q31's
+    * sketch remains the single-shuffle 100 TB default; this is the
+    * exact tier done scalably. */
   def q30Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val base = t(spark, dir, "lineitem")
       .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
@@ -479,23 +494,52 @@ object CoreQueries {
     val stats = base.groupBy(col("g"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     val l = base.filter(col("v").isNotNull)
-    val counts = l.groupBy(col("g")).agg(count(col("v")).as("n"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g")).orderBy(col("v"))
-    val ranked = l.withColumn("rn", row_number().over(w))
-      .join(broadcast(counts), "g")
-    def pct(p: Double, name: String) = {
+    // (1) range-split each group's sorted values across all partitions.
+    // The two consumers below share this exchange (ReuseExchange), so
+    // pid labels are consistent between the count and rank branches.
+    val parted = l.repartitionByRange(col("g"), col("v"))
+      .withColumn("pid", spark_partition_id())
+    // (2) per-(partition, group) counts → per-partition rank offsets
+    val pc = parted.groupBy(col("pid"), col("g")).agg(count(lit(1)).as("c"))
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("pid"))
+    val offsets = pc
+      .withColumn("off", coalesce(sum(col("c")).over(wo), lit(0L)) - col("c"))
+      .select(col("pid"), col("g"), col("off"))
+    val counts = pc.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    // (4) wanted global ranks + interpolation weights, 2 rows per
+    // percentile per group, derived declaratively from n (no collect)
+    val targets = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val wantedStructs = targets.flatMap { case (p, tag) =>
       val pos = lit(p) * (col("n") - 1).cast("double")
       val lower = floor(pos)
       val higher = ceil(pos)
-      val idx = (col("rn") - 1).cast("double")
-      sum(
-        when(lower === higher && idx === lower, col("v"))
-          .when(idx === lower, col("v") * (higher.cast("double") - pos))
-          .when(idx === higher, col("v") * (pos - lower.cast("double")))
-          .otherwise(lit(0.0))).as(name)
+      Seq(
+        struct(lit(tag).as("tag"), lower.as("rank"),
+          when(lower === higher, lit(1.0))
+            .otherwise(higher.cast("double") - pos).as("w")),
+        struct(lit(tag).as("tag"), higher.as("rank"),
+          when(lower === higher, lit(0.0))
+            .otherwise(pos - lower.cast("double")).as("w")))
     }
-    val pcts = ranked.groupBy(col("g"))
-      .agg(pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"))
+    val wanted = counts
+      .select(col("g").as("wg"), explode(array(wantedStructs: _*)).as("t"))
+      .select(col("wg"), col("t.tag").as("tag"),
+        col("t.rank").as("trank"), col("t.w").as("w"))
+    // (3) local rank within the partition slice → global rank; keep
+    // only the wanted ranks via the broadcast join
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid"), col("g")).orderBy(col("v"))
+    val hits = parted.withColumn("rn", row_number().over(wl))
+      .join(broadcast(offsets), Seq("pid", "g"))
+      .withColumn("grank", col("off") + col("rn") - 1)
+      .join(broadcast(wanted),
+        col("g") === col("wg") && col("grank") === col("trank"))
+    def pct(tag: String, name: String) =
+      sum(when(col("tag") === tag, col("v") * col("w"))
+        .otherwise(lit(0.0))).as(name)
+    val pcts = hits.groupBy(col("g"))
+      .agg(pct("p50", "p50"), pct("p90", "p90"), pct("p99", "p99"))
     stats.join(pcts, Seq("g"), "left")
       .select(col("g").as("l_returnflag"),
         col("p50"), col("p90"), col("p99"), col("lo"), col("hi"))

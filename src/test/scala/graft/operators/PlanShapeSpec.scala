@@ -64,15 +64,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q6:\n$p")
   }
 
-  test("q30 exact percentile: spillable window sort, no buffered object aggregate") {
+  test("q30 exact percentile: range-partitioned selection, no single-task sort") {
     val p = plan(CoreQueries.q30Percentiles(spark, dir))
     // the built-in `percentile` would appear as an ObjectHashAggregate
-    // holding every group value in one executor array; the
-    // rank-and-interpolate shape ranks through WindowExec (external,
-    // spillable row buffer) and reduces with plain sums
-    assert(p.contains("Window"), s"no window ranking stage in q30:\n$p")
+    // holding every group value in one executor array
     assert(!p.contains("ObjectHashAggregate") && !p.contains("percentile("),
       s"q30 fell back to a buffered percentile aggregate:\n$p")
+    // the data must be RANGE-split on (g, v) — each group's values
+    // spread across all partitions — and ranked per partition slice:
+    // the ranking window partitions by (pid, g), never by g alone
+    // (which would full-sort each group in ONE task at any cluster
+    // size — the shape this spec exists to forbid)
+    assert("rangepartitioning\\(g#\\d+".r.findFirstIn(p).isDefined,
+      s"q30 lost its range repartitioning on (g, v):\n$p")
+    assert("row_number\\(\\) windowspecdefinition\\(pid#\\d+, g#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"q30's ranking window is not per-partition-slice (pid, g):\n$p")
+    assert("row_number\\(\\) windowspecdefinition\\(g#\\d+".r
+      .findFirstIn(p).isEmpty,
+      s"q30 ranks with a per-group (single-task) window sort:\n$p")
+    // offsets and wanted-rank tables are tiny → broadcast, not shuffled
+    assert(p.contains("BroadcastHashJoin"),
+      s"q30's offset/wanted joins are not broadcast:\n$p")
   }
 
   test("s6 batch kNN: bucket equi-join broadcasts the query batch, no cross product") {
