@@ -192,9 +192,11 @@ object TextOps {
     * hash as t5/t7, so the packed set is reproducible and stable
     * under reshards), keeping every document whose PRECEDING
     * cumulative token total is still under budget — the greedy fill
-    * a pretraining mix actually uses. One shuffle on lang + one
-    * spillable window sort; the cumulative sum is a running ROWS
-    * frame, never a per-group buffer. */
+    * a pretraining mix actually uses. The running total is a
+    * [[DistributedPrefix.sumBefore]]: each language's hash-ordered
+    * stream is range-split across every partition and summed as
+    * per-slice locals + broadcast offsets, so no task ever sorts a
+    * whole language however large the corpus. */
   def tokenBudget(spark: SparkSession, dir: String, budgetTokens: Long = 2000L,
                   salt: String = "graft_v1"): DataFrame =
     tokenBudgetOn(t(spark, dir, "documents"), budgetTokens, salt)
@@ -202,16 +204,13 @@ object TextOps {
   /** Source-parameterized form (SQL facade entry). */
   def tokenBudgetOn(docs: DataFrame, budgetTokens: Long = 2000L,
                     salt: String = "graft_v1"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("h").asc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    val base = docs
       .select(col("doc_id"), col("lang"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
         h.as("h"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    DistributedPrefix
+      .sumBefore(base, "lang", Seq("h", "doc_id"), "n_tokens", "cum_before")
       .filter(col("cum_before") < budgetTokens)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
   }
@@ -482,14 +481,11 @@ object TextOps {
   /** Source-parameterized form (SQL facade entry). */
   def tokenBudgetBpeOn(docs: DataFrame, budgetTokens: Long = 3000L,
                        salt: String = "graft_v1"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("h").asc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    val base = docs
       .select(col("doc_id"), col("lang"), bpeDocTokens.as("n_tokens"), h.as("h"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    DistributedPrefix
+      .sumBefore(base, "lang", Seq("h", "doc_id"), "n_tokens", "cum_before")
       .filter(col("cum_before") < budgetTokens)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
   }
@@ -519,9 +515,10 @@ object TextOps {
     * All-integer outputs over t10's BPE counts, so the oracle
     * hash-matches bit-for-bit.
     *
-    * 100 TB shape: identical to t8/t8b — one shuffle on lang, one
-    * spillable running ROWS frame; the division/modulo are free
-    * row-local arithmetic on the frame's output. */
+    * 100 TB shape: identical to t8/t8b — a range-split
+    * [[DistributedPrefix.sumBefore]] running total (no per-language
+    * single-task sort); the division/modulo are free row-local
+    * arithmetic on its output. */
   def sequencePack(spark: SparkSession, dir: String, ctxTokens: Long = 512L,
                    salt: String = "graft_v1"): DataFrame =
     sequencePackOn(t(spark, dir, "documents"), ctxTokens, salt)
@@ -529,14 +526,11 @@ object TextOps {
   /** Source-parameterized form (SQL facade entry). */
   def sequencePackOn(docs: DataFrame, ctxTokens: Long = 512L,
                      salt: String = "graft_v1"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("h").asc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    val base = docs
       .select(col("doc_id"), col("lang"), bpeDocTokens.as("n_tokens"), h.as("h"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    DistributedPrefix
+      .sumBefore(base, "lang", Seq("h", "doc_id"), "n_tokens", "cum_before")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         // integer `div`, not double `/`+cast: exact past 2^53 tokens
         expr(s"cum_before div $ctxTokens").as("example_id"),
@@ -567,8 +561,9 @@ object TextOps {
     * Deterministic: rank by the salted portable hash (doc_id
     * tiebreak), keep rank ≤ k — the same reproducibility contract as
     * t5/t7, and adding documents only ever displaces the highest
-    * hashes. One shuffle on lang + a spillable window sort, the s6
-    * per-group top-k shape; k rows per stratum survive. */
+    * hashes. Ranked by [[DistributedPrefix.rowNumber]] (per-slice
+    * row_number + broadcast count offsets over a range split), so no
+    * task ever sorts a whole language; k rows per stratum survive. */
   def fixedKSample(spark: SparkSession, dir: String, k: Int = 50,
                    salt: String = "graft_k1"): DataFrame =
     fixedKSampleOn(t(spark, dir, "documents"), k, salt)
@@ -576,13 +571,9 @@ object TextOps {
   /** Source-parameterized form (SQL facade entry). */
   def fixedKSampleOn(docs: DataFrame, k: Int = 50,
                      salt: String = "graft_k1"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("h").asc, col("doc_id").asc)
-    docs
-      .select(col("doc_id"), col("lang"), h.as("h"))
-      .withColumn("rk", row_number().over(w).cast("long"))
+    val base = docs.select(col("doc_id"), col("lang"), h.as("h"))
+    DistributedPrefix.rowNumber(base, "lang", Seq("h", "doc_id"), "rk")
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("lang"), col("rk"))
   }

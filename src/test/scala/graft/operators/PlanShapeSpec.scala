@@ -189,15 +189,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"repetition filter should be narrow:\n$p")
   }
 
-  test("t8 token budget: one window sort per language partition, no extra exchange") {
+  test("t8 token budget: distributed prefix sum, no whole-language window sort") {
     val p = plan(TextOps.tokenBudget(spark, dir))
-    assert(p.contains("Window"), s"no running-sum window in t8:\n$p")
-    // exactly one exchange: the hash partitioning on lang feeding the
-    // window sort — a second one would mean the cumsum re-shuffled
-    // (count the AQE-final tree only; the Initial Plan echoes it)
-    val finalTree = p.split("== Initial Plan ==")(0)
-    assert(finalTree.linesIterator.count(_.contains("Exchange (")) == 1,
-      s"t8 shuffled more than once:\n$p")
+    assertDistributedPrefix(p, "t8")
+  }
+
+  /** The DistributedPrefix contract (t8/t8b/t11/t12): the group's
+    * hash-ordered stream is RANGE-split across all partitions, the
+    * running aggregate is computed per (pid, lang) slice, offsets
+    * arrive by broadcast — and no data-sized window ever partitions
+    * by the bare language key (one task per language at any cluster
+    * size, the shape these entries used to have). */
+  private def assertDistributedPrefix(p: String, tag: String): Unit = {
+    assert("rangepartitioning\\(lang#\\d+".r.findFirstIn(p).isDefined,
+      s"$tag lost its range split on (lang, h, doc_id):\n$p")
+    assert("windowspecdefinition\\(__dp_pid#\\d+, lang#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"$tag's running window is not per-partition-slice (pid, lang):\n$p")
+    // the offsets window (lang ordered by pid, P×|langs| rows) is the
+    // only window allowed to partition by lang alone; the forbidden
+    // shape orders the DATA (by h) under a bare-lang partition
+    assert("windowspecdefinition\\(lang#\\d+, h#\\d+".r.findFirstIn(p).isEmpty,
+      s"$tag ranks a whole language in one window task:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"$tag's offset join is not broadcast:\n$p")
   }
 
   test("s8 PQ top-k: encode+ADC is one narrow projection, top-k never sorts fully") {
@@ -264,16 +279,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!read.contains("lang"), s"t10 did not prune the scan: $read")
   }
 
-  test("t8b BPE budget: t8's one-shuffle window shape, fold adds no exchange") {
+  test("t8b BPE budget: distributed prefix sum over the native BPE counts") {
     val p = plan(TextOps.tokenBudgetBpe(spark, dir))
-    assert(!p.contains("Join"), s"t8b joins:\n$p")
-    assert(p.contains("Window"), s"t8b lost the running window:\n$p")
-    // exactly ONE exchange: hashpartitioning on lang for the window.
-    // Count tree nodes in the AQE FINAL plan only — the formatted dump
-    // repeats the same exchange in the "Initial Plan" rendering.
-    val finalPlan = p.split("== Initial Plan ==")(0)
-    val exchanges = finalPlan.linesIterator.count(_.contains("- Exchange"))
-    assert(exchanges == 1, s"t8b has $exchanges exchanges (want 1):\n$p")
+    assertDistributedPrefix(p, "t8b")
+  }
+
+  test("t11 sequence pack / t12 fixed-k: same distributed prefix contract") {
+    assertDistributedPrefix(plan(TextOps.sequencePack(spark, dir)), "t11")
+    assertDistributedPrefix(plan(TextOps.fixedKSample(spark, dir)), "t12")
   }
 
   test("c1 corpus prep: four tiers collapse to one scan + one shuffle") {
