@@ -184,11 +184,27 @@ object CoreQueries {
 
   /** Window: rank per partition + filter (top-3 customers by balance
     * per nation). Net-new surface — the reference has no window
-    * functions (SURVEY.md §2.5). */
+    * functions (SURVEY.md §2.5).
+    *
+    * TWO-STAGE top-k, not one window over the 25-value nation key
+    * (which sorts 1/25th of all customers per task at any cluster
+    * size): stage 1 ranks within (salt, nation) — 64 balanced
+    * sub-groups per nation, the q33/q34 salting pattern — and keeps
+    * each sub-group's top 3, which every global top-3 row must be in;
+    * stage 2 re-ranks the ≤ 64×3 survivors per nation. The ordering
+    * is total (custkey tiebreak), so the result is identical. */
   def q15WindowRank(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    t(spark, dir, "customer")
+    val ord = Seq(col("c_acctbal").desc, col("c_custkey").asc)
+    val salted = t(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("salt", pmod(hash(col("c_custkey")), lit(64)))
+    val wLoc = Window.partitionBy(col("salt"), col("c_nationkey"))
+      .orderBy(ord: _*)
+    val survivors = salted
+      .withColumn("lrn", row_number().over(wLoc))
+      .filter(col("lrn") <= 3)
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(ord: _*)
+    survivors
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rn"))
@@ -210,21 +226,76 @@ object CoreQueries {
     * ranking and q16's running frame — ntile, percent_rank,
     * cume_dist, lead/lag, nth_value — over one deterministic
     * per-status ordering (unique o_orderkey tiebreak, so every
-    * function's output is total-order stable for the oracle). One
-    * shuffle on the partition key, one spillable sort: the same
-    * WindowExec shape however large the partition. */
-  def q35WindowSuite(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    t(spark, dir, "orders")
+    * function's output is total-order stable for the oracle).
+    *
+    * DERIVED from [[DistributedPrefix.rankedSlices]] rather than run
+    * through `Window.partitionBy(o_orderstatus)`: a 3-value partition
+    * key means the built-in WindowExec sorts the whole table in 3
+    * tasks at any cluster size. Every function here reduces to the
+    * distributed global rank plus broadcast-sized side tables:
+    *  - ntile/percent_rank/cume_dist are pure (rank, n) arithmetic
+    *    (exact integer bucket formula; the same (rank−1)/(n−1) and
+    *    rank/n divisions the built-ins compute, so floats match
+    *    bit-for-bit — the ordering is total, so there are no
+    *    cume_dist peer groups to worry about);
+    *  - lag/lead shift WITHIN each range-split slice; only each
+    *    slice's edge rows consult the neighbor slice's boundary row,
+    *    carried by a P×|status| broadcast;
+    *  - nth_value(3) under its default running frame is NULL below
+    *    rank 3, else the group's rank-3 value — one broadcast row
+    *    per status. */
+  def q35WindowSuite(spark: SparkSession, dir: String): DataFrame =
+    windowSuiteOn(t(spark, dir, "orders")
       .filter(col("o_custkey") <= 50)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("cum_dist", cume_dist().over(w))
-      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
-      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
-      .withColumn("third_price", nth_value(col("o_totalprice"), 3).over(w))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+
+  /** Source-parameterized form of [[q35WindowSuite]] (also drives the
+    * derived-vs-built-in parity spec at slice scale). */
+  def windowSuiteOn(base: DataFrame): DataFrame = {
+    val r = DistributedPrefix.rankedSlices(base, "o_orderstatus",
+      Seq("o_totalprice", "o_orderkey"), "pid", "loc", "cnt", "rn", "n")
+    // slice-local neighbor shift — same (pid, status) clustering and
+    // ordering as the rank window, so no extra exchange or sort
+    val wl = Window.partitionBy(col("pid"), col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val local = r
+      .withColumn("prev_l", lag(col("o_totalprice"), 1).over(wl))
+      .withColumn("next_l", lead(col("o_totalprice"), 1).over(wl))
+    // per-slice boundary rows (first/last in order) → each slice
+    // learns its neighbors' edge values through a tiny window by pid
+    val bounds = r.groupBy(col("pid"), col("o_orderstatus"))
+      .agg(min(struct(col("o_totalprice"), col("o_orderkey"))).as("f"),
+        max(struct(col("o_totalprice"), col("o_orderkey"))).as("l"))
+    val wb = Window.partitionBy(col("o_orderstatus")).orderBy(col("pid"))
+    val edges = bounds
+      .withColumn("prev_b", lag(col("l.o_totalprice"), 1).over(wb))
+      .withColumn("next_b", lead(col("f.o_totalprice"), 1).over(wb))
+      .select(col("pid"), col("o_orderstatus"), col("prev_b"), col("next_b"))
+    val third = r.filter(col("rn") === 3)
+      .select(col("o_orderstatus").as("tstatus"),
+        col("o_totalprice").as("third_v"))
+    // ntile(4) exact integer formula: the first n%4 buckets hold
+    // ceil(n/4) rows (lazy CASE guards the div when base = 0)
+    val bse = expr("n div 4")
+    val rem = col("n") % 4
+    val quartile =
+      when(col("rn") <= rem * (bse + 1L),
+        expr("(rn - 1) div (n div 4 + 1) + 1"))
+        .otherwise(rem + expr("(rn - n % 4 * (n div 4 + 1) - 1) div (n div 4)") + 1L)
+    local
+      .join(broadcast(edges), Seq("pid", "o_orderstatus"), "left")
+      .join(broadcast(third), col("o_orderstatus") === col("tstatus"), "left")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        quartile.cast("long").as("quartile"),
+        when(col("n") === 1L, lit(0.0))
+          .otherwise((col("rn") - 1L).cast("double") /
+            (col("n") - 1L).cast("double")).as("pct_rank"),
+        (col("rn").cast("double") / col("n").cast("double")).as("cum_dist"),
+        when(col("loc") === 1L, col("prev_b"))
+          .otherwise(col("prev_l")).as("prev_price"),
+        when(col("loc") === col("cnt"), col("next_b"))
+          .otherwise(col("next_l")).as("next_price"),
+        when(col("rn") >= 3L, col("third_v")).as("third_price"))
   }
 
   def q35OracleSql: String =

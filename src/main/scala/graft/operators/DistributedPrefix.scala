@@ -76,4 +76,45 @@ object DistributedPrefix {
       .withColumn(out, col("__dp_off") + col("__dp_local"))
       .select((df.columns :+ out).map(col): _*)
   }
+
+  /** ADVANCED primitive for derived window functions: the range-split
+    * slices with their bookkeeping EXPOSED, so a caller can rebuild
+    * rank-family functions (ntile, percent_rank, cume_dist via
+    * rank/n), frame lookups (nth_value via a rank-k broadcast) and
+    * neighbor functions (lag/lead via slice-local shift + a
+    * boundary-row broadcast) without any per-group global sort —
+    * see [[CoreQueries.q35WindowSuite]] for the full worked set.
+    *
+    * Adds to `df`:
+    *   - `pid`   — the range-split partition id of the row's slice
+    *   - `local` — 1-based row_number within the (pid, part) slice
+    *   - `cnt`   — the slice's row count
+    *   - `rank`  — 1-based global row_number within the part group
+    *   - `total` — the part group's total row count
+    * The slice window orders by (order...); the same ordering must be
+    * a total order (unique tiebreak) for `rank` to be deterministic. */
+  def rankedSlices(df: DataFrame, part: String, order: Seq[String],
+                   pid: String, local: String, cnt: String,
+                   rank: String, total: String): DataFrame = {
+    val p = parted(df, part, order)
+    val wo = Window.partitionBy(col(part)).orderBy(col(Pid))
+    val off = p.groupBy(col(Pid), col(part)).agg(count(lit(1)).as("__dp_c"))
+      .withColumn("__dp_off",
+        coalesce(sum(col("__dp_c")).over(wo), lit(0L)) - col("__dp_c"))
+      .withColumn("__dp_n", sum(col("__dp_c")).over(
+        Window.partitionBy(col(part))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(Pid), col(part), col("__dp_c"), col("__dp_off"), col("__dp_n"))
+    val wl = Window.partitionBy(col(Pid), col(part))
+      .orderBy(order.map(col): _*)
+    p.withColumn("__dp_local", row_number().over(wl).cast("long"))
+      .join(broadcast(off), Seq(Pid, part))
+      .withColumn(rank, col("__dp_off") + col("__dp_local"))
+      .withColumnRenamed(Pid, pid)
+      .withColumnRenamed("__dp_local", local)
+      .withColumnRenamed("__dp_c", cnt)
+      .withColumnRenamed("__dp_off", "__dp_drop_off")
+      .withColumnRenamed("__dp_n", total)
+      .drop("__dp_drop_off")
+  }
 }

@@ -58,6 +58,40 @@ class DistributedPrefixSpec extends AnyFunSuite {
     assert(out.count() == df.count())
   }
 
+  test("q35's derived window functions equal Spark's built-ins at slice scale") {
+    // q35's battery input is small; re-run its derivation logic
+    // against the built-in window functions on a frame that straddles
+    // many range slices per group (the boundary lag/lead path and the
+    // ntile bucket formula are what this pins)
+    val orders = df.select(
+      col("id").as("o_orderkey"),
+      col("grp").as("o_orderstatus"),
+      (col("ord") * 7 % 1000).cast("double").as("o_totalprice"),
+      lit(1L).as("o_custkey"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val want = orders
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cum_dist", cume_dist().over(w))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("third_price", nth_value(col("o_totalprice"), 3).over(w))
+      .select("o_orderkey", "quartile", "pct_rank", "cum_dist",
+        "prev_price", "next_price", "third_price")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val got = CoreQueries.windowSuiteOn(
+      orders.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice")))
+      .select("o_orderkey", "quartile", "pct_rank", "cum_dist",
+        "prev_price", "next_price", "third_price")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got.size == want.size)
+    val bad = want.keys.filter(k => got(k) != want(k)).take(3)
+    assert(bad.isEmpty, s"derived != built-in for ids $bad: " +
+      bad.map(k => s"$k: got ${got(k)} want ${want(k)}").mkString("; "))
+  }
+
   test("the range exchange is shared: offsets and slices read ONE shuffle") {
     val out = DistributedPrefix.sumBefore(df, "grp", Seq("ord", "id"), "v", "cum")
     out.collect()

@@ -64,6 +64,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q6:\n$p")
   }
 
+  test("q15 top-3 per nation: salted two-stage top-k, no 25-task sort") {
+    val p = plan(CoreQueries.q15WindowRank(spark, dir))
+    // stage 1 must rank within (salt, nation) — the data-sized sort
+    // is balanced over 64 sub-keys per nation, never per bare nation
+    assert("row_number\\(\\) windowspecdefinition\\(salt#\\d+, c_nationkey#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"q15 lost its salted first-stage ranking:\n$p")
+  }
+
+  test("q35 window suite: derived from rankedSlices, no bare-status data window") {
+    val p = plan(CoreQueries.q35WindowSuite(spark, dir))
+    assert("rangepartitioning\\(o_orderstatus#\\d+".r.findFirstIn(p).isDefined,
+      s"q35 lost its range split:\n$p")
+    // a window partitioned by the 3-value status key ordering the
+    // DATA (by totalprice) would be a 3-task sort; the only bare-
+    // status window allowed is the boundary/edge one ordered by pid
+    assert("windowspecdefinition\\(o_orderstatus#\\d+, o_totalprice#\\d+".r
+      .findFirstIn(p).isEmpty,
+      s"q35 sorts whole status groups in single window tasks:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"q35's edge/third joins are not broadcast:\n$p")
+  }
+
   test("q30 exact percentile: range-partitioned selection, no single-task sort") {
     val p = plan(CoreQueries.q30Percentiles(spark, dir))
     // the built-in `percentile` would appear as an ObjectHashAggregate
