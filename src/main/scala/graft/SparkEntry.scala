@@ -263,8 +263,13 @@ object SparkEntry {
         |    ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
         |FROM orders WHERE o_custkey <= 20""".stripMargin,
+    // MATERIALIZED: the CTE feeds both the join and the scalar max —
+    // inlined, DuckDB computes the parallel float sums TWICE with
+    // different chunking, and past ~1M rows the two evaluations can
+    // differ in the last ulp so `= max` matches nothing (seen at
+    // sf3). Materialized, both consumers read one result.
     "q17_cte_max_supplier" ->
-      """WITH revenue AS (
+      """WITH revenue AS MATERIALIZED (
         |  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

@@ -609,15 +609,15 @@ object TextOps {
     * shuffle_shard(source = …, shards = …, salt = …)`). */
   def shuffleShardOn(docs: DataFrame, shards: Int = 64,
                      salt: String = "graft_sh1"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col("h").asc, col("doc_id").asc)
-    docs
+    val base = docs
       .select(col("doc_id"), h.as("h"))
       .withColumn("shard", pmod(col("h"), lit(shards.toLong)).cast("long"))
-      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
-      .select(col("doc_id"), col("shard"), col("pos"))
+    // in-shard position via the distributed rank — one shard is
+    // corpus/shards rows, which a single window task would otherwise
+    // sort whole however the shard count is tuned
+    DistributedPrefix.rowNumber(base, "shard", Seq("h", "doc_id"), "rk")
+      .select(col("doc_id"), col("shard"), (col("rk") - 1L).as("pos"))
   }
 
   def shuffleShardOracleSql(shards: Int, salt: String): String =

@@ -333,14 +333,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans == 1, s"d11 scans documents $scans times (want 1):\n$p")
   }
 
-  test("t13 shuffle-shard: windows partition by shard, never a global sort") {
+  test("t13 shuffle-shard: distributed in-shard positions, never a global sort") {
     val p = plan(TextOps.shuffleShard(spark, dir))
-    // pos must come from a per-shard window (hashpartitioning on
-    // shard), NOT a single-partition global row_number — the former
-    // scales with shard count, the latter funnels 100 TB through one
-    // task
-    assert(p.contains("hashpartitioning(shard"),
-      s"t13 does not partition its window by shard:\n$p")
+    // pos comes from DistributedPrefix.rowNumber: range split on
+    // (shard, h, doc_id) and per-slice ranking — no task ever sorts a
+    // whole shard (corpus/shards rows however the count is tuned),
+    // and nothing funnels through a single partition
+    assert("rangepartitioning\\(shard#\\d+".r.findFirstIn(p).isDefined,
+      s"t13 lost its range split on (shard, h, doc_id):\n$p")
+    assert("row_number\\(\\) windowspecdefinition\\(__dp_pid#\\d+, shard#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"t13's ranking window is not per-partition-slice:\n$p")
+    assert("row_number\\(\\) windowspecdefinition\\(shard#\\d+".r
+      .findFirstIn(p).isEmpty,
+      s"t13 ranks a whole shard in one window task:\n$p")
     assert(!p.contains("SinglePartition"),
       s"t13 collapses to a single partition:\n$p")
   }
