@@ -253,24 +253,26 @@ object CoreQueries {
     * derived-vs-built-in parity spec at slice scale). */
   def windowSuiteOn(base: DataFrame): DataFrame = {
     val r = DistributedPrefix.rankedSlices(base, "o_orderstatus",
-      Seq("o_totalprice", "o_orderkey"), "pid", "loc", "cnt", "rn", "n")
-    // slice-local neighbor shift — same (pid, status) clustering and
-    // ordering as the rank window, so no extra exchange or sort
-    val wl = Window.partitionBy(col("pid"), col("o_orderstatus"))
+      Seq(col("o_totalprice").asc, col("o_orderkey").asc),
+      DistributedPrefix.logSlice(col("o_totalprice")),
+      "s", "loc", "cnt", "rn", "n")
+    // slice-local neighbor shift — same (slice, status) clustering
+    // and ordering as the rank window, so no extra exchange or sort
+    val wl = Window.partitionBy(col("s"), col("o_orderstatus"))
       .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
     val local = r
       .withColumn("prev_l", lag(col("o_totalprice"), 1).over(wl))
       .withColumn("next_l", lead(col("o_totalprice"), 1).over(wl))
     // per-slice boundary rows (first/last in order) → each slice
-    // learns its neighbors' edge values through a tiny window by pid
-    val bounds = r.groupBy(col("pid"), col("o_orderstatus"))
+    // learns its neighbors' edge values through a tiny window by slice
+    val bounds = r.groupBy(col("s"), col("o_orderstatus"))
       .agg(min(struct(col("o_totalprice"), col("o_orderkey"))).as("f"),
         max(struct(col("o_totalprice"), col("o_orderkey"))).as("l"))
-    val wb = Window.partitionBy(col("o_orderstatus")).orderBy(col("pid"))
+    val wb = Window.partitionBy(col("o_orderstatus")).orderBy(col("s"))
     val edges = bounds
       .withColumn("prev_b", lag(col("l.o_totalprice"), 1).over(wb))
       .withColumn("next_b", lead(col("f.o_totalprice"), 1).over(wb))
-      .select(col("pid"), col("o_orderstatus"), col("prev_b"), col("next_b"))
+      .select(col("s"), col("o_orderstatus"), col("prev_b"), col("next_b"))
     val third = r.filter(col("rn") === 3)
       .select(col("o_orderstatus").as("tstatus"),
         col("o_totalprice").as("third_v"))
@@ -283,7 +285,7 @@ object CoreQueries {
         expr("(rn - 1) div (n div 4 + 1) + 1"))
         .otherwise(rem + expr("(rn - n % 4 * (n div 4 + 1) - 1) div (n div 4)") + 1L)
     local
-      .join(broadcast(edges), Seq("pid", "o_orderstatus"), "left")
+      .join(broadcast(edges), Seq("s", "o_orderstatus"), "left")
       .join(broadcast(third), col("o_orderstatus") === col("tstatus"), "left")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         quartile.cast("long").as("quartile"),
@@ -527,58 +529,41 @@ object CoreQueries {
     * stats per group — the percentile family from the extension
     * surface (SURVEY.md §2.7 "absent whole categories").
     *
-    * Formulated as a RANGE-PARTITIONED DISTRIBUTED SELECTION, not
-    * the built-in `percentile` aggregate and not a per-group window
-    * sort: `percentile` buffers every group value in one executor
-    * array (OOM once a group holds billions of rows), and ranking
-    * via row_number over a per-group window full-sorts each group in
-    * ONE task — with a 3-value group key that is 3 tasks sorting the
-    * whole table, at any cluster size. Instead:
-    *
-    *  1. `repartitionByRange(g, v)` splits every group's values
-    *     across ALL shuffle partitions in sorted partition order.
-    *  2. A tiny aggregate counts rows per (partition, group); a
-    *     window over this P×|g|-row table turns counts into each
-    *     partition's global rank OFFSET for the group (and group
-    *     totals n).
-    *  3. Each partition ranks only its own slice (row_number over
-    *     (pid, g) — P×|g| window partitions, each ~1/P of the data),
-    *     and global_rank = offset + local_rank.
-    *  4. The 6 wanted ranks per group (floor/ceil of p·(n−1) for
-    *     each percentile, with interpolation weights) are derived
-    *     declaratively from n and broadcast; a broadcast join keeps
-    *     only the ≤6 hit rows per group, and a map-side-combined sum
-    *     interpolates — term-for-term the Spark Percentile/DuckDB
-    *     quantile_cont arithmetic (lower·(hi−pos) + upper·(pos−lo)),
-    *     so the oracle hash still matches bit-exactly.
-    *
-    * Sort parallelism is therefore NOT bounded by group cardinality:
-    * every core sorts ~|data|/P rows whatever the group key. q31's
-    * sketch remains the single-shuffle 100 TB default; this is the
-    * exact tier done scalably. */
+    * Formulated as a SLICED DISTRIBUTED SELECTION over
+    * [[DistributedPrefix.rankedSlices]], not the built-in
+    * `percentile` aggregate and not a per-group window sort:
+    * `percentile` buffers every group value in one executor array
+    * (OOM once a group holds billions of rows), and ranking via
+    * row_number over a per-group window full-sorts each group in ONE
+    * task — with a 3-value group key that is 3 tasks sorting the
+    * whole table, at any cluster size. Here the value's own
+    * log-bucket ([[DistributedPrefix.logSlice]], weakly monotone, no
+    * range sampling) splits each group's ordered values into ~64
+    * slices per octave; slice ranks plus broadcast offsets give the
+    * global rank, and a broadcast join keeps only the 6 floor/ceil
+    * target ranks per group (derived declaratively from the group
+    * counts the stats pass already computes) before the
+    * interpolating sum — term-for-term the Spark Percentile/DuckDB
+    * quantile_cont arithmetic (lower·(hi−pos) + upper·(pos−lo)), so
+    * the oracle hash still matches bit-exactly. ONE full-data
+    * exchange; sort parallelism bounded by the value distribution,
+    * never by group cardinality. q31's sketch remains the
+    * single-pass 100 TB default; this is the exact tier done
+    * scalably. */
   def q30Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val base = t(spark, dir, "lineitem")
       .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
     // min/max/group presence come from the UNFILTERED rows, so a
     // group whose values are all NULL still appears (with NULL
     // percentiles) — matching the built-in aggregate and the oracle.
+    // count(v) skips NULLs: exactly the ranked row population.
     val stats = base.groupBy(col("g"))
-      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(col("v")).as("n"))
     val l = base.filter(col("v").isNotNull)
-    // (1) range-split each group's sorted values across all partitions.
-    // The two consumers below share this exchange (ReuseExchange), so
-    // pid labels are consistent between the count and rank branches.
-    val parted = l.repartitionByRange(col("g"), col("v"))
-      .withColumn("pid", spark_partition_id())
-    // (2) per-(partition, group) counts → per-partition rank offsets
-    val pc = parted.groupBy(col("pid"), col("g")).agg(count(lit(1)).as("c"))
-    val wo = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).orderBy(col("pid"))
-    val offsets = pc
-      .withColumn("off", coalesce(sum(col("c")).over(wo), lit(0L)) - col("c"))
-      .select(col("pid"), col("g"), col("off"))
-    val counts = pc.groupBy(col("g")).agg(sum(col("c")).as("n"))
-    // (4) wanted global ranks + interpolation weights, 2 rows per
+    val r = DistributedPrefix.rankedSlices(l, "g", Seq(col("v")),
+      DistributedPrefix.logSlice(col("v")), "s", "loc", "cnt", "rn", "nn")
+    // wanted 1-BASED global ranks + interpolation weights, 2 rows per
     // percentile per group, derived declaratively from n (no collect)
     val targets = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
     val wantedStructs = targets.flatMap { case (p, tag) =>
@@ -586,26 +571,19 @@ object CoreQueries {
       val lower = floor(pos)
       val higher = ceil(pos)
       Seq(
-        struct(lit(tag).as("tag"), lower.as("rank"),
+        struct(lit(tag).as("tag"), (lower + 1L).as("rank"),
           when(lower === higher, lit(1.0))
             .otherwise(higher.cast("double") - pos).as("w")),
-        struct(lit(tag).as("tag"), higher.as("rank"),
+        struct(lit(tag).as("tag"), (higher + 1L).as("rank"),
           when(lower === higher, lit(0.0))
             .otherwise(pos - lower.cast("double")).as("w")))
     }
-    val wanted = counts
+    val wanted = stats
       .select(col("g").as("wg"), explode(array(wantedStructs: _*)).as("t"))
       .select(col("wg"), col("t.tag").as("tag"),
         col("t.rank").as("trank"), col("t.w").as("w"))
-    // (3) local rank within the partition slice → global rank; keep
-    // only the wanted ranks via the broadcast join
-    val wl = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("pid"), col("g")).orderBy(col("v"))
-    val hits = parted.withColumn("rn", row_number().over(wl))
-      .join(broadcast(offsets), Seq("pid", "g"))
-      .withColumn("grank", col("off") + col("rn") - 1)
-      .join(broadcast(wanted),
-        col("g") === col("wg") && col("grank") === col("trank"))
+    val hits = r.join(broadcast(wanted),
+      col("g") === col("wg") && col("rn") === col("trank"))
     def pct(tag: String, name: String) =
       sum(when(col("tag") === tag, col("v") * col("w"))
         .otherwise(lit(0.0))).as(name)

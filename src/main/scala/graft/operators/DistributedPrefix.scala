@@ -8,113 +8,138 @@ import org.apache.spark.sql.functions._
   *
   * `Window.partitionBy(lang).orderBy(...)` executes each group in ONE
   * task — for a per-language corpus operator (token budgets, sequence
-  * packing, per-language sampling) that is one task sorting an entire
-  * language's documents at any cluster size, the same inherent bound
-  * the exact-percentile query had before its range-partitioned
-  * selection rewrite ([[CoreQueries.q30Percentiles]]).
+  * packing, per-language sampling) or a 3-value TPC-H group key
+  * (q30's percentiles, q35's window suite) that is one task sorting
+  * an entire group's data at any cluster size.
   *
-  * The fix is the textbook two-level scan: `repartitionByRange` over
-  * (part, order...) spreads each group across ALL shuffle partitions
-  * in sorted partition order, a tiny per-(partition, group) aggregate
-  * turns into per-partition global OFFSETS via a window over P×|g|
-  * rows, each partition then ranks/sums only its own slice, and
-  * global = offset + local. The range exchange is shared by the
-  * offset and main branches (ReuseExchange), so the data is shuffled
-  * once, plus one balanced (pid, part) exchange for the slice window —
-  * every core sorts ~|data|/P rows whatever the group cardinality.
+  * The fix is the textbook two-level scan, with the slice id DERIVED
+  * FROM THE ORDER KEY'S VALUE so that NO range partitioner (and no
+  * sampling pass — range sampling re-executes the child plan, a
+  * measured 2.6× slowdown when the child computes BPE token counts)
+  * is ever involved:
   *
-  * All arithmetic is integer (LONG counts/sums), so results are
-  * EXACTLY the rows the single-window form produces — the DuckDB
-  * oracles of the converted operators are unchanged and still
-  * hash-exact.
+  *  - order keys led by the salted 60-bit PORTABLE HASH (uniform by
+  *    construction) slice by the hash's top [[HashSliceBits]] bits;
+  *  - POSITIVE DOUBLE order keys (prices, scores) slice by
+  *    [[logSlice]] — `floor(log(v)·64)`, weakly monotone because
+  *    `Math.log` is documented semi-monotonic, ~64 slices per octave
+  *    of value range.
+  *
+  * Slice-major order equals global order, so: a tiny per-(slice,
+  * group) aggregate becomes global rank/sum OFFSETS through a window
+  * over the ≤slices×|groups|-row table, each slice ranks/sums only
+  * its own rows, and global = broadcast offset + local. ONE full-data
+  * hash exchange on (slice, group) serves the offset aggregate and
+  * the slice window alike (ReuseExchange, plan-pinned).
+  *
+  * All bookkeeping is integer (LONG counts/sums), so results are
+  * EXACTLY the single-window rows — the converted operators' DuckDB
+  * oracles are unchanged and still hash-exact.
   */
 object DistributedPrefix {
 
-  private val Pid = "__dp_pid"
+  /** 2^12 hash slices bound a slice to corpus/4096 rows while the
+    * offsets table stays broadcast-sized (≤ 4096×|groups| rows). */
+  val HashSliceBits = 12
 
-  private def parted(df: DataFrame, part: String, order: Seq[String]) =
-    df.repartitionByRange((part +: order).map(col): _*)
-      .withColumn(Pid, spark_partition_id())
+  /** ONE exchange on (slice, part), then a lazy localCheckpoint so the
+    * offset aggregate and the slice window read the SAME materialized
+    * rows: the input projection — possibly expensive (BPE counts) —
+    * computes once, and neither consumer re-shuffles (the checkpoint
+    * preserves the hash partitioning). Optimizer-level ReuseExchange
+    * cannot dedup the two branches here (column pruning diverges
+    * their exchange subtrees — verified on the executed plan), and
+    * the Engine's staging path already established the lazy
+    * localCheckpoint pattern (Engine.scala DML staging): the RDD is
+    * ContextCleaner-tracked and released when unreferenced. */
+  private def shared(sliced: DataFrame, part: String,
+                     sliceCol: String = "__dp_s"): DataFrame =
+    sliced.repartition(col(sliceCol), col(part))
+      .localCheckpoint(eager = false)
 
-  /** Per-partition-slice global offsets for `agg` of each (pid, part)
-    * cell: offset = total of all EARLIER partitions' cells of the
-    * same group. P×|groups| rows — broadcast-sized at any data size. */
-  private def offsets(p: DataFrame, part: String, cell: Column): DataFrame = {
-    val wo = Window.partitionBy(col(part)).orderBy(col(Pid))
-    p.groupBy(col(Pid), col(part)).agg(cell.as("__dp_c"))
+  private def hashSlice(hashCol: String): Column =
+    expr(s"$hashCol div ${1L << (60 - HashSliceBits)}")
+
+  /** Order-preserving slice id for a POSITIVE double order key:
+    * `floor(log(v)·64)` — ~64 slices per octave, weakly monotone in
+    * v (semi-monotonic log, exact positive-constant multiply, floor).
+    * Ties share a slice; the slice window breaks them locally. */
+  def logSlice(v: Column): Column =
+    floor(log(greatest(v, lit(java.lang.Double.MIN_NORMAL))) * 64.0)
+      .cast("long")
+
+  private def offsets(p: DataFrame, part: String, slice: String,
+                      cell: Column): DataFrame = {
+    val wo = Window.partitionBy(col(part)).orderBy(col(slice))
+    p.groupBy(col(slice), col(part)).agg(cell.as("__dp_c"))
       .withColumn("__dp_off",
         coalesce(sum(col("__dp_c")).over(wo), lit(0L)) - col("__dp_c"))
-      .select(col(Pid), col(part), col("__dp_off"))
+      .select(col(slice), col(part), col("__dp_c"), col("__dp_off"))
   }
 
   /** `out` = sum of `value` over all rows STRICTLY BEFORE this row in
-    * (order...) order within its `part` group — the running-budget
-    * frame (`ROWS UNBOUNDED PRECEDING AND 1 PRECEDING`), distributed. */
-  def sumBefore(df: DataFrame, part: String, order: Seq[String],
-                value: String, out: String): DataFrame = {
-    val p = parted(df, part, order)
-    val off = offsets(p, part, sum(col(value)))
-    val wl = Window.partitionBy(col(Pid), col(part))
-      .orderBy(order.map(col): _*)
+    * (hashCol, tie) order within its `part` group — the running-
+    * budget frame, hash-bit-sliced. */
+  def sumBeforeHashOrdered(df: DataFrame, part: String, hashCol: String,
+                           tie: String, value: String,
+                           out: String): DataFrame = {
+    val p = shared(df.withColumn("__dp_s", hashSlice(hashCol)), part)
+    val off = offsets(p, part, "__dp_s", sum(col(value)))
+      .drop("__dp_c")
+    val wl = Window.partitionBy(col("__dp_s"), col(part))
+      .orderBy(col(hashCol), col(tie))
       .rowsBetween(Window.unboundedPreceding, -1)
     p.withColumn("__dp_local", coalesce(sum(col(value)).over(wl), lit(0L)))
-      .join(broadcast(off), Seq(Pid, part))
+      .join(broadcast(off), Seq("__dp_s", part))
       .withColumn(out, col("__dp_off") + col("__dp_local"))
       .select((df.columns :+ out).map(col): _*)
   }
 
-  /** `out` = 1-based row_number() in (order...) order within its
-    * `part` group, distributed. */
-  def rowNumber(df: DataFrame, part: String, order: Seq[String],
-                out: String): DataFrame = {
-    val p = parted(df, part, order)
-    val off = offsets(p, part, count(lit(1)))
-    val wl = Window.partitionBy(col(Pid), col(part))
-      .orderBy(order.map(col): _*)
+  /** `out` = 1-based row_number() in (hashCol, tie) order within its
+    * `part` group, hash-bit-sliced. */
+  def rowNumberHashOrdered(df: DataFrame, part: String, hashCol: String,
+                           tie: String, out: String): DataFrame = {
+    val p = shared(df.withColumn("__dp_s", hashSlice(hashCol)), part)
+    val off = offsets(p, part, "__dp_s", count(lit(1))).drop("__dp_c")
+    val wl = Window.partitionBy(col("__dp_s"), col(part))
+      .orderBy(col(hashCol), col(tie))
     p.withColumn("__dp_local", row_number().over(wl).cast("long"))
-      .join(broadcast(off), Seq(Pid, part))
+      .join(broadcast(off), Seq("__dp_s", part))
       .withColumn(out, col("__dp_off") + col("__dp_local"))
       .select((df.columns :+ out).map(col): _*)
   }
 
-  /** ADVANCED primitive for derived window functions: the range-split
-    * slices with their bookkeeping EXPOSED, so a caller can rebuild
-    * rank-family functions (ntile, percent_rank, cume_dist via
-    * rank/n), frame lookups (nth_value via a rank-k broadcast) and
-    * neighbor functions (lag/lead via slice-local shift + a
-    * boundary-row broadcast) without any per-group global sort —
-    * see [[CoreQueries.q35WindowSuite]] for the full worked set.
+  /** ADVANCED primitive for derived window functions: the slices with
+    * their bookkeeping EXPOSED, so a caller can rebuild rank-family
+    * functions (ntile, percent_rank, cume_dist via rank/n), frame
+    * lookups (nth_value via a rank-k broadcast) and neighbor
+    * functions (lag/lead via slice-local shift + a boundary-row
+    * broadcast) without any per-group global sort — see
+    * [[CoreQueries.q30Percentiles]] (rank selection) and
+    * [[CoreQueries.q35WindowSuite]] (the full worked set).
     *
-    * Adds to `df`:
-    *   - `pid`   — the range-split partition id of the row's slice
-    *   - `local` — 1-based row_number within the (pid, part) slice
-    *   - `cnt`   — the slice's row count
-    *   - `rank`  — 1-based global row_number within the part group
-    *   - `total` — the part group's total row count
-    * The slice window orders by (order...); the same ordering must be
-    * a total order (unique tiebreak) for `rank` to be deterministic. */
-  def rankedSlices(df: DataFrame, part: String, order: Seq[String],
-                   pid: String, local: String, cnt: String,
-                   rank: String, total: String): DataFrame = {
-    val p = parted(df, part, order)
-    val wo = Window.partitionBy(col(part)).orderBy(col(Pid))
-    val off = p.groupBy(col(Pid), col(part)).agg(count(lit(1)).as("__dp_c"))
-      .withColumn("__dp_off",
-        coalesce(sum(col("__dp_c")).over(wo), lit(0L)) - col("__dp_c"))
+    * `slice` must be weakly monotone in the leading order key
+    * ([[logSlice]] for positive doubles). Adds to `df`:
+    *   - `sliceCol` — the row's slice id
+    *   - `local`    — 1-based row_number within the (slice, part) slice
+    *   - `cnt`      — the slice's row count
+    *   - `rank`     — 1-based global row_number within the part group
+    *   - `total`    — the part group's total row count */
+  def rankedSlices(df: DataFrame, part: String, order: Seq[Column],
+                   slice: Column, sliceCol: String, local: String,
+                   cnt: String, rank: String, total: String): DataFrame = {
+    val p = shared(df.withColumn(sliceCol, slice), part, sliceCol)
+    val off = offsets(p, part, sliceCol, count(lit(1)))
       .withColumn("__dp_n", sum(col("__dp_c")).over(
         Window.partitionBy(col(part))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col(Pid), col(part), col("__dp_c"), col("__dp_off"), col("__dp_n"))
-    val wl = Window.partitionBy(col(Pid), col(part))
-      .orderBy(order.map(col): _*)
+    val wl = Window.partitionBy(col(sliceCol), col(part)).orderBy(order: _*)
     p.withColumn("__dp_local", row_number().over(wl).cast("long"))
-      .join(broadcast(off), Seq(Pid, part))
+      .join(broadcast(off), Seq(sliceCol, part))
       .withColumn(rank, col("__dp_off") + col("__dp_local"))
-      .withColumnRenamed(Pid, pid)
       .withColumnRenamed("__dp_local", local)
       .withColumnRenamed("__dp_c", cnt)
-      .withColumnRenamed("__dp_off", "__dp_drop_off")
       .withColumnRenamed("__dp_n", total)
-      .drop("__dp_drop_off")
+      .drop("__dp_off")
   }
 }

@@ -193,10 +193,11 @@ object TextOps {
     * under reshards), keeping every document whose PRECEDING
     * cumulative token total is still under budget — the greedy fill
     * a pretraining mix actually uses. The running total is a
-    * [[DistributedPrefix.sumBefore]]: each language's hash-ordered
-    * stream is range-split across every partition and summed as
-    * per-slice locals + broadcast offsets, so no task ever sorts a
-    * whole language however large the corpus. */
+    * [[DistributedPrefix.sumBeforeHashOrdered]]: each language's
+    * hash-ordered stream is sliced by the hash's own top bits (no
+    * range sampling — the hash is uniform by construction) and
+    * summed as per-slice locals + broadcast offsets, so no task ever
+    * sorts a whole language however large the corpus. */
   def tokenBudget(spark: SparkSession, dir: String, budgetTokens: Long = 2000L,
                   salt: String = "graft_v1"): DataFrame =
     tokenBudgetOn(t(spark, dir, "documents"), budgetTokens, salt)
@@ -210,7 +211,7 @@ object TextOps {
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
         h.as("h"))
     DistributedPrefix
-      .sumBefore(base, "lang", Seq("h", "doc_id"), "n_tokens", "cum_before")
+      .sumBeforeHashOrdered(base, "lang", "h", "doc_id", "n_tokens", "cum_before")
       .filter(col("cum_before") < budgetTokens)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
   }
@@ -485,7 +486,7 @@ object TextOps {
     val base = docs
       .select(col("doc_id"), col("lang"), bpeDocTokens.as("n_tokens"), h.as("h"))
     DistributedPrefix
-      .sumBefore(base, "lang", Seq("h", "doc_id"), "n_tokens", "cum_before")
+      .sumBeforeHashOrdered(base, "lang", "h", "doc_id", "n_tokens", "cum_before")
       .filter(col("cum_before") < budgetTokens)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
   }
@@ -515,10 +516,10 @@ object TextOps {
     * All-integer outputs over t10's BPE counts, so the oracle
     * hash-matches bit-for-bit.
     *
-    * 100 TB shape: identical to t8/t8b — a range-split
-    * [[DistributedPrefix.sumBefore]] running total (no per-language
-    * single-task sort); the division/modulo are free row-local
-    * arithmetic on its output. */
+    * 100 TB shape: identical to t8/t8b — a hash-sliced
+    * [[DistributedPrefix.sumBeforeHashOrdered]] running total (no
+    * per-language single-task sort); the division/modulo are free
+    * row-local arithmetic on its output. */
   def sequencePack(spark: SparkSession, dir: String, ctxTokens: Long = 512L,
                    salt: String = "graft_v1"): DataFrame =
     sequencePackOn(t(spark, dir, "documents"), ctxTokens, salt)
@@ -530,7 +531,7 @@ object TextOps {
     val base = docs
       .select(col("doc_id"), col("lang"), bpeDocTokens.as("n_tokens"), h.as("h"))
     DistributedPrefix
-      .sumBefore(base, "lang", Seq("h", "doc_id"), "n_tokens", "cum_before")
+      .sumBeforeHashOrdered(base, "lang", "h", "doc_id", "n_tokens", "cum_before")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         // integer `div`, not double `/`+cast: exact past 2^53 tokens
         expr(s"cum_before div $ctxTokens").as("example_id"),
@@ -561,9 +562,10 @@ object TextOps {
     * Deterministic: rank by the salted portable hash (doc_id
     * tiebreak), keep rank ≤ k — the same reproducibility contract as
     * t5/t7, and adding documents only ever displaces the highest
-    * hashes. Ranked by [[DistributedPrefix.rowNumber]] (per-slice
-    * row_number + broadcast count offsets over a range split), so no
-    * task ever sorts a whole language; k rows per stratum survive. */
+    * hashes. Ranked by [[DistributedPrefix.rowNumberHashOrdered]]
+    * (per-slice row_number + broadcast count offsets over hash-bit
+    * slices), so no task ever sorts a whole language; k rows per
+    * stratum survive. */
   def fixedKSample(spark: SparkSession, dir: String, k: Int = 50,
                    salt: String = "graft_k1"): DataFrame =
     fixedKSampleOn(t(spark, dir, "documents"), k, salt)
@@ -573,7 +575,7 @@ object TextOps {
                      salt: String = "graft_k1"): DataFrame = {
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
     val base = docs.select(col("doc_id"), col("lang"), h.as("h"))
-    DistributedPrefix.rowNumber(base, "lang", Seq("h", "doc_id"), "rk")
+    DistributedPrefix.rowNumberHashOrdered(base, "lang", "h", "doc_id", "rk")
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("lang"), col("rk"))
   }
@@ -616,7 +618,7 @@ object TextOps {
     // in-shard position via the distributed rank — one shard is
     // corpus/shards rows, which a single window task would otherwise
     // sort whole however the shard count is tuned
-    DistributedPrefix.rowNumber(base, "shard", Seq("h", "doc_id"), "rk")
+    DistributedPrefix.rowNumberHashOrdered(base, "shard", "h", "doc_id", "rk")
       .select(col("doc_id"), col("shard"), (col("rk") - 1L).as("pos"))
   }
 

@@ -26,36 +26,71 @@ class DistributedPrefixSpec extends AnyFunSuite {
     rows.toDF("id", "grp", "ord", "v")
   }
 
-  test("sumBefore equals the single-window running frame") {
+  test("logSlice is weakly monotone and rankedSlices matches the single window") {
+    // doubles spanning many octaves, with ties and tiny values
+    val vals = df.select(col("id"), col("grp"),
+      (col("ord").cast("double") * col("ord").cast("double") + 0.5).as("dv"))
     val w = Window.partitionBy(col("grp"))
-      .orderBy(col("ord").asc, col("id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val want = df
-      .withColumn("cum", coalesce(sum(col("v")).over(w), lit(0L)))
-      .select("id", "cum").as[(Long, Long)].collect().toMap
-    val got = DistributedPrefix
-      .sumBefore(df, "grp", Seq("ord", "id"), "v", "cum")
-      .select("id", "cum").as[(Long, Long)].collect().toMap
-    assert(got.size == want.size)
-    assert(got == want)
-  }
-
-  test("rowNumber equals the single-window rank") {
-    val w = Window.partitionBy(col("grp"))
-      .orderBy(col("ord").asc, col("id").asc)
-    val want = df
-      .withColumn("rk", row_number().over(w).cast("long"))
+      .orderBy(col("dv").asc, col("id").asc)
+    val want = vals.withColumn("rk", row_number().over(w).cast("long"))
       .select("id", "rk").as[(Long, Long)].collect().toMap
-    val got = DistributedPrefix
-      .rowNumber(df, "grp", Seq("ord", "id"), "rk")
+    val got = DistributedPrefix.rankedSlices(vals, "grp",
+      Seq(col("dv").asc, col("id").asc),
+      DistributedPrefix.logSlice(col("dv")),
+      "s", "loc", "cnt", "rk", "n")
       .select("id", "rk").as[(Long, Long)].collect().toMap
     assert(got == want)
+    val slices = vals.select(DistributedPrefix.logSlice(col("dv")))
+      .distinct().count()
+    assert(slices > 50, s"log slices degenerate: $slices")
   }
 
   test("input columns and row count are preserved") {
-    val out = DistributedPrefix.sumBefore(df, "grp", Seq("ord", "id"), "v", "cum")
-    assert(out.columns.toSeq == Seq("id", "grp", "ord", "v", "cum"))
-    assert(out.count() == df.count())
+    val out = DistributedPrefix
+      .sumBeforeHashOrdered(hdf, "grp", "h", "id", "v", "cum")
+    assert(out.columns.toSeq == Seq("id", "grp", "h", "v", "cum"))
+    assert(out.count() == hdf.count())
+  }
+
+  // 60-bit-uniform "hash" column for the hash-ordered variants: top
+  // HashSliceBits bits must actually vary or slicing degenerates
+  private lazy val hdf = {
+    val rows = (1 to 5000).map { i =>
+      val g = if (i % 2 == 0) "a" else "bcdefghij" (i % 9).toString
+      val h = (i.toLong * 0x9E3779B97F4A7C15L) & ((1L << 60) - 1)
+      (i.toLong, g, h, (i % 37).toLong)
+    }
+    rows.toDF("id", "grp", "h", "v")
+  }
+
+  test("sumBeforeHashOrdered equals the single-window running frame") {
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("h").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = hdf
+      .withColumn("cum", coalesce(sum(col("v")).over(w), lit(0L)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val got = DistributedPrefix
+      .sumBeforeHashOrdered(hdf, "grp", "h", "id", "v", "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // and the slices genuinely split the data
+    val slices = hdf.select(
+      expr(s"h div ${1L << (60 - DistributedPrefix.HashSliceBits)}"))
+      .distinct().count()
+    assert(slices > 100, s"hash slices degenerate: $slices")
+  }
+
+  test("rowNumberHashOrdered equals the single-window rank") {
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("h").asc, col("id").asc)
+    val want = hdf
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select("id", "rk").as[(Long, Long)].collect().toMap
+    val got = DistributedPrefix
+      .rowNumberHashOrdered(hdf, "grp", "h", "id", "rk")
+      .select("id", "rk").as[(Long, Long)].collect().toMap
+    assert(got == want)
   }
 
   test("q35's derived window functions equal Spark's built-ins at slice scale") {
@@ -92,14 +127,28 @@ class DistributedPrefixSpec extends AnyFunSuite {
       bad.map(k => s"$k: got ${got(k)} want ${want(k)}").mkString("; "))
   }
 
-  test("the range exchange is shared: offsets and slices read ONE shuffle") {
-    val out = DistributedPrefix.sumBefore(df, "grp", Seq("ord", "id"), "v", "cum")
+  test("the sliced frame materializes ONCE: both consumers read the checkpoint") {
+    val out = DistributedPrefix
+      .sumBeforeHashOrdered(hdf, "grp", "h", "id", "v", "cum")
     out.collect()
     val p = out.queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     val finalTree = p.split("== Initial Plan ==")(0)
-    assert(finalTree.contains("ReusedExchange") ||
-      "rangepartitioning".r.findAllIn(finalTree).length == 1,
-      s"range shuffle executed twice:\n$p")
+    // no range partitioner (no sampling pass re-executing the child);
+    // the input projection + (slice, grp) shuffle ran inside the lazy
+    // localCheckpoint, so the visible plan reads the SAME materialized
+    // RDD in both branches and re-shuffles neither (the checkpoint
+    // preserves the hash partitioning — the only exchange left is the
+    // tiny per-group offsets window)
+    assert(!p.contains("rangepartitioning"),
+      s"hash-ordered variant pays a range-sampling pass:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(finalTree).length >= 2,
+      s"consumers do not share the checkpointed slice frame:\n$p")
+    assert(!finalTree.contains("LocalTableScan"),
+      s"a consumer recomputed the source instead of the checkpoint:\n$p")
+    val dataExchanges = finalTree.linesIterator
+      .count(l => l.contains("- Exchange") && l.contains("__dp_s"))
+    assert(dataExchanges == 0,
+      s"a consumer re-shuffled the checkpointed frame:\n$p")
   }
 }

@@ -75,11 +75,16 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q35 window suite: derived from rankedSlices, no bare-status data window") {
     val p = plan(CoreQueries.q35WindowSuite(spark, dir))
-    assert("rangepartitioning\\(o_orderstatus#\\d+".r.findFirstIn(p).isDefined,
-      s"q35 lost its range split:\n$p")
+    // slice ids are value-derived (logSlice) — no range partitioner,
+    // no sampling pass; the ranking window is per (slice, status)
+    assert(!p.contains("rangepartitioning"),
+      s"q35 pays a range-sampling pass it does not need:\n$p")
+    assert("windowspecdefinition\\(s#\\d+L?, o_orderstatus#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"q35's ranking window is not per-(slice, status):\n$p")
     // a window partitioned by the 3-value status key ordering the
     // DATA (by totalprice) would be a 3-task sort; the only bare-
-    // status window allowed is the boundary/edge one ordered by pid
+    // status window allowed is the boundary/edge one ordered by slice
     assert("windowspecdefinition\\(o_orderstatus#\\d+, o_totalprice#\\d+".r
       .findFirstIn(p).isEmpty,
       s"q35 sorts whole status groups in single window tasks:\n$p")
@@ -87,22 +92,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q35's edge/third joins are not broadcast:\n$p")
   }
 
-  test("q30 exact percentile: range-partitioned selection, no single-task sort") {
+  test("q30 exact percentile: sliced selection, no single-task sort") {
     val p = plan(CoreQueries.q30Percentiles(spark, dir))
     // the built-in `percentile` would appear as an ObjectHashAggregate
     // holding every group value in one executor array
     assert(!p.contains("ObjectHashAggregate") && !p.contains("percentile("),
       s"q30 fell back to a buffered percentile aggregate:\n$p")
-    // the data must be RANGE-split on (g, v) — each group's values
-    // spread across all partitions — and ranked per partition slice:
-    // the ranking window partitions by (pid, g), never by g alone
-    // (which would full-sort each group in ONE task at any cluster
-    // size — the shape this spec exists to forbid)
-    assert("rangepartitioning\\(g#\\d+".r.findFirstIn(p).isDefined,
-      s"q30 lost its range repartitioning on (g, v):\n$p")
-    assert("row_number\\(\\) windowspecdefinition\\(pid#\\d+, g#\\d+".r
+    // slice ids are value-derived (logSlice) — no range partitioner,
+    // no sampling pass — and ranking is per (slice, g), never by g
+    // alone (which would full-sort each group in ONE task at any
+    // cluster size — the shape this spec exists to forbid)
+    assert(!p.contains("rangepartitioning"),
+      s"q30 pays a range-sampling pass it does not need:\n$p")
+    assert("row_number\\(\\) windowspecdefinition\\(s#\\d+L?, g#\\d+".r
       .findFirstIn(p).isDefined,
-      s"q30's ranking window is not per-partition-slice (pid, g):\n$p")
+      s"q30's ranking window is not per-(slice, g):\n$p")
     assert("row_number\\(\\) windowspecdefinition\\(g#\\d+".r
       .findFirstIn(p).isEmpty,
       s"q30 ranks with a per-group (single-task) window sort:\n$p")
@@ -218,20 +222,24 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   /** The DistributedPrefix contract (t8/t8b/t11/t12): the group's
-    * hash-ordered stream is RANGE-split across all partitions, the
-    * running aggregate is computed per (pid, lang) slice, offsets
-    * arrive by broadcast — and no data-sized window ever partitions
-    * by the bare language key (one task per language at any cluster
-    * size, the shape these entries used to have). */
+    * hash-ordered stream is sliced by the salted hash's own top bits
+    * (no range sampling — the hash is uniform), the running
+    * aggregate is computed per (slice, lang), offsets arrive by
+    * broadcast — and no data-sized window ever partitions by the
+    * bare language key (one task per language at any cluster size,
+    * the shape these entries used to have). ONE full-data exchange:
+    * the (slice, lang) hash shuffle serves the offset aggregate and
+    * the slice window alike (no rangepartitioning anywhere). */
   private def assertDistributedPrefix(p: String, tag: String): Unit = {
-    assert("rangepartitioning\\(lang#\\d+".r.findFirstIn(p).isDefined,
-      s"$tag lost its range split on (lang, h, doc_id):\n$p")
-    assert("windowspecdefinition\\(__dp_pid#\\d+, lang#\\d+".r
+    assert(!p.contains("rangepartitioning"),
+      s"$tag pays a range-sampling pass it does not need:\n$p")
+    assert("windowspecdefinition\\(__dp_s#\\d+L?, lang#\\d+".r
       .findFirstIn(p).isDefined,
-      s"$tag's running window is not per-partition-slice (pid, lang):\n$p")
-    // the offsets window (lang ordered by pid, P×|langs| rows) is the
-    // only window allowed to partition by lang alone; the forbidden
-    // shape orders the DATA (by h) under a bare-lang partition
+      s"$tag's running window is not per-hash-slice (slice, lang):\n$p")
+    // the offsets window (lang ordered by slice, ≤4096×|langs| rows)
+    // is the only window allowed to partition by lang alone; the
+    // forbidden shape orders the DATA (by h) under a bare-lang
+    // partition
     assert("windowspecdefinition\\(lang#\\d+, h#\\d+".r.findFirstIn(p).isEmpty,
       s"$tag ranks a whole language in one window task:\n$p")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
@@ -335,15 +343,13 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("t13 shuffle-shard: distributed in-shard positions, never a global sort") {
     val p = plan(TextOps.shuffleShard(spark, dir))
-    // pos comes from DistributedPrefix.rowNumber: range split on
-    // (shard, h, doc_id) and per-slice ranking — no task ever sorts a
-    // whole shard (corpus/shards rows however the count is tuned),
-    // and nothing funnels through a single partition
-    assert("rangepartitioning\\(shard#\\d+".r.findFirstIn(p).isDefined,
-      s"t13 lost its range split on (shard, h, doc_id):\n$p")
-    assert("row_number\\(\\) windowspecdefinition\\(__dp_pid#\\d+, shard#\\d+".r
+    // pos comes from DistributedPrefix.rowNumberHashOrdered: hash-bit
+    // slices and per-slice ranking — no task ever sorts a whole shard
+    // (corpus/shards rows however the count is tuned), and nothing
+    // funnels through a single partition
+    assert("row_number\\(\\) windowspecdefinition\\(__dp_s#\\d+L?, shard#\\d+".r
       .findFirstIn(p).isDefined,
-      s"t13's ranking window is not per-partition-slice:\n$p")
+      s"t13's ranking window is not per-hash-slice:\n$p")
     assert("row_number\\(\\) windowspecdefinition\\(shard#\\d+".r
       .findFirstIn(p).isEmpty,
       s"t13 ranks a whole shard in one window task:\n$p")
