@@ -550,9 +550,13 @@ object CoreQueries {
     * never by group cardinality. q31's sketch remains the
     * single-pass 100 TB default; this is the exact tier done
     * scalably. */
-  def q30Percentiles(spark: SparkSession, dir: String): DataFrame = {
-    val base = t(spark, dir, "lineitem")
-      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+  def q30Percentiles(spark: SparkSession, dir: String): DataFrame =
+    percentilesOn(t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v")))
+
+  /** Source-parameterized form of [[q30Percentiles]] over (g, v)
+    * columns (also drives the NULL-group/edge-case spec). */
+  def percentilesOn(base: DataFrame): DataFrame = {
     // min/max/group presence come from the UNFILTERED rows, so a
     // group whose values are all NULL still appears (with NULL
     // percentiles) — matching the built-in aggregate and the oracle.

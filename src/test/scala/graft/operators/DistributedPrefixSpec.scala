@@ -127,6 +127,50 @@ class DistributedPrefixSpec extends AnyFunSuite {
       bad.map(k => s"$k: got ${got(k)} want ${want(k)}").mkString("; "))
   }
 
+  test("hash-ordered variants survive adversarial ties: many rows per hash") {
+    // only 7 distinct h values — every slice boundary is a tie pile,
+    // ordering falls to the id tiebreak, and most slices are empty
+    val tied = (1 to 2000).map { i =>
+      val g = if (i % 3 == 0) "x" else "y"
+      val h = ((i % 7).toLong << 57) + 12345L // huge tie groups, top bits vary
+      (i.toLong, g, h, (i % 11).toLong)
+    }.toDF("id", "grp", "h", "v")
+    val w = Window.partitionBy(col("grp")).orderBy(col("h").asc, col("id").asc)
+    val wantRk = tied.withColumn("rk", row_number().over(w).cast("long"))
+      .select("id", "rk").as[(Long, Long)].collect().toMap
+    val gotRk = DistributedPrefix.rowNumberHashOrdered(tied, "grp", "h", "id", "rk")
+      .select("id", "rk").as[(Long, Long)].collect().toMap
+    assert(gotRk == wantRk)
+    val wb = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wantCum = tied.withColumn("cum", coalesce(sum(col("v")).over(wb), lit(0L)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val gotCum = DistributedPrefix
+      .sumBeforeHashOrdered(tied, "grp", "h", "id", "v", "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(gotCum == wantCum)
+  }
+
+  test("percentilesOn: all-NULL group appears with NULL percentiles; ties exact") {
+    val base = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 2.0), ("a", 100.0),
+      ("b", 7.5), ("b", null), ("c", null), ("c", null),
+      ("d", 42.0)).toDF("g", "v")
+    val out = CoreQueries.percentilesOn(base).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b", "c", "d"))
+    // c: all NULL — present, NULL stats and percentiles
+    assert(out("c").isNullAt(1) && out("c").isNullAt(4))
+    // d: single row — every percentile is the value itself
+    assert(out("d").getDouble(1) == 42.0 && out("d").getDouble(3) == 42.0)
+    // b: NULLs excluded — single ranked row
+    assert(out("b").getDouble(1) == 7.5)
+    // a: 5 values with a tie pile at 2.0 — p50 = rank-3 value = 2.0,
+    // p90 interpolates between ranks 4 and 5: 2*(0.4)+100*(0.6)... as
+    // quantile_cont: pos=0.9*4=3.6 -> 2.0*0.4 + 100.0*0.6 = 60.8
+    assert(out("a").getDouble(1) == 2.0)
+    assert(math.abs(out("a").getDouble(2) - 60.8) < 1e-9)
+  }
+
   test("the sliced frame materializes ONCE: both consumers read the checkpoint") {
     val out = DistributedPrefix
       .sumBeforeHashOrdered(hdf, "grp", "h", "id", "v", "cum")
