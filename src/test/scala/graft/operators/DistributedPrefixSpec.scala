@@ -154,10 +154,18 @@ class DistributedPrefixSpec extends AnyFunSuite {
     val base = Seq[(String, java.lang.Double)](
       ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 2.0), ("a", 100.0),
       ("b", 7.5), ("b", null), ("c", null), ("c", null),
-      ("d", 42.0)).toDF("g", "v")
+      ("d", 42.0),
+      // negatives and zero: logSlice collapses them into one slice
+      // (balance degrades, order does NOT — still weakly monotone)
+      ("e", -10.0), ("e", -2.0), ("e", 0.0), ("e", 4.0), ("e", 8.0)
+    ).toDF("g", "v")
     val out = CoreQueries.percentilesOn(base).collect()
       .map(r => r.getString(0) -> r).toMap
-    assert(out.keySet == Set("a", "b", "c", "d"))
+    assert(out.keySet == Set("a", "b", "c", "d", "e"))
+    // e: mixed-sign ordering is (-10, -2, 0, 4, 8) — p50 = 0.0, and
+    // p90 interpolates ranks 4..5: 4*0.4 + 8*0.6 = 6.4
+    assert(out("e").getDouble(1) == 0.0)
+    assert(math.abs(out("e").getDouble(2) - 6.4) < 1e-9)
     // c: all NULL — present, NULL stats and percentiles
     assert(out("c").isNullAt(1) && out("c").isNullAt(4))
     // d: single row — every percentile is the value itself
