@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
   * Slice-major order equals global order, so: a tiny per-(slice,
   * group) aggregate becomes global rank/sum OFFSETS through a window
   * over the ≤slices×|groups|-row table, each slice ranks/sums only
-  * its own rows, and global = broadcast offset + local. ONE full-data
+  * its own rows, and global = offset + local. The offsets join is
+  * left to AQE: at sane group counts it broadcasts (plan-pinned in
+  * the battery); with pathological |groups| (a 100k-shard t13) it
+  * degrades to a shuffle join instead of an over-limit broadcast
+  * collapse. ONE full-data
   * hash exchange on (slice, group) serves the offset aggregate and
   * the slice window alike (ReuseExchange, plan-pinned).
   *
@@ -55,7 +59,12 @@ object DistributedPrefix {
   private def shared(sliced: DataFrame, part: String,
                      sliceCol: String = "__dp_s"): DataFrame =
     sliced.repartition(col(sliceCol), col(part))
-      .localCheckpoint(eager = false)
+      // 2-replica storage: localCheckpoint truncates lineage, so an
+      // un-replicated block lost with its executor would abort the
+      // query instead of recomputing; one replica survives single
+      // executor loss (local mode: replication is a no-op)
+      .localCheckpoint(eager = false,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
 
   private def hashSlice(hashCol: String): Column =
     expr(s"$hashCol div ${1L << (60 - HashSliceBits)}")
@@ -65,13 +74,21 @@ object DistributedPrefix {
     * v (semi-monotonic log, exact positive-constant multiply, floor).
     * Ties share a slice; the slice window breaks them locally. */
   def logSlice(v: Column): Column =
-    floor(log(greatest(v, lit(java.lang.Double.MIN_NORMAL))) * 64.0)
-      .cast("long")
+    // NaN sorts LAST under Spark/DuckDB ascending order → top slice
+    // (floor(NaN).cast(long) would otherwise land it in slice 0 and
+    // silently corrupt ranks); negatives/zero collapse into the
+    // MIN_NORMAL floor slice — balance degrades, order does not
+    when(isnan(v), lit(Long.MaxValue)).otherwise(
+      floor(log(greatest(v, lit(java.lang.Double.MIN_NORMAL))) * 64.0)
+        .cast("long"))
 
   private def offsets(p: DataFrame, part: String, slice: String,
                       cell: Column): DataFrame = {
     val wo = Window.partitionBy(col(part)).orderBy(col(slice))
-    p.groupBy(col(slice), col(part)).agg(cell.as("__dp_c"))
+    // coalesce: a cell whose values are ALL NULL must contribute 0,
+    // not NULL-poison every later slice's offset (the single-window
+    // frame this replicates skips NULLs)
+    p.groupBy(col(slice), col(part)).agg(coalesce(cell, lit(0L)).as("__dp_c"))
       .withColumn("__dp_off",
         coalesce(sum(col("__dp_c")).over(wo), lit(0L)) - col("__dp_c"))
       .select(col(slice), col(part), col("__dp_c"), col("__dp_off"))
@@ -90,7 +107,7 @@ object DistributedPrefix {
       .orderBy(col(hashCol), col(tie))
       .rowsBetween(Window.unboundedPreceding, -1)
     p.withColumn("__dp_local", coalesce(sum(col(value)).over(wl), lit(0L)))
-      .join(broadcast(off), Seq("__dp_s", part))
+      .join(off, Seq("__dp_s", part))
       .withColumn(out, col("__dp_off") + col("__dp_local"))
       .select((df.columns :+ out).map(col): _*)
   }
@@ -104,7 +121,7 @@ object DistributedPrefix {
     val wl = Window.partitionBy(col("__dp_s"), col(part))
       .orderBy(col(hashCol), col(tie))
     p.withColumn("__dp_local", row_number().over(wl).cast("long"))
-      .join(broadcast(off), Seq("__dp_s", part))
+      .join(off, Seq("__dp_s", part))
       .withColumn(out, col("__dp_off") + col("__dp_local"))
       .select((df.columns :+ out).map(col): _*)
   }
@@ -135,7 +152,7 @@ object DistributedPrefix {
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val wl = Window.partitionBy(col(sliceCol), col(part)).orderBy(order: _*)
     p.withColumn("__dp_local", row_number().over(wl).cast("long"))
-      .join(broadcast(off), Seq(sliceCol, part))
+      .join(off, Seq(sliceCol, part))
       .withColumn(rank, col("__dp_off") + col("__dp_local"))
       .withColumnRenamed("__dp_local", local)
       .withColumnRenamed("__dp_c", cnt)

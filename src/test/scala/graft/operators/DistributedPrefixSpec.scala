@@ -179,6 +179,43 @@ class DistributedPrefixSpec extends AnyFunSuite {
     assert(math.abs(out("a").getDouble(2) - 60.8) < 1e-9)
   }
 
+  test("NaN order keys land in the top slice and rank last, like the built-in") {
+    val vals = Seq[(Long, String, java.lang.Double)](
+      (1L, "a", 2.0), (2L, "a", Double.NaN), (3L, "a", 3.0),
+      (4L, "a", 1.0), (5L, "b", Double.NaN), (6L, "b", 0.5)
+    ).toDF("id", "grp", "dv")
+    val w = Window.partitionBy(col("grp")).orderBy(col("dv").asc, col("id").asc)
+    val want = vals.withColumn("rk", row_number().over(w).cast("long"))
+      .select("id", "rk").as[(Long, Long)].collect().toMap
+    val got = DistributedPrefix.rankedSlices(vals, "grp",
+      Seq(col("dv").asc, col("id").asc), DistributedPrefix.logSlice(col("dv")),
+      "s", "loc", "cnt", "rk", "n")
+      .select("id", "rk").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got(2L) == 4L, s"NaN must rank last in its group: $got")
+  }
+
+  test("a slice whose values are all NULL does not poison later offsets") {
+    // slice = top 12 bits of h: rows 1..50 share one slice with v all
+    // NULL; rows 51..100 sit in a HIGHER slice — their cum must be 0
+    // (NULLs skipped), not NULL
+    val rows = (1 to 100).map { i =>
+      val slice = if (i <= 50) 1L else 2L
+      val h = (slice << 48) + i
+      val v: java.lang.Long = if (i <= 50) null else java.lang.Long.valueOf(1L)
+      (i.toLong, "g", h, v)
+    }.toDF("id", "grp", "h", "v")
+    val w = Window.partitionBy(col("grp")).orderBy(col("h").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = rows.withColumn("cum", coalesce(sum(col("v")).over(w), lit(0L)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val got = DistributedPrefix
+      .sumBeforeHashOrdered(rows, "grp", "h", "id", "v", "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got(51L) == 0L, s"first post-NULL-slice row must carry cum 0: $got")
+  }
+
   test("the sliced frame materializes ONCE: both consumers read the checkpoint") {
     val out = DistributedPrefix
       .sumBeforeHashOrdered(hdf, "grp", "h", "id", "v", "cum")
