@@ -131,6 +131,8 @@ class OperatorFacadeSpec extends AnyFunSuite {
     * would be vacuous, so non-emptiness is asserted where the
     * sf0.001 corpus produces rows). */
   private lazy val routeParity: Seq[(String, String, org.apache.spark.sql.DataFrame, Boolean)] = Seq(
+    ("percentiles", "EXECUTE OPERATOR percentiles(source = 'lineitem')",
+      graft.operators.CoreQueries.q30Percentiles(spark, dir), true),
     ("ngram_jaccard", "EXECUTE OPERATOR ngram_jaccard(source = 'documents', threshold = 0.5)",
       Dedup.ngramJaccard(spark, dir), true),
     ("simhash_dups", "EXECUTE OPERATOR simhash_dups(source = 'documents')",
