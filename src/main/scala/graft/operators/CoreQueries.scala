@@ -285,8 +285,8 @@ object CoreQueries {
         expr("(rn - 1) div (n div 4 + 1) + 1"))
         .otherwise(rem + expr("(rn - n % 4 * (n div 4 + 1) - 1) div (n div 4)") + 1L)
     local
-      .join(broadcast(edges), Seq("s", "o_orderstatus"), "left")
-      .join(broadcast(third), col("o_orderstatus") === col("tstatus"), "left")
+      .join(edges, Seq("s", "o_orderstatus"), "left")
+      .join(third, col("o_orderstatus") === col("tstatus"), "left")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         quartile.cast("long").as("quartile"),
         when(col("n") === 1L, lit(0.0))
@@ -586,7 +586,10 @@ object CoreQueries {
       .select(col("g").as("wg"), explode(array(wantedStructs: _*)).as("t"))
       .select(col("wg"), col("t.tag").as("tag"),
         col("t.rank").as("trank"), col("t.w").as("w"))
-    val hits = r.join(broadcast(wanted),
+    // no broadcast hint: AQE broadcasts the 6-rows-per-group table at
+    // sane group counts (plan-pinned) and falls back to a shuffle
+    // join if a pathological group column makes it over-limit
+    val hits = r.join(wanted,
       col("g") === col("wg") && col("rn") === col("trank"))
     def pct(tag: String, name: String) =
       sum(when(col("tag") === tag, col("v") * col("w"))
