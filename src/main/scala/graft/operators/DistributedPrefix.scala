@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   *    construction) slice by the hash's top [[HashSliceBits]] bits;
   *  - POSITIVE DOUBLE order keys (prices, scores) slice by
   *    [[logSlice]] — `floor(log(v)·64)`, weakly monotone because
-  *    `Math.log` is documented semi-monotonic, ~64 slices per octave
-  *    of value range.
+  *    `Math.log` is documented semi-monotonic, 64 slices per e-fold
+  *    (~44 per octave) of value range.
   *
   * Slice-major order equals global order, so: a tiny per-(slice,
   * group) aggregate becomes global rank/sum OFFSETS through a window
@@ -45,6 +45,29 @@ object DistributedPrefix {
   /** 2^12 hash slices bound a slice to corpus/4096 rows while the
     * offsets table stays broadcast-sized (≤ 4096×|groups| rows). */
   val HashSliceBits = 12
+
+  /** Gate for the sliced plan: inputs whose OPTIMIZER-ESTIMATED size
+    * (`optimizedPlan.stats.sizeInBytes` — file bytes scaled by the
+    * projection's column-width ratio, no job run) is under this many
+    * bytes take the plain single-window plan instead. At that size a
+    * whole group fits ONE task comfortably and the slice machinery's
+    * fixed cost (offsets aggregate + join, localCheckpoint) is pure
+    * overhead — a measured few hundred ms per call at sf0.1. Results
+    * are EXACTLY equal either way (the ordering is total); only the
+    * physical shape differs, so the oracle contract is
+    * branch-independent. Default-estimate inflation (joins multiply,
+    * filters don't shrink) only ever errs toward the sliced branch —
+    * the safe direction. Set to 0 to force slicing everywhere (the
+    * plan-shape specs do), or raise it to keep small-cluster jobs on
+    * the single-window plan longer. */
+  val SmallInputBytesKey = "graft.prefix.smallInputBytes"
+  val SmallInputBytesDefault: Long = 4L << 20
+
+  private def isSmall(df: DataFrame): Boolean = {
+    val thr = df.sparkSession.conf
+      .get(SmallInputBytesKey, SmallInputBytesDefault.toString).toLong
+    thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
+  }
 
   /** ONE exchange on (slice, part), then a lazy localCheckpoint so the
     * offset aggregate and the slice window read the SAME materialized
@@ -100,6 +123,11 @@ object DistributedPrefix {
   def sumBeforeHashOrdered(df: DataFrame, part: String, hashCol: String,
                            tie: String, value: String,
                            out: String): DataFrame = {
+    if (isSmall(df)) {
+      val w = Window.partitionBy(col(part)).orderBy(col(hashCol), col(tie))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      return df.withColumn(out, coalesce(sum(col(value)).over(w), lit(0L)))
+    }
     val p = shared(df.withColumn("__dp_s", hashSlice(hashCol)), part)
     val off = offsets(p, part, "__dp_s", sum(col(value)))
       .drop("__dp_c")
@@ -116,6 +144,10 @@ object DistributedPrefix {
     * `part` group, hash-bit-sliced. */
   def rowNumberHashOrdered(df: DataFrame, part: String, hashCol: String,
                            tie: String, out: String): DataFrame = {
+    if (isSmall(df)) {
+      val w = Window.partitionBy(col(part)).orderBy(col(hashCol), col(tie))
+      return df.withColumn(out, row_number().over(w).cast("long"))
+    }
     val p = shared(df.withColumn("__dp_s", hashSlice(hashCol)), part)
     val off = offsets(p, part, "__dp_s", count(lit(1))).drop("__dp_c")
     val wl = Window.partitionBy(col("__dp_s"), col(part))
@@ -145,6 +177,18 @@ object DistributedPrefix {
   def rankedSlices(df: DataFrame, part: String, order: Seq[Column],
                    slice: Column, sliceCol: String, local: String,
                    cnt: String, rank: String, total: String): DataFrame = {
+    if (isSmall(df)) {
+      // Degenerate one-slice form: the whole group is slice 0, so
+      // local == rank and cnt == total — every consumer identity
+      // (boundary rows, loc==1/loc==cnt edges) holds unchanged.
+      val w = Window.partitionBy(col(part)).orderBy(order: _*)
+      val wp = Window.partitionBy(col(part))
+      return df.withColumn(sliceCol, lit(0L))
+        .withColumn(rank, row_number().over(w).cast("long"))
+        .withColumn(local, col(rank))
+        .withColumn(total, count(lit(1)).over(wp))
+        .withColumn(cnt, col(total))
+    }
     val p = shared(df.withColumn(sliceCol, slice), part, sliceCol)
     val off = offsets(p, part, sliceCol, count(lit(1)))
       .withColumn("__dp_n", sum(col("__dp_c")).over(

@@ -11,10 +11,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * float-order caveats: equality is row-set equality. The generated
   * frame is larger than the shuffle-partition count and skewed (one
   * dominant group) so every group genuinely straddles partitions. */
-class DistributedPrefixSpec extends AnyFunSuite {
+class DistributedPrefixSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
 
   private lazy val spark = SparkFixture.session
   import spark.implicits._
+
+  // These frames are tiny, so the size gate would route every call
+  // onto the single-window fast path and the sliced-vs-single parity
+  // below would compare the reference with itself. Force the sliced
+  // branch for the suite; the fast path has its own test at the end.
+  override def beforeAll(): Unit =
+    spark.conf.set(DistributedPrefix.SmallInputBytesKey, "0")
+  override def afterAll(): Unit =
+    spark.conf.unset(DistributedPrefix.SmallInputBytesKey)
 
   private lazy val df = {
     // deterministic, skewed: group "a" holds half the rows
@@ -214,6 +224,47 @@ class DistributedPrefixSpec extends AnyFunSuite {
       .select("id", "cum").as[(Long, Long)].collect().toMap
     assert(got == want)
     assert(got(51L) == 0L, s"first post-NULL-slice row must carry cum 0: $got")
+  }
+
+  test("small-input fast path: same rows, no slice machinery in the plan") {
+    spark.conf.set(DistributedPrefix.SmallInputBytesKey,
+      (1L << 40).toString) // everything is "small"
+    try {
+      val fast = DistributedPrefix
+        .sumBeforeHashOrdered(hdf, "grp", "h", "id", "v", "cum")
+      val fastRows = fast.select("id", "cum").as[(Long, Long)].collect().toMap
+      val fastRk = DistributedPrefix
+        .rowNumberHashOrdered(hdf, "grp", "h", "id", "rk")
+        .select("id", "rk").as[(Long, Long)].collect().toMap
+      val vals = df.select(col("id"), col("grp"),
+        (col("ord").cast("double") + 0.5).as("dv"))
+      val fastRanked = DistributedPrefix.rankedSlices(vals, "grp",
+        Seq(col("dv").asc, col("id").asc),
+        DistributedPrefix.logSlice(col("dv")),
+        "s", "loc", "cnt", "rk", "n")
+      val rankedRows = fastRanked
+        .select("id", "rk", "loc", "cnt", "n", "s")
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      spark.conf.set(DistributedPrefix.SmallInputBytesKey, "0")
+      val want = DistributedPrefix
+        .sumBeforeHashOrdered(hdf, "grp", "h", "id", "v", "cum")
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      val wantRk = DistributedPrefix
+        .rowNumberHashOrdered(hdf, "grp", "h", "id", "rk")
+        .select("id", "rk").as[(Long, Long)].collect().toMap
+      assert(fastRows == want)
+      assert(fastRk == wantRk)
+      // degenerate one-slice bookkeeping: s = 0, local = rank,
+      // cnt = total — the consumer identities rest on exactly this
+      rankedRows.values.foreach { case Seq(rk, loc, cnt, n, s) =>
+        assert(s == 0L && loc == rk && cnt == n,
+          s"degenerate slice contract broken: rk=$rk loc=$loc cnt=$cnt n=$n s=$s")
+      }
+      val p = fast.queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(!p.contains("__dp_s"), s"fast path still slices:\n$p")
+      assert(!p.contains("Join"), s"fast path still pays the offsets join:\n$p")
+    } finally spark.conf.set(DistributedPrefix.SmallInputBytesKey, "0")
   }
 
   test("the sliced frame materializes ONCE: both consumers read the checkpoint") {

@@ -22,6 +22,17 @@ class PlanShapeSpec extends AnyFunSuite {
     df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
   }
 
+  /** Force DistributedPrefix's AT-SCALE branch (the size gate would
+    * otherwise route sf0.001 onto the single-window fast path). The
+    * sliced pins below are scoped to this branch; the fast path has
+    * its own pin ("small input" test). Gate is read at plan-BUILD
+    * time, so the conf wraps construction. */
+  private def sliced[A](body: => A): A = {
+    spark.conf.set(DistributedPrefix.SmallInputBytesKey, "0")
+    try body
+    finally spark.conf.unset(DistributedPrefix.SmallInputBytesKey)
+  }
+
   test("q2: filter pushed to scan, read schema pruned to 5 columns") {
     val p = plan(CoreQueries.q2FilterProject(spark, dir))
     assert(p.contains("PushedFilters:") && p.contains("l_quantity"),
@@ -74,7 +85,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q35 window suite: derived from rankedSlices, no bare-status data window") {
-    val p = plan(CoreQueries.q35WindowSuite(spark, dir))
+    val p = sliced(plan(CoreQueries.q35WindowSuite(spark, dir)))
     // slice ids are value-derived (logSlice) — no range partitioner,
     // no sampling pass; the ranking window is per (slice, status)
     assert(!p.contains("rangepartitioning"),
@@ -93,7 +104,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q30 exact percentile: sliced selection, no single-task sort") {
-    val p = plan(CoreQueries.q30Percentiles(spark, dir))
+    val p = sliced(plan(CoreQueries.q30Percentiles(spark, dir)))
     // the built-in `percentile` would appear as an ObjectHashAggregate
     // holding every group value in one executor array
     assert(!p.contains("ObjectHashAggregate") && !p.contains("percentile("),
@@ -217,7 +228,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("t8 token budget: distributed prefix sum, no whole-language window sort") {
-    val p = plan(TextOps.tokenBudget(spark, dir))
+    val p = sliced(plan(TextOps.tokenBudget(spark, dir)))
     assertDistributedPrefix(p, "t8")
   }
 
@@ -311,13 +322,34 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("t8b BPE budget: distributed prefix sum over the native BPE counts") {
-    val p = plan(TextOps.tokenBudgetBpe(spark, dir))
+    val p = sliced(plan(TextOps.tokenBudgetBpe(spark, dir)))
     assertDistributedPrefix(p, "t8b")
   }
 
   test("t11 sequence pack / t12 fixed-k: same distributed prefix contract") {
-    assertDistributedPrefix(plan(TextOps.sequencePack(spark, dir)), "t11")
-    assertDistributedPrefix(plan(TextOps.fixedKSample(spark, dir)), "t12")
+    sliced {
+      assertDistributedPrefix(plan(TextOps.sequencePack(spark, dir)), "t11")
+      assertDistributedPrefix(plan(TextOps.fixedKSample(spark, dir)), "t12")
+    }
+  }
+
+  test("small input: DistributedPrefix gate picks the plain single-window plan") {
+    // Default gate at sf0.001: the estimated input is far under the
+    // threshold, so the fast path runs — ONE ordinary window, no
+    // slice machinery (no __dp_s, no offsets join, no checkpoint).
+    // Full-row parity of the two branches is DistributedPrefixSpec /
+    // DistributedPrefixPropSpec territory; this pins the plan shape.
+    val p8 = plan(TextOps.tokenBudget(spark, dir))
+    assert(!p8.contains("__dp_s"), s"t8 sliced a small input:\n$p8")
+    assert("windowspecdefinition\\(lang#\\d+, h#\\d+".r.findFirstIn(p8).isDefined,
+      s"t8's fast path lost its single running window:\n$p8")
+    assert(!p8.contains("BroadcastHashJoin") && !p8.contains("SortMergeJoin"),
+      s"t8's fast path still pays the offsets join:\n$p8")
+    val p35 = plan(CoreQueries.q35WindowSuite(spark, dir))
+    assert(!p35.contains("__dp_"), s"q35 sliced a small input:\n$p35")
+    assert("row_number\\(\\) windowspecdefinition\\(o_orderstatus#\\d+, o_totalprice#\\d+".r
+      .findFirstIn(p35).isDefined,
+      s"q35's fast path lost its single ranking window:\n$p35")
   }
 
   test("c1 corpus prep: four tiers collapse to one scan + one shuffle") {
@@ -342,7 +374,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("t13 shuffle-shard: distributed in-shard positions, never a global sort") {
-    val p = plan(TextOps.shuffleShard(spark, dir))
+    val p = sliced(plan(TextOps.shuffleShard(spark, dir)))
     // pos comes from DistributedPrefix.rowNumberHashOrdered: hash-bit
     // slices and per-slice ranking — no task ever sorts a whole shard
     // (corpus/shards rows however the count is tuned), and nothing
