@@ -970,23 +970,56 @@ object TextOps {
     * words containing the merged pair touched per round). */
   val BpeLearnRounds = 256
 
-  def bpeLearn(spark: SparkSession, dir: String,
-               rounds: Int = BpeLearnRounds): DataFrame =
-    bpeLearnOn(t(spark, dir, "documents"), rounds)
+  /** Vocabulary-prune defaults for the learner's driver-side collect
+    * (round-12 verdict: a 100 TB web corpus has 10⁸–10⁹ DISTINCT
+    * words — tens of GB — so an unpruned word-frequency collect is a
+    * driver OOM, and every production trainer prunes first).
+    *
+    *  - `BpeLearnMinCount` — drop words seen fewer times (Sennrich's
+    *    `--min-frequency`; hapax/rare-word prune). 1 = keep all; the
+    *    battery corpus default, and the PRODUCTION lever: the filter
+    *    runs inside the distributed aggregate, and on a web corpus
+    *    min_count = 2 alone removes the hapax majority of the vocab.
+    *  - `BpeLearnMaxVocab` — hard top-N backstop (by count DESC,
+    *    word ASC — deterministic) applied AFTER min_count, bounding
+    *    the collect at N rows no matter the corpus. Runs as
+    *    TakeOrderedAndProject: per-partition bounded heaps, one
+    *    final-N reducer, N rows to the driver. 0 disables.
+    *
+    * A merge table learned from the pruned vocabulary equals the
+    * table learned from a corpus lacking the pruned words entirely —
+    * rare tails contribute pair counts below any winning argmax until
+    * k is extreme, which is why the trainers prune. Battery results
+    * are unchanged at the defaults (31-word vocab ≪ 2²⁰;
+    * BpeLearnSpec pins capped == uncapped there AND the prune
+    * actually dropping words on a crafted corpus). */
+  val BpeLearnMinCount = 1L
+  val BpeLearnMaxVocab: Int = 1 << 20
 
-  def bpeLearnOn(docs: DataFrame, rounds: Int): DataFrame = {
+  def bpeLearn(spark: SparkSession, dir: String,
+               rounds: Int = BpeLearnRounds,
+               minCount: Long = BpeLearnMinCount,
+               maxVocab: Int = BpeLearnMaxVocab): DataFrame =
+    bpeLearnOn(t(spark, dir, "documents"), rounds, minCount, maxVocab)
+
+  def bpeLearnOn(docs: DataFrame, rounds: Int,
+                 minCount: Long = BpeLearnMinCount,
+                 maxVocab: Int = BpeLearnMaxVocab): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    learnMergesFromDocs(docs, rounds)
+    learnMergesFromDocs(docs, rounds, minCount, maxVocab)
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 
   /** The full learn pipeline returning the driver-local merge table:
     * one corpus pass (the [[bpeInitialSegs]] aggregate — the ONLY
-    * distributed work), then [[localBpeMerges]]. */
+    * distributed work), then [[localBpeMerges]]. The collect is
+    * bounded: ≤ `maxVocab` rows (see [[BpeLearnMaxVocab]]). */
   private[operators] def learnMergesFromDocs(
-      docs: DataFrame, rounds: Int): Seq[(Long, String, String, Long)] = {
-    val wf = bpeInitialSegs(docs).collect()
+      docs: DataFrame, rounds: Int,
+      minCount: Long = BpeLearnMinCount,
+      maxVocab: Int = BpeLearnMaxVocab): Seq[(Long, String, String, Long)] = {
+    val wf = bpeInitialSegs(docs, minCount, maxVocab).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     localBpeMerges(wf, rounds)
   }
@@ -1106,15 +1139,28 @@ object TextOps {
     * separator-string form. Words carrying the separator char are
     * excluded on both sides (none exist in the testdata; keeps the
     * encoding total on arbitrary corpora). */
-  private[operators] def bpeInitialSegs(docs: DataFrame): DataFrame =
-    docs
+  private[operators] def bpeInitialSegs(
+      docs: DataFrame,
+      minCount: Long = BpeLearnMinCount,
+      maxVocab: Int = BpeLearnMaxVocab): DataFrame = {
+    val counted = docs
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
       .filter(length(col("word")) > 0 && !col("word").contains(BpeSep))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .select(
-        concat(lit(BpeSep),
-          regexp_replace(col("word"), "(.)", "$1" + BpeSep)).as("seg"),
-        col("n"))
+    // prune BEFORE the driver collect: min_count inside the aggregate
+    // output (distributed filter), then the deterministic top-N
+    // backstop (count DESC, word ASC ties) as TakeOrderedAndProject
+    val pruned =
+      if (minCount > 1L) counted.filter(col("n") >= minCount) else counted
+    val capped =
+      if (maxVocab > 0) pruned.orderBy(col("n").desc, col("word").asc)
+        .limit(maxVocab)
+      else pruned
+    capped.select(
+      concat(lit(BpeSep),
+        regexp_replace(col("word"), "(.)", "$1" + BpeSep)).as("seg"),
+      col("n"))
+  }
 
   /** The learner's k-round CTE chain (s0, b1/s1, …, b_k/s_k) —
     * shared by the t18 oracle and the t19 learned-apply oracle so
@@ -1191,8 +1237,10 @@ object TextOps {
 
   /** Source-parameterized form (SQL facade entry). */
   def bpeLearnedTokensOn(docs: DataFrame,
-                         rounds: Int = BpeLearnRounds): DataFrame = {
-    val merges = learnMergesFromDocs(docs, rounds)
+                         rounds: Int = BpeLearnRounds,
+                         minCount: Long = BpeLearnMinCount,
+                         maxVocab: Int = BpeLearnMaxVocab): DataFrame = {
+    val merges = learnMergesFromDocs(docs, rounds, minCount, maxVocab)
       .sortBy(_._1).map(m => (m._2, m._3))
     bpeApplyMergesOn(docs, merges)
   }

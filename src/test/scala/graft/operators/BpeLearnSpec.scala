@@ -108,6 +108,56 @@ class BpeLearnSpec extends AnyFunSuite {
     assert(got.map(m => m._2 + " " + m._3) == graft.functions.Bpe.Merges)
   }
 
+  test("vocab prune defaults change nothing on the battery corpus") {
+    // The default top-2²⁰ backstop and min_count = 1 must be
+    // invisible at battery scale (31-word vocab): capped == uncapped,
+    // rule for rule — the CORRECTNESS hash contract for t18/t19.
+    val docs = graft.Tables.t(spark, SparkFixture.Sf0001, "documents")
+    val capped = learned(TextOps.bpeLearnOn(docs, TextOps.BpeLearnRounds))
+    val uncapped = learned(TextOps.bpeLearnOn(docs, TextOps.BpeLearnRounds,
+      minCount = 1L, maxVocab = 0))
+    assert(capped == uncapped)
+  }
+
+  test("min_count prunes rare words: learn equals learning without them") {
+    import spark.implicits._
+    // 4 frequent words + a hapax tail that would otherwise steer
+    // several early merges ("zq" pairs appear 60× across the tail —
+    // dropping the tail MUST change the learned table, or this test
+    // pins nothing)
+    val frequent = Seq("banana" -> 40, "bandana" -> 35, "cabana" -> 30,
+      "nab" -> 25)
+    val tail = (1 to 60).map(i => s"zq${('a' + i % 26).toChar}$i" -> 1)
+    val docs = (frequent ++ tail)
+      .map { case (w, n) => (w + " ") * n }.toDF("text")
+    val freqOnly = frequent.map { case (w, n) => (w + " ") * n }.toDF("text")
+    val pruned = learned(TextOps.bpeLearnOn(docs, 12, minCount = 2L))
+    val wantFreq = learned(TextOps.bpeLearnOn(freqOnly, 12))
+    assert(pruned == wantFreq,
+      "min_count=2 must equal learning over a corpus lacking the hapax tail")
+    val unpruned = learned(TextOps.bpeLearnOn(docs, 12))
+    assert(unpruned != pruned, "tail did not alter the unpruned table — " +
+      "the prune test is vacuous, craft a stronger tail")
+  }
+
+  test("max_vocab caps the collect: learn equals learning over the top-N words") {
+    import spark.implicits._
+    // zebra+zebu rank 6th/7th by count but share ("z","e")/("ze","b")
+    // pairs of strength 15 — above wasp's count-10 merges — so
+    // capping at 5 words genuinely reroutes the late rounds
+    val words = Seq("alpha" -> 50, "alps" -> 40, "paws" -> 30, "swap" -> 20,
+      "wasp" -> 10, "zebra" -> 8, "zebu" -> 7)
+    val docs = words.map { case (w, n) => (w + " ") * n }.toDF("text")
+    // top-5 by (count DESC, word ASC): the 2- and 1-count words drop
+    val top5 = words.sortBy { case (w, n) => (-n, w) }.take(5)
+      .map { case (w, n) => (w + " ") * n }.toDF("text")
+    val capped = learned(TextOps.bpeLearnOn(docs, 16, maxVocab = 5))
+    val want = learned(TextOps.bpeLearnOn(top5, 16))
+    assert(capped == want)
+    assert(learned(TextOps.bpeLearnOn(docs, 16)) != capped,
+      "cap at 5 of 7 words did not alter the table — strengthen the corpus")
+  }
+
   test("generic merge application equals t10's native expression on the fixed table") {
     val rules = graft.functions.Bpe.defaultRules
     val docs = graft.Tables.t(spark, SparkFixture.Sf0001, "documents")
