@@ -54,19 +54,28 @@ class Engine(val spark: SparkSession) {
     * prepare/UPDATE/DELETE fragments). */
   @volatile var nullComparisonFalse: Boolean = false
 
-  /** Opt-in driver-safety bound on SELECT materialization through the
-    * facade (execute / executePrepared / selectAs* / selectJson): when
-    * set, a statement whose result exceeds this many rows fails fast
-    * with a clear error instead of collecting into driver memory — a
-    * facade SELECT over a 100 TB table should die loudly, not OOM the
-    * driver. Off by default: Payload is a whole-result contract and
-    * the reference materializes unconditionally (glue/select.rs). The
-    * guard is pushed down as LIMIT n+1, so an over-limit query stops
-    * after n+1 rows instead of scanning to completion. */
-  @volatile var maxResultRows: Option[Int] = None
+  /** Driver-safety bound on SELECT materialization through the facade
+    * (execute / executePrepared / selectAs* / selectJson): a statement
+    * whose result exceeds this many rows fails fast with a clear error
+    * instead of collecting into driver memory — a facade SELECT over a
+    * 100 TB table should die loudly, not OOM the driver. ON by default
+    * at a generous [[Engine.DefaultMaxResultRows]] (2²⁰ rows — far
+    * beyond any result a whole-result Payload consumer can use, yet
+    * bounded however big the table; the reference's unconditional
+    * materialize (glue/select.rs) never met a table over ~100k rows).
+    * The guard is pushed down as LIMIT n+1, so an over-limit query
+    * stops after n+1 rows instead of scanning to completion. Opt OUT
+    * with `maxResultRows = None` to restore the unbounded contract —
+    * that path streams partition-at-a-time (toLocalIterator, like the
+    * CSV sync export) rather than one executor→driver collect array. */
+  @volatile var maxResultRows: Option[Int] = Some(Engine.DefaultMaxResultRows)
 
   private def boundedRows(df: DataFrame): Seq[Row] = maxResultRows match {
-    case None => df.collect().toSeq
+    case None =>
+      val b = Seq.newBuilder[Row]
+      val it = df.toLocalIterator()
+      while (it.hasNext) b += it.next()
+      b.result()
     case Some(n) =>
       val rows = df.limit(n + 1).collect()
       if (rows.length > n)
@@ -252,14 +261,16 @@ class Engine(val spark: SparkSession) {
   /** Reference `select_json` (glue/select.rs:13-38): array of objects. */
   def selectJson(sql: String): String = {
     val df = query(sql)
-    val docs = maxResultRows match {
-      case None => df.toJSON.collect()
+    val docs: Iterator[String] = maxResultRows match {
+      case None =>
+        import scala.jdk.CollectionConverters._
+        df.toJSON.toLocalIterator().asScala
       case Some(n) =>
         val ds = df.limit(n + 1).toJSON.collect()
         if (ds.length > n)
           throw new EngineException(
             s"result exceeds maxResultRows=$n; raise the cap or add LIMIT")
-        ds
+        ds.iterator
     }
     "[" + docs.mkString(",") + "]"
   }
@@ -1596,4 +1607,12 @@ class Engine(val spark: SparkSession) {
     if (s.exists(c => c == ',' || c == '"' || c == '\n'))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
+}
+
+object Engine {
+  /** Default [[Engine.maxResultRows]]: generous enough that no
+    * legitimate whole-result consumer ever sees it, small enough that
+    * `SELECT *` against a corpus-scale table fails fast instead of
+    * OOMing the driver. */
+  val DefaultMaxResultRows: Int = 1 << 20
 }

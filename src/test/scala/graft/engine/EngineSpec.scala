@@ -276,9 +276,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterEach {
       Payload.Select(Seq("x"), Seq(Seq(1L)))))
   }
 
-  test("maxResultRows (opt-in) fails oversized facade SELECTs fast") {
+  test("maxResultRows guards facade SELECTs by default; opt-out streams all") {
     g.execute("CREATE TABLE caprows (x INTEGER)")
     g.execute("INSERT INTO caprows VALUES (1), (2), (3), (4), (5)")
+    // the guard is ON by default at a generous bound
+    assert(g.maxResultRows.contains(Engine.DefaultMaxResultRows))
     g.maxResultRows = Some(3)
     try {
       assert(intercept[EngineException](
@@ -288,8 +290,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterEach {
       // within the cap (explicit LIMIT) still materializes normally
       val Payload.Select(_, rows) = g.execute("SELECT x FROM caprows LIMIT 2"): @unchecked
       assert(rows.length == 2)
-    } finally g.maxResultRows = None
-    // default (None) keeps the reference's whole-result contract
+      // explicit opt-out restores the reference's whole-result
+      // contract (streamed partition-at-a-time)
+      g.maxResultRows = None
+      val Payload.Select(_, all) = g.execute("SELECT x FROM caprows"): @unchecked
+      assert(all.length == 5)
+      assert(g.selectJson("SELECT x FROM caprows ORDER BY x")
+        == """[{"x":1},{"x":2},{"x":3},{"x":4},{"x":5}]""")
+    } finally g.maxResultRows = Some(Engine.DefaultMaxResultRows)
+    // under the default bound, ordinary results are unchanged
     val Payload.Select(_, all) = g.execute("SELECT x FROM caprows"): @unchecked
     assert(all.length == 5)
   }
