@@ -955,10 +955,15 @@ object Dedup {
     spanMinhashDupsOn(
       t(spark, dir, "documents").select(col("doc_id"), col("text")), minEq, maxBucket)
 
-  def spanMinhashDupsOn(docs: DataFrame, minEq: Int,
-                                           maxBucket: Int): DataFrame = {
+  /** d13's distinct-span-content frame: one row per distinct span
+    * content — (fp, docs = sorted capped holder set, sig = 16-long
+    * MinHash signature). Shared by the batch pair enumeration below
+    * and the streaming ingest twin ([[graft.streaming.DedupStream
+    * .streamingSpanNearDup]]), which builds it ONCE as its standing
+    * static index — the two tiers' candidate sets must come from the
+    * same derivation or replay set-equality would be luck. */
+  def spanContents(docs: DataFrame, maxBucket: Int): DataFrame = {
     val w = SpanWords
-    val nBands = NumHashes / 2
     val units = docs
       .select(col("doc_id"), explode(split(col("text"), "\\n\\s*\\n")).as("para"))
       .select(col("doc_id"),
@@ -993,6 +998,13 @@ object Dedup {
     // allocated a permuted array per permutation per span and ran
     // interpreted. Bit-identical arithmetic (TextHashSpec).
     val sig = graft.functions.TextHash.minhashSigs(col("hs"), As, Bs, P)
+    grouped.withColumn("hs", hs)
+      .select(col("fp"), col("docs"), sig.as("sig"))
+  }
+
+  def spanMinhashDupsOn(docs: DataFrame, minEq: Int,
+                                           maxBucket: Int): DataFrame = {
+    val nBands = NumHashes / 2
     // `contents` fans out to four consumers (exact tier, band census,
     // band probe, near-tier holder expansion): cache it so the
     // scan+explode+two-shuffle subtree above materializes once —
@@ -1007,8 +1019,7 @@ object Dedup {
     // stats for planning; the eager localCheckpoint of the (tiny)
     // result below lets the finally release the cache before this
     // returns, so no CacheManager entry outlives the call.
-    val contents = grouped.withColumn("hs", hs)
-      .select(col("fp"), col("docs"), sig.as("sig"))
+    val contents = spanContents(docs, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
 

@@ -129,6 +129,118 @@ object DedupStream {
     * from, output is set-equal to batch d11 (StreamingSpec pins it);
     * all of a doc's spans travel in its own row, so the fold never
     * spans micro-batches. */
+  /** Streaming twin of d13's span-level NEAR-dup tier — the last
+    * dedup family without one (d1/d7/d11 gained twins in earlier
+    * rounds; d13's MinHash-banded Jaccard tier had none): classify
+    * each arriving document's spans against the STANDING distinct-
+    * span-content index, exact AND near, at ingest.
+    *
+    * Same deployment shape as the twins above — the static side is
+    * built once from [[Dedup.spanContents]] (the SAME derivation the
+    * batch operator uses: capped holder sets, per-content signatures)
+    * plus its band index restricted to live buckets (>1, ≤ cap — the
+    * batch census discipline). The stream side derives span rows
+    * narrowly (explode only — no stateful distinct), equi-joins the
+    * content index on fp (stream-static), and probes the band index
+    * with the indexed signature's band keys; candidates fold per doc
+    * in ONE flatMapGroupsWithState pass that dedupes content pairs
+    * (the batch `.distinct()` across bands) and drops self-matches.
+    *
+    * Probing through the index means a span content UNSEEN by the
+    * standing corpus classifies as novel (no candidates) — the
+    * replay contract: over-cap boilerplate contents are absent from
+    * the index exactly as the batch operator drops them, so when the
+    * stream replays the corpus the per-doc fold is set-equal to the
+    * batch pair table aggregated per document (StreamingSpec).
+    *
+    * Bounded state, documented: ONE boolean per classified doc_id
+    * (first-seen guard), nothing else — candidates arrive with the
+    * doc's own rows, so the fold never spans micro-batches; the
+    * content/band index lives in the static plan, not in state. */
+  def streamingSpanNearDup(spark: SparkSession, dir: String, newDocs: DataFrame,
+                           minEq: Int = Dedup.NumHashes / 2,
+                           maxBucket: Int = Dedup.MaxBandBucket): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val nBands = Dedup.NumHashes / 2
+    def bandsOf(sig: org.apache.spark.sql.Column) = explode(array(
+      (0 until nBands).map { b =>
+        struct(lit(b).as("band_id"),
+          concat_ws(":", sig.getItem(2 * b), sig.getItem(2 * b + 1))
+            .as("band_key"))
+      }: _*))
+    // STANDING index: distinct span contents + live-bucket band rows
+    val contents = Dedup.spanContents(
+      t(spark, dir, "documents").select(col("doc_id"), col("text")), maxBucket)
+    val cBands = contents
+      .select(col("fp").as("fp2"), col("sig").as("sig2"),
+        col("docs").as("docs2"), bandsOf(col("sig")).as("bk"))
+      .select(col("fp2"), col("sig2"), col("docs2"),
+        col("bk.band_id"), col("bk.band_key"))
+    val live = cBands.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBucket)
+      .select(col("band_id"), col("band_key"))
+    val bandIdx = cBands.join(live, Seq("band_id", "band_key"))
+    // STREAM side: narrow span derivation (d13's unit rules), fp keys
+    // probe the content index; the indexed signature (sig is a pure
+    // function of content) feeds the band probe
+    val w = Dedup.SpanWords
+    val spans = newDocs
+      .select(col("doc_id"), explode(split(col("text"), "\\n\\s*\\n")).as("para"))
+      .select(col("doc_id"),
+        filter(split(trim(col("para")), "\\s+"), x => length(x) > lit(0)).as("pws"))
+      .filter(size(col("pws")) > 0)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), ceil(size(col("pws")) / lit(w.toDouble)).cast("int")),
+        c => slice(col("pws"), (c - lit(1)) * w + lit(1), lit(w)))).as("ws"))
+      .select(col("doc_id"), md5(concat_ws(" ", col("ws"))).as("fp"))
+    val indexed = spans.join(contents, Seq("fp")) // inner: unseen = novel
+    // kind 0 = exact (same content in a corpus doc), 1 = near
+    // (banded content pair, ≥ minEq agreement), 2 = the doc itself
+    val exact = indexed
+      .select(col("doc_id"), col("fp"), lit(null).cast("string").as("fp2"),
+        explode(col("docs")).as("old_id"), lit(0).as("kind"))
+    val nEq = aggregate(
+      zip_with(col("sig"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val near = indexed
+      .select(col("doc_id"), col("fp"), col("sig"), bandsOf(col("sig")).as("bk"))
+      .select(col("doc_id"), col("fp"), col("sig"),
+        col("bk.band_id"), col("bk.band_key"))
+      .join(bandIdx, Seq("band_id", "band_key"))
+      .filter(col("fp2") =!= col("fp") && nEq >= minEq)
+      .select(col("doc_id"), col("fp"), col("fp2"),
+        explode(col("docs2")).as("old_id"), lit(1).as("kind"))
+    val self = newDocs.select(col("doc_id"), lit(null).cast("string").as("fp"),
+      lit(null).cast("string").as("fp2"), lit(null).cast("long").as("old_id"),
+      lit(2).as("kind"))
+    exact.unionByName(near).unionByName(self)
+      .as[(Long, Option[String], Option[String], Option[Long], Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long, Option[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (docId, rows, state) =>
+          if (state.exists) Iterator.empty // already classified
+          else {
+            state.update(true)
+            val rs = rows.toSeq
+            // exact tier: one hit per distinct (content, holder);
+            // near tier: one hit per distinct (content pair, holder) —
+            // the batch distinct() across bands, folded per doc
+            val hits =
+              rs.filter(r => r._5 == 0 && !r._4.contains(docId))
+                .map(r => (r._2, r._3, r._4)).distinct ++
+              rs.filter(r => r._5 == 1 && !r._4.contains(docId))
+                .map(r => (r._2, r._3, r._4)).distinct
+            val partners = hits.flatMap(_._3)
+            Iterator.single((docId, partners.distinct.length.toLong,
+              partners.length.toLong, partners.minOption))
+          }
+      }
+      .toDF("doc_id", "n_near_docs", "n_near_spans", "best_near")
+  }
+
   def streamingSpanScore(spark: SparkSession, dir: String,
                          newDocs: DataFrame): DataFrame = {
     import spark.implicits._

@@ -119,6 +119,40 @@ class StreamingSpec extends AnyFunSuite {
       s"stream size=${streamed.size} batch size=${batch.size}")
   }
 
+  test("streaming span NEAR-dup classification equals batch d13 per-doc on replay") {
+    val dir = SparkFixture.Sf0001
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    runToMemory(
+      DedupStream.streamingSpanNearDup(spark, dir, stream),
+      "stream_d13", "append")
+    val streamed = spark.table("stream_d13").collect().map(_.toSeq).toSet
+    // batch d13 pair table → per-doc view: partners, total span hits,
+    // min partner (pairs are unique per (id_a, id_b) by construction)
+    val pairs = graft.operators.Dedup.spanMinhashDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val perDoc = scala.collection.mutable.Map.empty[Long, List[(Long, Long)]]
+    pairs.foreach { case (a, b, n) =>
+      perDoc(a) = (b, n) :: perDoc.getOrElse(a, Nil)
+      perDoc(b) = (a, n) :: perDoc.getOrElse(b, Nil)
+    }
+    val batch = graft.Tables.t(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).map { d =>
+        val ps = perDoc.getOrElse(d, Nil)
+        Seq[Any](d, ps.length.toLong, ps.map(_._2).sum,
+          if (ps.isEmpty) null else ps.map(_._1).min)
+      }.toSet
+    assert(pairs.nonEmpty, "battery corpus produced no d13 pairs — vacuous")
+    assert(streamed == batch,
+      s"stream:\n${streamed.toSeq.sortBy(_.head.toString).mkString("\n")}\n" +
+        s"batch:\n${batch.toSeq.sortBy(_.head.toString).mkString("\n")}")
+  }
+
   test("streaming query plan carries the watermark") {
     val df = EventOps.streamingTumbling(spark, dir = SparkFixture.Sf0001)
     assert(df.isStreaming)
