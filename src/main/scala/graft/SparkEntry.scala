@@ -59,7 +59,7 @@ object SparkEntry {
     "q27_case_cast" -> (C.q27CaseCast _),
     "q28_cube" -> (C.q28Cube _),
     "q29_point_find" -> (C.q29PointFind _),
-    "q30_percentiles" -> (C.q30Percentiles _),
+    "q30_percentiles" -> viaFacade("EXECUTE OPERATOR percentiles(source = 'lineitem')"),
     "q32_grouping_sets" -> (C.q32GroupingSets _),
     "q33_skew_join" -> (Skew.q33SkewJoin _),
     "q34_skew_distinct" -> (Skew.q34SkewDistinct _),
@@ -126,10 +126,14 @@ object SparkEntry {
     "d10_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "d11_paragraph_dedup" -> (Dedup.paragraphDedup _),
     "d12_winnow_dups" -> ((s: SparkSession, d: String) => Dedup.winnowDups(s, d)),
-    "d13_span_minhash" -> ((s: SparkSession, d: String) => Dedup.spanMinhashDups(s, d)),
+    "d13_span_minhash" -> viaFacade("EXECUTE OPERATOR span_minhash(source = 'documents')"),
     "d14_exact_substring" -> viaFacade("EXECUTE OPERATOR exact_substring(source = 'documents')"),
     "s10_sq_topk" -> viaFacade("EXECUTE OPERATOR sq_topk(source = 'embeddings', qid = 0, k = 10)"),
-    "s11_ivfpq_topk" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
+    "s11_ivfpq_topk" -> ((s: SparkSession, d: String) => {
+      Tables.registerAll(s, d)
+      new graft.engine.Engine(s).query(
+        s"EXECUTE OPERATOR ivfpq_topk(dir = '$d', qid = 0, k = 10)")
+    }),
     "m7_frame_dedup" -> (Multimodal.m7FrameDedup _),
     // ---- engine facade round trips (SURVEY.md §2.10–§2.11) ----
     "g1_ddl_roundtrip" -> (GlueQueries.g1DdlRoundtrip _),

@@ -1438,6 +1438,31 @@ class Engine(val spark: SparkSession) {
       val plan = spark.sql(arg).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       Payload.Select(Seq("plan"), plan.split("\n").toSeq.map(Seq(_)))
+    } else if (up.startsWith("OPERATOR")) {
+      // EXPLAIN OPERATOR name(args…): the registered operator's
+      // physical plan WITHOUT running it, led by a shape summary —
+      // the scan/shuffle/join facts the library's 100 TB claims are
+      // made of, surfaced to the SQL-only user (the plan-shape specs
+      // pin these same facts build-time; this is the runtime view).
+      val df = operatorDf("EXECUTE " + arg)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val lines = plan.linesIterator.toSeq
+      def nodes(label: String) =
+        lines.count(l => l.contains(s"- $label") || l.contains(s"* $label"))
+      val pushed = lines.filter(_.trim.startsWith("PushedFilters:"))
+        .map(_.trim.stripPrefix("PushedFilters:").trim)
+        .filter(f => f.nonEmpty && f != "[]")
+      val summary = Seq(
+        "== Shape ==",
+        s"scans: ${nodes("Scan parquet")}",
+        s"exchanges: ${nodes("Exchange")}",
+        s"broadcast joins: ${nodes("BroadcastHashJoin")}",
+        s"sort-merge joins: ${nodes("SortMergeJoin")}",
+        s"window nodes: ${nodes("Window")}",
+        s"pushed filters: ${if (pushed.isEmpty) "[]" else pushed.mkString("; ")}",
+        "")
+      Payload.Select(Seq("plan"), (summary ++ lines).map(Seq(_)))
     } else {
       val name = cleanIdent(arg)
       if (spark.catalog.databaseExists(name)) {

@@ -77,6 +77,42 @@ class OperatorFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("EXPLAIN OPERATOR surfaces the plan shape without running the operator") {
+    g.execute("EXPLAIN OPERATOR token_budget(source = 'documents')") match {
+      case Payload.Select(cols, rs) =>
+        assert(cols == Seq("plan"))
+        val text = rs.map(_.head.toString)
+        assert(text.head == "== Shape ==")
+        val shape = text.takeWhile(_.nonEmpty)
+        assert(shape.exists(_.startsWith("scans: ")))
+        assert(shape.exists(_.startsWith("exchanges: ")))
+        assert(shape.exists(_.startsWith("broadcast joins: ")))
+        assert(shape.exists(_.startsWith("pushed filters: ")))
+        // the full formatted plan follows the summary
+        assert(text.exists(_.contains("== Physical Plan ==")))
+      case other => fail(s"expected Select payload, got $other")
+    }
+    // argument handling is EXECUTE's: same errors, same defaults
+    assert(intercept[EngineException](
+      g.execute("EXPLAIN OPERATOR nope()")).getMessage.contains("unknown operator"))
+    assert(intercept[EngineException](
+      g.execute("EXPLAIN OPERATOR token_budget(bogus = 1)"))
+      .getMessage.contains("unknown argument"))
+  }
+
+  test("EXPLAIN OPERATOR shows a pushed filter for a pushdown operator") {
+    g.execute("EXPLAIN OPERATOR percentiles(source = 'lineitem')") match {
+      case Payload.Select(_, rs) =>
+        val text = rs.map(_.head.toString)
+        val shape = text.takeWhile(_.nonEmpty)
+        // q30 drops NULL values before ranking — the IsNotNull filter
+        // must reach the scan and be visible in the summary line
+        assert(shape.exists(l => l.startsWith("pushed filters: ") && l.contains("IsNotNull")),
+          s"expected a pushed IsNotNull in:\n${shape.mkString("\n")}")
+      case other => fail(s"expected Select payload, got $other")
+    }
+  }
+
   test("unknown operator names what is available") {
     val e = intercept[EngineException](g.query("EXECUTE OPERATOR no_such_op()"))
     assert(e.getMessage.contains("unknown operator") &&
