@@ -41,7 +41,7 @@ case class SortedPairs(child: Expression, aName: String, bName: String)
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](n * (n - 1) / 2)
+    val out = new Array[Any](Pairs.checkedPairCount("sorted_pairs", n))
     var o = 0
     var i = 0
     while (i < n) {
@@ -130,7 +130,7 @@ case class SigAgreePairs(child: Expression, aName: String, bName: String)
       sigs(i) = if (row.isNullAt(1)) null else row.getArray(1)
       i += 1
     }
-    val out = new Array[Any](n * (n - 1) / 2)
+    val out = new Array[Any](Pairs.checkedPairCount("sig_agree_pairs", n))
     var o = 0
     i = 0
     while (i < n) {
@@ -205,7 +205,8 @@ case class CrossPairsNe(left: Expression, right: Expression)
     val ys = b.asInstanceOf[ArrayData]
     val n = xs.numElements()
     val m = ys.numElements()
-    val out = new java.util.ArrayList[Any](n * m)
+    val out = new java.util.ArrayList[Any](
+      Pairs.checkedCount("cross_pairs_ne", n.toLong * m))
     var i = 0
     while (i < n) {
       if (!xs.isNullAt(i)) {
@@ -375,6 +376,22 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
 object Pairs {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.Shims
+
+  /** n·(n−1)/2 computed in Long with a fail-fast bound: the kernels
+    * are generic, and an uncapped caller handing a ≥ ~65k-element
+    * list would otherwise overflow the Int sizing expression and die
+    * with an opaque NegativeArraySizeException. Every in-repo caller
+    * caps bucket size (≤ 1024) long before this bound. */
+  private[functions] def checkedPairCount(fn: String, n: Int): Int =
+    checkedCount(fn, n.toLong * (n - 1) / 2)
+
+  private[functions] def checkedCount(fn: String, total: Long): Int = {
+    if (total > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"$fn: input would produce $total pairs, over the 2^31-1 array " +
+          "bound — cap the bucket/posting list before enumerating pairs")
+    total.toInt
+  }
 
   /** Column wrapper: all (i < j) pairs of a sorted BIGINT list. */
   def sortedPairs(ds: Column, aName: String, bName: String): Column =

@@ -93,7 +93,8 @@ object DistributedPrefix {
     expr(s"$hashCol div ${1L << (60 - HashSliceBits)}")
 
   /** Order-preserving slice id for a POSITIVE double order key:
-    * `floor(log(v)·64)` — ~64 slices per octave, weakly monotone in
+    * `floor(log(v)·64)` — 64 slices per e-fold (~44 per octave;
+    * natural log), weakly monotone in
     * v (semi-monotonic log, exact positive-constant multiply, floor).
     * Ties share a slice; the slice window breaks them locally. */
   def logSlice(v: Column): Column =

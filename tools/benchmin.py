@@ -28,16 +28,19 @@ def fold(paths):
 
 def table(paths):
     mins = [json.load(open(p)) for p in paths]
-    names = sorted(mins[0]["queries"])
+    # Union across ALL files: a query present only in a later rung
+    # must still get a row (with em-dashes for the rungs it skipped).
+    names = sorted({q for m in mins for q in m["queries"]})
     for q in names:
         cells = [m["queries"].get(q) for m in mins]
-        ratio = (
-            f"{cells[1] / cells[0]:.1f}×"
-            if len(cells) > 1 and cells[0] and cells[1]
-            else ""
+        # One ratio per adjacent rung pair, so a 3-file table shows
+        # both the sf1/sf0.1 and the sf3/sf1 growth.
+        ratios = " | ".join(
+            f"{b / a:.1f}×" if a and b else "—"
+            for a, b in zip(cells, cells[1:])
         )
         row = " | ".join(f"{c:.3f}" if c is not None else "—" for c in cells)
-        print(f"| {q.split('_')[0]} | {row} | {ratio} |")
+        print(f"| {q.split('_')[0]} | {row} | {ratios} |")
     for m in mins:
         print(f"total {m['sf']}: {m['value']:.1f} s over {len(m['queries'])}")
 
