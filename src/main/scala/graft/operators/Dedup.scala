@@ -104,13 +104,20 @@ object Dedup {
     // frame is unreferenced), unlike DataFrame.persist whose
     // CacheManager entry would outlive the call. Lineage truncation
     // is the same availability trade dupGroups already makes with its
-    // eager per-round checkpoints.
+    // eager per-round checkpoints. DISK-only tier: the blocks linger
+    // until the next driver GC, and a corpus-scale checkpoint in the
+    // memory tier squats the unified pool's protected storage half,
+    // making LATER queries in the session spill (measured on
+    // DistributedPrefix's identical pattern at sf10 — see
+    // DistributedPrefix.shared); the lazy-materialize win this NOTE
+    // records is unchanged, disk reads ride the OS page cache.
     val buckets = shinglesOn(docs)
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) <= maxDf)
       .select(col("ds"))
-      .localCheckpoint(false)
+      .localCheckpoint(eager = false,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY_2)
     val counts = buckets.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = buckets

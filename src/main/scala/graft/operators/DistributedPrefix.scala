@@ -78,7 +78,20 @@ object DistributedPrefix {
     * their exchange subtrees — verified on the executed plan), and
     * the Engine's staging path already established the lazy
     * localCheckpoint pattern (Engine.scala DML staging): the RDD is
-    * ContextCleaner-tracked and released when unreferenced. */
+    * ContextCleaner-tracked and released when unreferenced.
+    *
+    * DISK-only storage, deliberately. The blocks outlive the query
+    * (released on the next driver GC, not at query end), and
+    * checkpoint blocks in the MEMORY tier squat the unified pool's
+    * protected storage half until then — measured at sf10: a
+    * memory-tier checkpoint here made every LATER query in the
+    * session pay spill (q33's join: 5.5 s alone → 21.8 s after q30,
+    * same JVM). Disk blocks cost zero execution memory, the
+    * double-read rides the OS page cache, and a corpus-scale
+    * side-materialization has no business pinned in executor memory
+    * at 100 TB anyway. Measured cost at sf10: negative — q30 alone
+    * 25.7 s memory-tier → 23.0 s disk, and the q30+q33 session total
+    * 51.6 → 36.8 s. */
   private def shared(sliced: DataFrame, part: String,
                      sliceCol: String = "__dp_s"): DataFrame =
     sliced.repartition(col(sliceCol), col(part))
@@ -87,7 +100,7 @@ object DistributedPrefix {
       // query instead of recomputing; one replica survives single
       // executor loss (local mode: replication is a no-op)
       .localCheckpoint(eager = false,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
+        org.apache.spark.storage.StorageLevel.DISK_ONLY_2)
 
   private def hashSlice(hashCol: String): Column =
     expr(s"$hashCol div ${1L << (60 - HashSliceBits)}")
