@@ -252,10 +252,13 @@ object CoreQueries {
   /** Source-parameterized form of [[q35WindowSuite]] (also drives the
     * derived-vs-built-in parity spec at slice scale). */
   def windowSuiteOn(base: DataFrame): DataFrame = {
+    // recomputeInput: a deterministic filter+3-column scan projection
+    // — cheaper to re-derive per branch than to checkpoint (see
+    // percentilesOn)
     val r = DistributedPrefix.rankedSlices(base, "o_orderstatus",
       Seq(col("o_totalprice").asc, col("o_orderkey").asc),
       DistributedPrefix.logSlice(col("o_totalprice")),
-      "s", "loc", "cnt", "rn", "n")
+      "s", "loc", "cnt", "rn", "n", recomputeInput = true)
     // slice-local neighbor shift — same (slice, status) clustering
     // and ordering as the rank window, so no extra exchange or sort
     val wl = Window.partitionBy(col("s"), col("o_orderstatus"))
@@ -565,8 +568,13 @@ object CoreQueries {
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
         count(col("v")).as("n"))
     val l = base.filter(col("v").isNotNull)
+    // recomputeInput: the input is a deterministic 2-column scan
+    // projection — re-deriving it per branch is cheaper than writing
+    // and re-reading a corpus-scale checkpoint, and the offsets
+    // aggregate collapses to a map-side partial agg on the scan
     val r = DistributedPrefix.rankedSlices(l, "g", Seq(col("v")),
-      DistributedPrefix.logSlice(col("v")), "s", "loc", "cnt", "rn", "nn")
+      DistributedPrefix.logSlice(col("v")), "s", "loc", "cnt", "rn", "nn",
+      recomputeInput = true)
     // wanted 1-BASED global ranks + interpolation weights, 2 rows per
     // percentile per group, derived declaratively from n (no collect)
     val targets = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")

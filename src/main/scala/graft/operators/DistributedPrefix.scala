@@ -102,6 +102,26 @@ object DistributedPrefix {
       .localCheckpoint(eager = false,
         org.apache.spark.storage.StorageLevel.DISK_ONLY_2)
 
+  /** Input frame the offset aggregate and the slice window both read.
+    *
+    * `recomputeInput = true` skips the checkpoint and lets each branch
+    * recompute the input from source — the right trade when the input
+    * is a narrow scan projection (q30: two parquet columns): the
+    * offset aggregate then runs as a map-side partial aggregate on
+    * the scan (its corpus-sized exchange disappears — only slice
+    * counts shuffle) and the window branch keeps the one big
+    * exchange, instead of materializing a corpus-scale checkpoint
+    * that both branches must write and re-read. Callers may only set
+    * it for DETERMINISTIC inputs (both branches re-derive the rows;
+    * a nondeterministic projection would diverge the slice counts
+    * from the slice contents and corrupt every rank). Default false:
+    * expensive projections (BPE token counts) pay the checkpoint once
+    * rather than computing twice. */
+  private def sharedOrRecompute(sliced: DataFrame, part: String,
+                                sliceCol: String,
+                                recomputeInput: Boolean): DataFrame =
+    if (recomputeInput) sliced else shared(sliced, part, sliceCol)
+
   private def hashSlice(hashCol: String): Column =
     expr(s"$hashCol div ${1L << (60 - HashSliceBits)}")
 
@@ -135,14 +155,16 @@ object DistributedPrefix {
     * (hashCol, tie) order within its `part` group — the running-
     * budget frame, hash-bit-sliced. */
   def sumBeforeHashOrdered(df: DataFrame, part: String, hashCol: String,
-                           tie: String, value: String,
-                           out: String): DataFrame = {
+                           tie: String, value: String, out: String,
+                           recomputeInput: Boolean = false): DataFrame = {
     if (isSmall(df)) {
       val w = Window.partitionBy(col(part)).orderBy(col(hashCol), col(tie))
         .rowsBetween(Window.unboundedPreceding, -1)
       return df.withColumn(out, coalesce(sum(col(value)).over(w), lit(0L)))
     }
-    val p = shared(df.withColumn("__dp_s", hashSlice(hashCol)), part)
+    val p = sharedOrRecompute(
+      df.withColumn("__dp_s", hashSlice(hashCol)), part, "__dp_s",
+      recomputeInput)
     val off = offsets(p, part, "__dp_s", sum(col(value)))
       .drop("__dp_c")
     val wl = Window.partitionBy(col("__dp_s"), col(part))
@@ -157,12 +179,15 @@ object DistributedPrefix {
   /** `out` = 1-based row_number() in (hashCol, tie) order within its
     * `part` group, hash-bit-sliced. */
   def rowNumberHashOrdered(df: DataFrame, part: String, hashCol: String,
-                           tie: String, out: String): DataFrame = {
+                           tie: String, out: String,
+                           recomputeInput: Boolean = false): DataFrame = {
     if (isSmall(df)) {
       val w = Window.partitionBy(col(part)).orderBy(col(hashCol), col(tie))
       return df.withColumn(out, row_number().over(w).cast("long"))
     }
-    val p = shared(df.withColumn("__dp_s", hashSlice(hashCol)), part)
+    val p = sharedOrRecompute(
+      df.withColumn("__dp_s", hashSlice(hashCol)), part, "__dp_s",
+      recomputeInput)
     val off = offsets(p, part, "__dp_s", count(lit(1))).drop("__dp_c")
     val wl = Window.partitionBy(col("__dp_s"), col(part))
       .orderBy(col(hashCol), col(tie))
@@ -190,7 +215,8 @@ object DistributedPrefix {
     *   - `total`    — the part group's total row count */
   def rankedSlices(df: DataFrame, part: String, order: Seq[Column],
                    slice: Column, sliceCol: String, local: String,
-                   cnt: String, rank: String, total: String): DataFrame = {
+                   cnt: String, rank: String, total: String,
+                   recomputeInput: Boolean = false): DataFrame = {
     if (isSmall(df)) {
       // Degenerate one-slice form: the whole group is slice 0, so
       // local == rank and cnt == total — every consumer identity
@@ -203,7 +229,8 @@ object DistributedPrefix {
         .withColumn(total, count(lit(1)).over(wp))
         .withColumn(cnt, col(total))
     }
-    val p = shared(df.withColumn(sliceCol, slice), part, sliceCol)
+    val p = sharedOrRecompute(df.withColumn(sliceCol, slice), part,
+      sliceCol, recomputeInput)
     val off = offsets(p, part, sliceCol, count(lit(1)))
       .withColumn("__dp_n", sum(col("__dp_c")).over(
         Window.partitionBy(col(part))

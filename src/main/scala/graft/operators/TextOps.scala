@@ -575,7 +575,10 @@ object TextOps {
                      salt: String = "graft_k1"): DataFrame = {
     val h = Dedup.portableHash(concat_ws(":", lit(salt), col("doc_id")))
     val base = docs.select(col("doc_id"), col("lang"), h.as("h"))
-    DistributedPrefix.rowNumberHashOrdered(base, "lang", "h", "doc_id", "rk")
+    // recomputeInput: a deterministic (id, lang, md5-hash) projection
+    // — re-deriving beats a corpus-scale checkpoint
+    DistributedPrefix.rowNumberHashOrdered(base, "lang", "h", "doc_id", "rk",
+        recomputeInput = true)
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("lang"), col("rk"))
   }
@@ -617,8 +620,10 @@ object TextOps {
       .withColumn("shard", pmod(col("h"), lit(shards.toLong)).cast("long"))
     // in-shard position via the distributed rank — one shard is
     // corpus/shards rows, which a single window task would otherwise
-    // sort whole however the shard count is tuned
-    DistributedPrefix.rowNumberHashOrdered(base, "shard", "h", "doc_id", "rk")
+    // sort whole however the shard count is tuned. recomputeInput:
+    // the (id, hash, shard) projection is deterministic and cheap.
+    DistributedPrefix.rowNumberHashOrdered(base, "shard", "h", "doc_id", "rk",
+        recomputeInput = true)
       .select(col("doc_id"), col("shard"), (col("rk") - 1L).as("pos"))
   }
 
