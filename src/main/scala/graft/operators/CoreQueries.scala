@@ -195,15 +195,23 @@ object CoreQueries {
     * is total (custkey tiebreak), so the result is identical. */
   def q15WindowRank(spark: SparkSession, dir: String): DataFrame = {
     val ord = Seq(col("c_acctbal").desc, col("c_custkey").asc)
-    val salted = t(spark, dir, "customer")
+    val base = t(spark, dir, "customer")
       .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(ord: _*)
+    // Size gate (same knob as DistributedPrefix): an input that fits
+    // one task doesn't need the salt stage's second exchange
+    if (DistributedPrefix.isSmallInput(base))
+      return base
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rn"))
+    val salted = base
       .withColumn("salt", pmod(hash(col("c_custkey")), lit(64)))
     val wLoc = Window.partitionBy(col("salt"), col("c_nationkey"))
       .orderBy(ord: _*)
     val survivors = salted
       .withColumn("lrn", row_number().over(wLoc))
       .filter(col("lrn") <= 3)
-    val w = Window.partitionBy(col("c_nationkey")).orderBy(ord: _*)
     survivors
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)

@@ -69,6 +69,12 @@ object DistributedPrefix {
     thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
   }
 
+  /** The size gate, exposed for operators that carry their own
+    * distributed shape next to a plain small-input one (q15's salted
+    * two-stage top-k): same threshold, same conf key, so one knob
+    * moves every gated plan together. */
+  def isSmallInput(df: DataFrame): Boolean = isSmall(df)
+
   /** ONE exchange on (slice, part), then a lazy localCheckpoint so the
     * offset aggregate and the slice window read the SAME materialized
     * rows: the input projection — possibly expensive (BPE counts) —

@@ -162,6 +162,24 @@ class PairsSpec extends AnyFunSuite {
     }
   }
 
+  test("pair-count overflow fails fast with a clear error, not a negative array size") {
+    // 66k elements -> ~2.18e9 pairs > 2^31-1: the Long-computed bound
+    // must raise the named error (every in-repo caller caps buckets
+    // at <= 1024, so this is the uncapped-reuse contract, not a path
+    // production data can reach)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.sql("SELECT 1")
+        .select(Pairs.sortedPairs(
+          expr("transform(sequence(1L, 66000L), x -> x)"), "a", "b"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m =>
+      m.contains("sorted_pairs") && m.contains("cap the bucket")),
+      s"expected the sorted_pairs overflow error, got: ${msgs(e)}")
+  }
+
   test("edge cases: empty, single-element, null input") {
     val r = spark.sql("SELECT 1")
       .select(

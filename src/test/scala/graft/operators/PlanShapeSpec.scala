@@ -76,12 +76,18 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q15 top-3 per nation: salted two-stage top-k, no 25-task sort") {
-    val p = plan(CoreQueries.q15WindowRank(spark, dir))
+    val p = sliced(plan(CoreQueries.q15WindowRank(spark, dir)))
     // stage 1 must rank within (salt, nation) — the data-sized sort
     // is balanced over 64 sub-keys per nation, never per bare nation
     assert("row_number\\(\\) windowspecdefinition\\(salt#\\d+, c_nationkey#\\d+".r
       .findFirstIn(p).isDefined,
       s"q15 lost its salted first-stage ranking:\n$p")
+  }
+
+  test("q15 small input: the gate drops the salt stage (one window)") {
+    val p = plan(CoreQueries.q15WindowRank(spark, dir))
+    assert(!p.contains("salt#"),
+      s"q15 pays the salted two-stage plan on a small input:\n$p")
   }
 
   test("q35 window suite: derived from rankedSlices, no bare-status data window") {
