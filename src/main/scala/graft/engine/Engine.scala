@@ -367,7 +367,7 @@ class Engine(val spark: SparkSession) {
           val rest = sql.substring(end).trim
           val restSql = if (rest.startsWith(",")) "WITH " + rest.drop(1) else rest
           // materialize before the temp view goes away
-          val out = sqlDf(restSql).localCheckpoint(true)
+          val out = sqlDf(restSql).localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
           out
         } finally {
           spark.catalog.dropTempView(cteName)
@@ -1051,7 +1051,7 @@ class Engine(val spark: SparkSession) {
           val out = spark.read.schema(t.schema).parquet(affected.toIndexedSeq: _*)
             .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
             .select(projection: _*)
-            .localCheckpoint(true)
+            .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
           val n = obs.get("n_matched").asInstanceOf[Long]
           tm.columns.filter(!_.nullable).filter(c => assigns.contains(c.name)).foreach { cm =>
             if (out.filter(col(cm.name).isNull).limit(1).count() > 0)
@@ -1081,7 +1081,7 @@ class Engine(val spark: SparkSession) {
           val out = t
             .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
             .select(projection: _*)
-            .localCheckpoint(true)
+            .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
           val n = obs.get("n_matched").asInstanceOf[Long]
           tm.columns.filter(!_.nullable).filter(c => assigns.contains(c.name)).foreach { cm =>
             if (out.filter(col(cm.name).isNull).limit(1).count() > 0)
@@ -1136,7 +1136,7 @@ class Engine(val spark: SparkSession) {
           case (_, Some(false)) => Payload.Delete(0L)
           case (_, Some(true)) =>
             val n = t.count()
-            overwriteTable(db, tbl, t.limit(0).localCheckpoint(true))
+            overwriteTable(db, tbl, t.limit(0).localCheckpoint(eager = true, StorageLevel.DISK_ONLY))
             Payload.Delete(n)
           case (Some(cond), None) if tm.csvPath.isEmpty =>
             // File-granular copy-on-write, like UPDATE: narrow
@@ -1155,7 +1155,7 @@ class Engine(val spark: SparkSession) {
                 .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
                 .filter(!cond || cond.isNull)
                 .select(tm.columns.map(cm => col(cm.name)): _*)
-                .localCheckpoint(true)
+                .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
               val n = obs.get("n_matched").asInstanceOf[Long]
               kept.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
               affected.foreach(deleteDataFile)
@@ -1169,7 +1169,7 @@ class Engine(val spark: SparkSession) {
             val obs = org.apache.spark.sql.Observation()
             val kept = t
               .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
-              .filter(!cond || cond.isNull).localCheckpoint(true)
+              .filter(!cond || cond.isNull).localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
             val n = obs.get("n_matched").asInstanceOf[Long]
             overwriteTable(db, tbl, kept)
             Payload.Delete(n)
@@ -1302,7 +1302,7 @@ class Engine(val spark: SparkSession) {
       if (tm.csvPath.isDefined)
         throw new EngineException("ALTER TABLE is not supported for CSV tables")
     }
-    val out = data.localCheckpoint(true)
+    val out = data.localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
     spark.sql(s"DROP TABLE `$db`.`$tbl`")
     val fields = newMeta.columns.map(c => s"`${c.name}` ${typeName(c.dataType)}").mkString(", ")
     spark.sql(s"CREATE TABLE `$db`.`$tbl` ($fields) USING parquet")
@@ -1395,7 +1395,7 @@ class Engine(val spark: SparkSession) {
           val nFiles = math.max(t.inputFiles.length, 1)
           val clustered = t.repartitionByRange(nFiles, col(cm.name))
             .sortWithinPartitions(col(cm.name))
-            .localCheckpoint(true)
+            .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
           overwriteTable(db, tbl, clustered)
         }
         meta.update(db, tbl)(m => m.copy(indexes =
