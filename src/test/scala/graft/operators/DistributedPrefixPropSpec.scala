@@ -124,6 +124,76 @@ object DistributedPrefixPropSpec extends Properties("distributedPrefix") {
       Prop(got == want)
     }
 
+  property("rankedSlicesRecomputeBranchMatchesSingleWindow") =
+    Prop.forAllNoShrink(genFrame.suchThat(_.nonEmpty)) { rows =>
+      import spark.implicits._
+      // recomputeInput = true (q30/q35/t12/t13's branch): no shared
+      // checkpoint — the offsets aggregate and the slice window each
+      // re-derive the input. Parity must hold exactly as in the
+      // checkpointed branch (deterministic input by construction).
+      val vals = rows.toDF("id", "grp", "dv", "h", "v")
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("dv").asc, col("id").asc)
+      val want = vals
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select("id", "rk").as[(Long, Long)].collect().toMap
+      val got = withSliced {
+        DistributedPrefix.rankedSlices(vals, "grp",
+          Seq(col("dv").asc, col("id").asc),
+          DistributedPrefix.logSlice(col("dv")),
+          "s", "loc", "cnt", "rk", "n", recomputeInput = true)
+          .select("id", "rk").as[(Long, Long)].collect().toMap
+      }
+      Prop(got == want) :| s"recompute-branch ranks diverge: ${
+        want.keys.filter(k => got(k) != want(k)).take(5).map(k =>
+          s"$k got ${got(k)} want ${want(k)}").mkString(", ")}"
+    }
+
+  /** Finite values + NULLs (None) — the percentile comparison is
+    * against Spark's own exact `percentile` aggregate, whose linear
+    * interpolation over ±Inf produces NaN arithmetic that has no
+    * defined parity target; NaN/Inf ORDERING is covered by the rank
+    * properties above and the edge-case suite. */
+  private val genPctFrame: Gen[List[(String, Option[Double])]] =
+    genGroups.flatMap { sizes =>
+      val tagged = sizes.zipWithIndex.flatMap { case (sz, g) =>
+        List.fill(sz)(s"g$g")
+      }
+      Gen.sequence[List[Option[Double]], Option[Double]](tagged.map(_ =>
+        Gen.frequency(
+          6 -> Gen.chooseNum(-1e6, 1e6).map(Some(_)),
+          2 -> Gen.oneOf(3.25, 7.5, 100.0, -0.0, 0.0, 1e-300).map(Some(_)),
+          1 -> Gen.const(None)))).map(tagged.zip(_))
+    }
+
+  property("percentilesOnMatchesBuiltinExactPercentile") =
+    Prop.forAllNoShrink(genPctFrame.suchThat(_.nonEmpty)) { rows =>
+      import spark.implicits._
+      val base = rows.toDF("g", "v")
+      val want = base.groupBy(col("g")).agg(
+        expr("percentile(v, array(0.5, 0.9, 0.99))").as("ps"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .collect().map { r =>
+          val ps = if (r.isNullAt(1)) Seq[Any](null, null, null)
+                   else r.getSeq[Any](1)
+          (r.getString(0), (ps, r.get(2), r.get(3)))
+        }.toMap
+      val got = withSliced { CoreQueries.percentilesOn(base).collect() }
+        .map(r => (r.getString(0),
+          (Seq(r.get(1), r.get(2), r.get(3)), r.get(4), r.get(5)))).toMap
+      def close(a: Any, b: Any): Boolean = (a, b) match {
+        case (null, null) => true
+        case (x: Double, y: Double) =>
+          x == y || math.abs(x - y) <= 1e-9 * math.max(math.abs(x), math.abs(y))
+        case _ => a == b
+      }
+      val ok = want.keySet == got.keySet && want.forall { case (g, (ps, lo, hi)) =>
+        val (gps, glo, ghi) = got(g)
+        ps.zip(gps).forall((close _).tupled) && close(lo, glo) && close(hi, ghi)
+      }
+      Prop(ok) :| s"percentiles diverge:\n want=$want\n got=$got"
+    }
+
   property("logSliceWeaklyMonotoneOnArbitraryDoubles") =
     Prop.forAllNoShrink(Gen.listOfN(40, genDouble)) { ds =>
       import spark.implicits._
