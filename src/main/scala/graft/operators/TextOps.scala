@@ -113,14 +113,17 @@ object TextOps {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprintOn(t(spark, dir, "documents"))
 
-  /** Source-parameterized form (SQL facade entry). */
+  /** Source-parameterized form (SQL facade entry). Normalization is
+    * the fused single-pass [[graft.functions.NormalizeAscii]] — the
+    * two-regex + lower chain it replaces allocated two full-length
+    * intermediates per document and was the WHOLE cost of t4 at sf10
+    * (regex 24.6 s vs scan 0.25 s); byte-for-byte parity with the
+    * regex form is property-pinned incl. non-BMP input. */
   def fingerprintOn(docs: DataFrame): DataFrame =
     docs
       .select(
         col("doc_id"),
-        md5(regexp_replace(
-          lower(regexp_replace(col("text"), lit("[^A-Za-z0-9 ]"), lit(""))),
-          lit(" +"), lit(" "))).as("fp"))
+        md5(graft.functions.CharNorm.normalizeAscii(col("text"))).as("fp"))
 
   /** t5: deterministic train/val/test split — assignment is a pure
     * function of (doc_id, salt), so it is reproducible across runs,

@@ -134,4 +134,27 @@ object TextHashPropSpec extends Properties("textHash") {
       .collect()
     rows.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1))
   }
+
+  // Texts mixing punctuation, digit/letter runs, space RUNS (the
+  // collapse rule), leading/trailing spaces, and multi-byte chars
+  // (every byte of which must strip wholly, like the regex's
+  // per-character class test).
+  private val rawText: Gen[String] = for {
+    n <- Gen.chooseNum(0, 24)
+    parts <- Gen.listOfN(n, Gen.oneOf(
+      Gen.oneOf("a", "Zz", "42", "Hello,", "WORLD!", " ", "  ", "   ",
+        "é", "日本", "𝔸", "😀", "a-b_c", "x.y", "§¶", "\t", "\n"),
+      Gen.stringOfN(4, Gen.asciiPrintableChar)))
+  } yield parts.mkString
+
+  property("normalizeAsciiEqualsRegexChain") = Prop.forAll(Gen.listOfN(8, rawText)) { texts =>
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = texts.toDF("text").select(
+      regexp_replace(
+        lower(regexp_replace(col("text"), lit("[^A-Za-z0-9 ]"), lit(""))),
+        lit(" +"), lit(" ")).as("a"),
+      CharNorm.normalizeAscii(col("text")).as("b")).collect()
+    rows.forall(r => r.getString(0) == r.getString(1))
+  }
 }
