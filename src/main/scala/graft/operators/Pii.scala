@@ -52,13 +52,28 @@ object Pii {
   def piiColumns(src: DataFrame): DataFrame =
     piiFrame(src, col("doc_id"), col("text"))
 
-  private def piiFrame(src: DataFrame, id: Column, text: Column): DataFrame =
+  private def piiFrame(src: DataFrame, id: Column, text: Column): DataFrame = {
+    // Candidate prefilter — NECESSARY condition for any pattern:
+    // email needs '@', IPv4/phone need digits (and an email's
+    // local-part digits still ride with its '@'). CASE short-circuits
+    // in codegen, so a clean document pays one contains + one
+    // first-digit probe instead of six full regex passes — the
+    // standard scrub-stage shape (cheap prefilter before the
+    // expensive automaton), and most prose is clean. Semantics are
+    // IDENTICAL: on a non-candidate the full chain returns 0s and
+    // untouched text anyway (PiiSpec + the p1/p2 oracles pin both
+    // branches).
+    val cand = text.contains("@") || text.rlike("[0-9]")
     src.select(
       id.as("doc_id"),
-      regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ips"),
-      regexp_count(text, lit(PhoneRe)).cast("long").as("n_phones"),
-      md5(redact(text)).as("redacted_md5"))
+      when(cand, regexp_count(text, lit(EmailRe)).cast("long"))
+        .otherwise(0L).as("n_emails"),
+      when(cand, regexp_count(text, lit(Ipv4Re)).cast("long"))
+        .otherwise(0L).as("n_ips"),
+      when(cand, regexp_count(text, lit(PhoneRe)).cast("long"))
+        .otherwise(0L).as("n_phones"),
+      md5(when(cand, redact(text)).otherwise(text)).as("redacted_md5"))
+  }
 
   /** p1: PII scan over the documents corpus. The synthetic corpus is
     * PII-free word prose, so every count is 0 and redacted_md5 equals
