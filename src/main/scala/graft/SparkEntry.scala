@@ -112,7 +112,7 @@ object SparkEntry {
     "t15_corpus_card" -> (TextOps.corpusCard _),
     // ---- dedup ----
     "d1_exact_dedup" -> viaFacade("EXECUTE OPERATOR exact_dedup(source = 'documents')"),
-    "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "d2_ngram_jaccard" -> viaFacade("EXECUTE OPERATOR ngram_jaccard(source = 'documents', threshold = 0.5)"),
     "d3_minhash_lsh" -> viaFacade("EXECUTE OPERATOR minhash_lsh(source = 'documents', min_sim = 0.25)"),
     "d4_simhash" -> viaFacade("EXECUTE OPERATOR simhash_dups(source = 'documents')"),
     // threshold 0.4: the synthetic embeddings have no true near-dups
@@ -122,7 +122,7 @@ object SparkEntry {
     "d6_dup_groups" -> viaFacade("EXECUTE OPERATOR dup_groups(source = 'documents', min_sim = 0.25)"),
     "d7_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "d8_contamination" -> ((s: SparkSession, d: String) => Dedup.contamination(s, d)),
-    "d9_canonical_select" -> ((s: SparkSession, d: String) => Dedup.canonicalSelect(s, d)),
+    "d9_canonical_select" -> viaFacade("EXECUTE OPERATOR canonical_select(source = 'documents', min_sim = 0.25)"),
     "d10_semantic_dedup" -> ((s: SparkSession, d: String) => Similarity.semanticDedup(s, d)),
     "d11_paragraph_dedup" -> (Dedup.paragraphDedup _),
     "d12_winnow_dups" -> ((s: SparkSession, d: String) => Dedup.winnowDups(s, d)),

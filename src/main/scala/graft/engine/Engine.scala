@@ -367,7 +367,7 @@ class Engine(val spark: SparkSession) {
           val rest = sql.substring(end).trim
           val restSql = if (rest.startsWith(",")) "WITH " + rest.drop(1) else rest
           // materialize before the temp view goes away
-          val out = sqlDf(restSql).localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+          val out = sqlDf(restSql).localCheckpoint(eager = true, Engine.StagingLevel)
           out
         } finally {
           spark.catalog.dropTempView(cteName)
@@ -616,6 +616,14 @@ class Engine(val spark: SparkSession) {
     * returned DataFrame is no longer needed (an unpersisted autoinc
     * batch would recompute with fresh, different ids). */
   private def insertReturning(sql: String): (Payload, DataFrame, () => Unit) = {
+    val (db, tbl, tm, cols, src) = parseInsert(sql)
+    insertDataFrame(db, tbl, tm, cols, src)
+  }
+
+  /** Parse an INSERT statement down to (db, tbl, meta, target columns,
+    * source batch) WITHOUT writing — shared by the write path and
+    * EXPLAIN INSERT's dry run. */
+  private def parseInsert(sql: String): (String, String, TableMeta, Seq[String], DataFrame) = {
     val re = """(?is)INSERT\s+INTO\s+([`"\w.]+)\s*(.*)""".r
     sql match {
       case re(rawName, rest0) =>
@@ -641,7 +649,7 @@ class Engine(val spark: SparkSession) {
         if (src.columns.length != cols.length)
           throw new EngineException(
             s"wrong number of values: ${src.columns.length} given, ${cols.length} expected")
-        insertDataFrame(db, tbl, tm, cols, src)
+        (db, tbl, tm, cols, src)
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
     }
   }
@@ -662,6 +670,82 @@ class Engine(val spark: SparkSession) {
         else null
       Option(f).filter(_.isDirectory)
     } catch { case _: Exception => None }
+
+  /** Positions the source's columns under the target's names; missing
+    * columns get their DEFAULT expression (evaluated per row, like
+    * reference validate.rs:46-100) or NULL; every column casts to the
+    * declared type. Shared by the write path and EXPLAIN INSERT. */
+  private def positionedBatch(tm: TableMeta, cols: Seq[String], src: DataFrame): DataFrame = {
+    val positioned = src.toDF(cols: _*)
+    val full = tm.columns.map { cm =>
+      val have = cols.exists(_.equalsIgnoreCase(cm.name))
+      val base =
+        if (have) col(cm.name)
+        else cm.default.map(d => expr(d)).getOrElse(lit(null))
+      base.cast(cm.dataType).as(cm.name)
+    }
+    positioned.select(full: _*)
+  }
+
+  /** What the validated INSERT path will do with a batch: which
+    * constraint passes run and whether the batch must be staged.
+    *
+    * autoCol: the AUTO_INCREMENT column, if any (reference
+    * alter_row/auto_increment.rs:12-41 — only NULL cells draw ids).
+    * notNullCols: NOT NULL columns to validate; the auto column is
+    * exempt (its NULL cells are exactly the ones the fill replaces,
+    * so post-fill it cannot be null). uniqueCols: UNIQUE columns and
+    * unique-indexed columns.
+    *
+    * Staging policy (needStage): AUTO_INCREMENT needs a stable lineage
+    * (the assigned ids must be identical in every job that re-reads
+    * the batch — a shuffle upstream would reorder rows between runs),
+    * and constraint checks make extra passes over the batch. But a
+    * batch whose plan is a deterministic NARROW pipeline (scan /
+    * filter / project / union / VALUES — no exchange, no
+    * nondeterministic expression) already re-reads identically from
+    * lineage: partition splits come from deterministic file listing
+    * and row order is the file order. For that shape — the common bulk
+    * INSERT…SELECT — staging is pure overhead (serialize the batch to
+    * local disk + read it back vs. a second columnar parquet scan), so
+    * it stages nothing. Only a batch with a shuffle or nondeterminism
+    * upstream is materialized, via a lazy localCheckpoint at
+    * [[Engine.StagingLevel]] (2-replica disk): spilled to local disk
+    * by the first job that touches it, never pinned in executor
+    * storage memory, lineage TRUNCATED so a lost block is a job
+    * failure instead of a silent recompute through a reordering
+    * shuffle (which could hand out colliding auto-ids) — with one
+    * replica so a single executor loss doesn't force that failure —
+    * and the cached RDD is GC-tracked rather than left in the
+    * CacheManager. An INSERT into an unconstrained table stages
+    * nothing and runs as a SINGLE write job with observed metrics. */
+  private case class InsertPolicy(autoCol: Option[ColumnMeta],
+      notNullCols: Seq[ColumnMeta], uniqueCols: Seq[ColumnMeta],
+      scanStable: Boolean) {
+    def needStage: Boolean =
+      (autoCol.isDefined || notNullCols.nonEmpty || uniqueCols.nonEmpty) && !scanStable
+  }
+
+  private def insertPolicy(tm: TableMeta, out: DataFrame): InsertPolicy = {
+    def stable(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      val nodeOk = p match {
+        case _: Project | _: Filter | _: Union | _: LocalRelation | _: Range => true
+        case _ => p.getClass.getSimpleName == "LogicalRelation" ||
+          p.getClass.getSimpleName == "DataSourceV2ScanRelation" ||
+          p.getClass.getSimpleName == "OneRowRelation"
+      }
+      nodeOk && p.expressions.forall(_.deterministic) && p.children.forall(stable)
+    }
+    val autoCol = tm.columns.find(_.autoIncrement)
+    InsertPolicy(
+      autoCol,
+      tm.columns.filter(c =>
+        !c.nullable && !autoCol.exists(_.name.equalsIgnoreCase(c.name))),
+      tm.columns.filter(c => c.unique ||
+        tm.indexes.exists(i => i.unique && i.column.equalsIgnoreCase(c.name))),
+      stable(out.queryExecution.optimizedPlan))
+  }
 
   private def insertDataFrame(db: String, tbl: String, tm: TableMeta,
                               cols: Seq[String], src: DataFrame): (Payload, DataFrame, () => Unit) =
@@ -689,68 +773,14 @@ class Engine(val spark: SparkSession) {
       }
     cols.foreach(c => if (tm.column(c).isEmpty)
       throw new EngineException(s"unknown column $c in $db.$tbl"))
-    val positioned = src.toDF(cols: _*)
+    var out = positionedBatch(tm, cols, src)
 
-    // Missing columns get their DEFAULT expression (evaluated per row,
-    // like reference validate.rs:46-100) or NULL.
-    val full = tm.columns.map { cm =>
-      val have = cols.exists(_.equalsIgnoreCase(cm.name))
-      val base =
-        if (have) col(cm.name)
-        else cm.default.map(d => expr(d)).getOrElse(lit(null))
-      base.cast(cm.dataType).as(cm.name)
-    }
-    var out = positioned.select(full: _*)
-
-    // AUTO_INCREMENT fill (reference alter_row/auto_increment.rs:12-41):
-    // only the NULL cells draw counter, counter+1, … in batch order,
-    // and only they advance the counter — an explicit id leaves it
-    // untouched, so a later auto-assigned id can collide with the
-    // explicit one, exactly the sequence the reference's own
-    // auto_increment.rs test pins (sled/auto_increment.rs:44 advances
-    // the generator by the null-cell count).
-    val autoCol = tm.columns.find(_.autoIncrement)
-    // NOT NULL columns to validate (reference validate.rs). The auto
-    // column is exempt: its NULL cells are exactly the ones the fill
-    // below replaces, so post-fill it cannot be null.
-    val notNullCols = tm.columns.filter(c =>
-      !c.nullable && !autoCol.exists(_.name.equalsIgnoreCase(c.name)))
-    val uniqueCols = tm.columns.filter(c => c.unique ||
-      tm.indexes.exists(i => i.unique && i.column.equalsIgnoreCase(c.name)))
-    // Staging policy: AUTO_INCREMENT needs a stable lineage (the ids
-    // assigned below must be identical in every job that re-reads the
-    // batch — a shuffle upstream would reorder rows between runs), and
-    // constraint checks make extra passes over the batch. But a batch
-    // whose plan is a deterministic NARROW pipeline (scan / filter /
-    // project / union / VALUES — no exchange, no nondeterministic
-    // expression) already re-reads identically from lineage: partition
-    // splits come from deterministic file listing and row order is the
-    // file order. For that shape — the common bulk INSERT…SELECT —
-    // staging is pure overhead (serialize the batch to local disk +
-    // read it back vs. a second columnar parquet scan), so it stages
-    // nothing. Only a batch with a shuffle or nondeterminism upstream
-    // is materialized, via a lazy DISK_ONLY localCheckpoint: spilled
-    // to local disk by the first job that touches it, never pinned in
-    // executor storage memory, lineage TRUNCATED so a lost block is a
-    // job failure instead of a silent recompute through a reordering
-    // shuffle (which could hand out colliding auto-ids), and the
-    // cached RDD is GC-tracked rather than left in the CacheManager.
-    // An INSERT into an unconstrained table stages nothing and runs
-    // as a SINGLE write job with observed metrics.
-    def scanStable(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
-      import org.apache.spark.sql.catalyst.plans.logical._
-      val nodeOk = p match {
-        case _: Project | _: Filter | _: Union | _: LocalRelation | _: Range => true
-        case _ => p.getClass.getSimpleName == "LogicalRelation" ||
-          p.getClass.getSimpleName == "DataSourceV2ScanRelation" ||
-          p.getClass.getSimpleName == "OneRowRelation"
-      }
-      nodeOk && p.expressions.forall(_.deterministic) && p.children.forall(scanStable)
-    }
-    val needStage = (autoCol.isDefined || notNullCols.nonEmpty || uniqueCols.nonEmpty) &&
-      !scanStable(out.queryExecution.optimizedPlan)
+    val pol = insertPolicy(tm, out)
+    val autoCol = pol.autoCol
+    val notNullCols = pol.notNullCols
+    val uniqueCols = pol.uniqueCols
     out =
-      if (needStage) out.localCheckpoint(eager = false, StorageLevel.DISK_ONLY)
+      if (pol.needStage) out.localCheckpoint(eager = false, Engine.StagingLevel)
       else out
     // The checkpointed RDD is ContextCleaner-tracked: it is released
     // when `out` becomes unreachable after this call returns, so the
@@ -825,7 +855,7 @@ class Engine(val spark: SparkSession) {
     }
     val fastSingleAuto = autoStaticAllNull && notNullCols.isEmpty &&
       uniqueCols.isEmpty && tm.csvPath.isEmpty && tm.xlsxPath.isEmpty &&
-      !needStage && localSrc && out.queryExecution.toRdd.getNumPartitions == 1
+      !pol.needStage && localSrc && out.queryExecution.toRdd.getNumPartitions == 1
     autoCol match {
       case Some(cm) if fastSingleAuto =>
         // Partition 0 ⇒ monotonically_increasing_id has no pid bits:
@@ -843,7 +873,7 @@ class Engine(val spark: SparkSession) {
         // the source — the dominant pre-write cost at any scale.
         val footerCounts: Option[Array[Long]] =
           if (autoStaticAllNull && notNullCols.isEmpty && uniqueCols.isEmpty &&
-            !needStage) prof("footer_counts")(
+            !pol.needStage) prof("footer_counts")(
             FooterCounts.perPartitionCounts(spark, out))
           else None
         val nullsByPid: Map[Long, Long] = footerCounts match {
@@ -870,7 +900,7 @@ class Engine(val spark: SparkSession) {
         // above prefix-sum into each partition's starting offset.
         // Every job sees identical partitioning and row order: the
         // batch is either a deterministic narrow scan (re-read from
-        // lineage bit-identically) or a truncated-lineage DISK_ONLY
+        // lineage bit-identically) or a truncated-lineage StagingLevel
         // localCheckpoint (see staging policy). (Replaces RDD.zipWithIndex,
         // whose Row↔InternalRow round trip re-ran in every downstream
         // job and dominated bulk-INSERT cost.)
@@ -1051,7 +1081,7 @@ class Engine(val spark: SparkSession) {
           val out = spark.read.schema(t.schema).parquet(affected.toIndexedSeq: _*)
             .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
             .select(projection: _*)
-            .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+            .localCheckpoint(eager = true, Engine.StagingLevel)
           val n = obs.get("n_matched").asInstanceOf[Long]
           tm.columns.filter(!_.nullable).filter(c => assigns.contains(c.name)).foreach { cm =>
             if (out.filter(col(cm.name).isNull).limit(1).count() > 0)
@@ -1081,7 +1111,7 @@ class Engine(val spark: SparkSession) {
           val out = t
             .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
             .select(projection: _*)
-            .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+            .localCheckpoint(eager = true, Engine.StagingLevel)
           val n = obs.get("n_matched").asInstanceOf[Long]
           tm.columns.filter(!_.nullable).filter(c => assigns.contains(c.name)).foreach { cm =>
             if (out.filter(col(cm.name).isNull).limit(1).count() > 0)
@@ -1136,7 +1166,7 @@ class Engine(val spark: SparkSession) {
           case (_, Some(false)) => Payload.Delete(0L)
           case (_, Some(true)) =>
             val n = t.count()
-            overwriteTable(db, tbl, t.limit(0).localCheckpoint(eager = true, StorageLevel.DISK_ONLY))
+            overwriteTable(db, tbl, t.limit(0).localCheckpoint(eager = true, Engine.StagingLevel))
             Payload.Delete(n)
           case (Some(cond), None) if tm.csvPath.isEmpty =>
             // File-granular copy-on-write, like UPDATE: narrow
@@ -1155,7 +1185,7 @@ class Engine(val spark: SparkSession) {
                 .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
                 .filter(!cond || cond.isNull)
                 .select(tm.columns.map(cm => col(cm.name)): _*)
-                .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+                .localCheckpoint(eager = true, Engine.StagingLevel)
               val n = obs.get("n_matched").asInstanceOf[Long]
               kept.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
               affected.foreach(deleteDataFile)
@@ -1169,7 +1199,7 @@ class Engine(val spark: SparkSession) {
             val obs = org.apache.spark.sql.Observation()
             val kept = t
               .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
-              .filter(!cond || cond.isNull).localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+              .filter(!cond || cond.isNull).localCheckpoint(eager = true, Engine.StagingLevel)
             val n = obs.get("n_matched").asInstanceOf[Long]
             overwriteTable(db, tbl, kept)
             Payload.Delete(n)
@@ -1302,7 +1332,7 @@ class Engine(val spark: SparkSession) {
       if (tm.csvPath.isDefined)
         throw new EngineException("ALTER TABLE is not supported for CSV tables")
     }
-    val out = data.localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+    val out = data.localCheckpoint(eager = true, Engine.StagingLevel)
     spark.sql(s"DROP TABLE `$db`.`$tbl`")
     val fields = newMeta.columns.map(c => s"`${c.name}` ${typeName(c.dataType)}").mkString(", ")
     spark.sql(s"CREATE TABLE `$db`.`$tbl` ($fields) USING parquet")
@@ -1395,7 +1425,7 @@ class Engine(val spark: SparkSession) {
           val nFiles = math.max(t.inputFiles.length, 1)
           val clustered = t.repartitionByRange(nFiles, col(cm.name))
             .sortWithinPartitions(col(cm.name))
-            .localCheckpoint(eager = true, StorageLevel.DISK_ONLY)
+            .localCheckpoint(eager = true, Engine.StagingLevel)
           overwriteTable(db, tbl, clustered)
         }
         meta.update(db, tbl)(m => m.copy(indexes =
@@ -1444,25 +1474,32 @@ class Engine(val spark: SparkSession) {
       // the scan/shuffle/join facts the library's 100 TB claims are
       // made of, surfaced to the SQL-only user (the plan-shape specs
       // pin these same facts build-time; this is the runtime view).
-      val df = operatorDf("EXECUTE " + arg)
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      val lines = plan.linesIterator.toSeq
-      def nodes(label: String) =
-        lines.count(l => l.contains(s"- $label") || l.contains(s"* $label"))
-      val pushed = lines.filter(_.trim.startsWith("PushedFilters:"))
-        .map(_.trim.stripPrefix("PushedFilters:").trim)
-        .filter(f => f.nonEmpty && f != "[]")
-      val summary = Seq(
-        "== Shape ==",
-        s"scans: ${nodes("Scan parquet")}",
-        s"exchanges: ${nodes("Exchange")}",
-        s"broadcast joins: ${nodes("BroadcastHashJoin")}",
-        s"sort-merge joins: ${nodes("SortMergeJoin")}",
-        s"window nodes: ${nodes("Window")}",
-        s"pushed filters: ${if (pushed.isEmpty) "[]" else pushed.mkString("; ")}",
-        "")
-      Payload.Select(Seq("plan"), (summary ++ lines).map(Seq(_)))
+      Payload.Select(Seq("plan"), planShape(operatorDf("EXECUTE " + arg)))
+    } else if (up.startsWith("INSERT")) {
+      // EXPLAIN INSERT …: dry-run of the validated write path's
+      // PLANNING — the batch's physical plan plus the staging and
+      // constraint decisions insertDataFrame will take — without the
+      // writer lock and without writing a row. Surfaces the
+      // bulk-INSERT plan facts (g7's battery shape) the same way
+      // EXPLAIN OPERATOR surfaces the library's.
+      val (db, tbl, tm, cols, src) = parseInsert(arg)
+      val out = positionedBatch(tm, cols, src)
+      val pol = insertPolicy(tm, out)
+      val staging =
+        if (pol.needStage)
+          "lazy 2-replica disk localCheckpoint — shuffle or nondeterminism " +
+            "upstream of an auto-increment/constraint pass needs a stable lineage"
+        else if (pol.autoCol.isDefined || pol.notNullCols.nonEmpty || pol.uniqueCols.nonEmpty)
+          "none — deterministic narrow batch re-reads identically from lineage"
+        else "none — unconstrained table, single write job"
+      val extras = Seq(
+        s"target: $db.$tbl",
+        s"staging: $staging",
+        s"auto_increment: ${pol.autoCol.map(_.name).getOrElse("(none)")}" +
+          (if (pol.autoCol.isDefined) " (parallel per-partition offset fill)" else ""),
+        s"not_null checks: ${pol.notNullCols.map(_.name).mkString("[", ", ", "]")}",
+        s"unique checks: ${pol.uniqueCols.map(_.name).mkString("[", ", ", "]")}")
+      Payload.Select(Seq("plan"), planShape(out, extras))
     } else {
       val name = cleanIdent(arg)
       if (spark.catalog.databaseExists(name)) {
@@ -1482,6 +1519,36 @@ class Engine(val spark: SparkSession) {
         Payload.Select(Seq("column", "type", "nullable", "unique", "auto_increment"), rows.toSeq)
       }
     }
+  }
+
+  /** Shape summary + formatted physical plan, shared by EXPLAIN
+    * OPERATOR and EXPLAIN INSERT: the scan/shuffle/join counts and
+    * pushed filters, then the full plan. `extras` prepends
+    * statement-specific facts (EXPLAIN INSERT's staging decision). */
+  private def planShape(df: DataFrame, extras: Seq[String] = Seq.empty): Seq[Seq[Any]] = {
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val lines = plan.linesIterator.toSeq
+    def nodes(label: String) =
+      lines.count(l => l.contains(s"- $label") || l.contains(s"* $label"))
+    val pushed = lines.filter(_.trim.startsWith("PushedFilters:"))
+      .map(_.trim.stripPrefix("PushedFilters:").trim)
+      .filter(f => f.nonEmpty && f != "[]")
+    val summary = Seq("== Shape ==") ++ extras ++ Seq(
+      s"scans: ${nodes("Scan parquet")}",
+      // A checkpoint/persist boundary upstream (d2's posting lists,
+      // d6's contraction rounds) truncates the visible plan at a
+      // materialized-RDD scan — surfaced, not hidden, so a 0-parquet-
+      // scan plan reads as "fronted by a materialization", not "scans
+      // nothing".
+      s"checkpoint scans: ${nodes("Scan ExistingRDD")}",
+      s"exchanges: ${nodes("Exchange")}",
+      s"broadcast joins: ${nodes("BroadcastHashJoin")}",
+      s"sort-merge joins: ${nodes("SortMergeJoin")}",
+      s"window nodes: ${nodes("Window")}",
+      s"pushed filters: ${if (pushed.isEmpty) "[]" else pushed.mkString("; ")}",
+      "")
+    (summary ++ lines).map(Seq(_))
   }
 
   // ------------------------------------------------------------------
@@ -1640,4 +1707,21 @@ object Engine {
     * `SELECT *` against a corpus-scale table fails fast instead of
     * OOMing the driver. */
   val DefaultMaxResultRows: Int = 1 << 20
+
+  /** Storage level for every DML/DDL staging localCheckpoint (INSERT
+    * batch, UPDATE/DELETE copy-on-write, ALTER/CREATE INDEX rewrite,
+    * INSERT-in-CTE). Disk tier: staged blocks can outlive the
+    * statement (released on driver GC, not statement end) and
+    * memory-tier blocks squat the unified pool's protected storage
+    * half — the measured sf10 hazard that moved the operator
+    * checkpoints to disk. 2-replica: localCheckpoint TRUNCATES
+    * lineage, so an un-replicated block lost with its executor is
+    * unrecoverable — and the destructive paths (ALTER's rewrite,
+    * DELETE's copy-on-write) drop table files before re-writing from
+    * the checkpoint, the highest-stakes window for block loss. One
+    * replica survives a single executor loss; in local mode
+    * replication is a no-op. Same rationale as
+    * DistributedPrefix.shared / Dedup's posting checkpoint. */
+  val StagingLevel: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.DISK_ONLY_2
 }

@@ -117,16 +117,37 @@ object DistributedPrefix {
     * the scan (its corpus-sized exchange disappears — only slice
     * counts shuffle) and the window branch keeps the one big
     * exchange, instead of materializing a corpus-scale checkpoint
-    * that both branches must write and re-read. Callers may only set
-    * it for DETERMINISTIC inputs (both branches re-derive the rows;
-    * a nondeterministic projection would diverge the slice counts
-    * from the slice contents and corrupt every rank). Default false:
-    * expensive projections (BPE token counts) pay the checkpoint once
-    * rather than computing twice. */
+    * that both branches must write and re-read. Only sound for
+    * DETERMINISTIC inputs (both branches re-derive the rows; a
+    * nondeterministic projection would diverge the slice counts from
+    * the slice contents and corrupt every rank) — ENFORCED below, not
+    * comment-only: the analyzed plan is rejected if any node carries a
+    * nondeterministic expression (rand salts, fresh
+    * monotonically_increasing_id, un-checkpointed sample). Default
+    * false: expensive projections (BPE token counts) pay the
+    * checkpoint once rather than computing twice. */
   private def sharedOrRecompute(sliced: DataFrame, part: String,
                                 sliceCol: String,
                                 recomputeInput: Boolean): DataFrame =
-    if (recomputeInput) sliced else shared(sliced, part, sliceCol)
+    if (recomputeInput) { assertDeterministic(sliced); sliced }
+    else shared(sliced, part, sliceCol)
+
+  /** Guard for `recomputeInput`: every expression in the analyzed plan
+    * must be deterministic, else the two recomputations diverge and
+    * silently corrupt every rank. Fails fast with the offending node
+    * names. (The small-input fast path never recomputes — one window
+    * evaluates the input once — so the guard sits exactly on the
+    * branch with the hazard.) */
+  private def assertDeterministic(df: DataFrame): Unit = {
+    val bad = df.queryExecution.analyzed.collect {
+      case p if !p.expressions.forall(_.deterministic) => p.nodeName
+    }
+    require(bad.isEmpty,
+      s"recomputeInput=true requires a deterministic input plan (both the offset " +
+        s"aggregate and the slice window re-derive the rows); nondeterministic " +
+        s"expressions found in: ${bad.distinct.mkString(", ")}. " +
+        s"Use the default (checkpointing) mode for this input.")
+  }
 
   private def hashSlice(hashCol: String): Column =
     expr(s"$hashCol div ${1L << (60 - HashSliceBits)}")
@@ -159,7 +180,13 @@ object DistributedPrefix {
 
   /** `out` = sum of `value` over all rows STRICTLY BEFORE this row in
     * (hashCol, tie) order within its `part` group — the running-
-    * budget frame, hash-bit-sliced. */
+    * budget frame, hash-bit-sliced.
+    *
+    * `recomputeInput = true` trades the shared checkpoint for
+    * recomputing `df` in both internal branches — ONLY valid for a
+    * deterministic `df` (enforced: a plan carrying a nondeterministic
+    * expression is rejected, since divergent recomputations would
+    * silently corrupt every result). */
   def sumBeforeHashOrdered(df: DataFrame, part: String, hashCol: String,
                            tie: String, value: String, out: String,
                            recomputeInput: Boolean = false): DataFrame = {
@@ -183,7 +210,8 @@ object DistributedPrefix {
   }
 
   /** `out` = 1-based row_number() in (hashCol, tie) order within its
-    * `part` group, hash-bit-sliced. */
+    * `part` group, hash-bit-sliced. `recomputeInput` carries the same
+    * determinism contract as [[sumBeforeHashOrdered]] (enforced). */
   def rowNumberHashOrdered(df: DataFrame, part: String, hashCol: String,
                            tie: String, out: String,
                            recomputeInput: Boolean = false): DataFrame = {
@@ -218,7 +246,10 @@ object DistributedPrefix {
     *   - `local`    — 1-based row_number within the (slice, part) slice
     *   - `cnt`      — the slice's row count
     *   - `rank`     — 1-based global row_number within the part group
-    *   - `total`    — the part group's total row count */
+    *   - `total`    — the part group's total row count
+    *
+    * `recomputeInput` carries the same determinism contract as
+    * [[sumBeforeHashOrdered]] (enforced). */
   def rankedSlices(df: DataFrame, part: String, order: Seq[Column],
                    slice: Column, sliceCol: String, local: String,
                    cnt: String, rank: String, total: String,

@@ -60,18 +60,22 @@ object Pii {
     // first-digit probe instead of six full regex passes — the
     // standard scrub-stage shape (cheap prefilter before the
     // expensive automaton), and most prose is clean. Semantics are
-    // IDENTICAL: on a non-candidate the full chain returns 0s and
-    // untouched text anyway (PiiSpec + the p1/p2 oracles pin both
-    // branches).
+    // IDENTICAL across all three cases (PiiSpec pins each, the
+    // p1/p2 oracles pin the first two): candidate → full regex
+    // chain; non-candidate non-NULL → 0 counts + untouched text
+    // (what the chain would return); NULL text → NULL counts + NULL
+    // digest (regexp_count is null-propagating, so the second WHEN's
+    // missing-otherwise NULL matches the unfiltered chain and the
+    // DuckDB oracle exactly).
     val cand = text.contains("@") || text.rlike("[0-9]")
+    def counted(re: String): Column =
+      when(cand, regexp_count(text, lit(re)).cast("long"))
+        .when(text.isNotNull, lit(0L))
     src.select(
       id.as("doc_id"),
-      when(cand, regexp_count(text, lit(EmailRe)).cast("long"))
-        .otherwise(0L).as("n_emails"),
-      when(cand, regexp_count(text, lit(Ipv4Re)).cast("long"))
-        .otherwise(0L).as("n_ips"),
-      when(cand, regexp_count(text, lit(PhoneRe)).cast("long"))
-        .otherwise(0L).as("n_phones"),
+      counted(EmailRe).as("n_emails"),
+      counted(Ipv4Re).as("n_ips"),
+      counted(PhoneRe).as("n_phones"),
       md5(when(cand, redact(text)).otherwise(text)).as("redacted_md5"))
   }
 

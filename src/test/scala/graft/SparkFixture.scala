@@ -8,8 +8,13 @@ import org.apache.spark.sql.SparkSession
 object SparkFixture {
   lazy val session: SparkSession = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_test_wh").toFile
+    // local[4, 2]: maxFailures=2 enables ONE task retry, so
+    // FaultRecoverySpec can inject a task failure and pin that
+    // queries recover (plain local[N] fails the job on the first
+    // task failure). Deterministic failures still fail — they just
+    // retry once first.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", s"$tmp/warehouse")

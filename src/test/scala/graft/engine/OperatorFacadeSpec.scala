@@ -113,6 +113,79 @@ class OperatorFacadeSpec extends AnyFunSuite {
     }
   }
 
+  /** Round 14: the rest of the top-expensive battery set is
+    * EXPLAIN-visible — the plan facts README argues from (shuffle
+    * counts, no accidental cartesians, census-before-collect shapes)
+    * surfaced to the SQL-only user for d2/d6/d9 like round 13 did for
+    * q30/d13/s11. */
+  private def shapeOf(stmt: String): Seq[String] =
+    g.execute(stmt) match {
+      case Payload.Select(cols, rs) =>
+        assert(cols == Seq("plan"))
+        val text = rs.map(_.head.toString)
+        assert(text.head == "== Shape ==")
+        assert(text.exists(_.contains("== Physical Plan ==")))
+        text.takeWhile(_.nonEmpty)
+      case other => fail(s"expected Select payload, got $other")
+    }
+
+  private def shapeInt(shape: Seq[String], key: String): Int =
+    shape.find(_.startsWith(s"$key: "))
+      .map(_.stripPrefix(s"$key: ").trim.toInt)
+      .getOrElse(fail(s"no '$key:' line in:\n${shape.mkString("\n")}"))
+
+  test("EXPLAIN OPERATOR ngram_jaccard (d2): distributed shape, no cartesian") {
+    val shape = shapeOf(
+      "EXPLAIN OPERATOR ngram_jaccard(source = 'documents', threshold = 0.5)")
+    // posting-list equi-join machinery: shuffles yes, cartesian never;
+    // the plan fronts the capped-posting-list lazy checkpoint, so the
+    // summary must surface that boundary instead of "scans: 0" alone
+    assert(shapeInt(shape, "exchanges") > 0, shape.mkString("\n"))
+    assert(shapeInt(shape, "checkpoint scans") > 0, shape.mkString("\n"))
+  }
+
+  test("EXPLAIN OPERATOR dup_groups (d6): star-contraction shape surfaces") {
+    val shape = shapeOf(
+      "EXPLAIN OPERATOR dup_groups(source = 'documents', min_sim = 0.25)")
+    // the returned frame reads the last contraction round's eager
+    // checkpoint — visible as a materialization boundary
+    assert(shapeInt(shape, "exchanges") > 0, shape.mkString("\n"))
+    assert(shapeInt(shape, "checkpoint scans") > 0, shape.mkString("\n"))
+  }
+
+  test("EXPLAIN OPERATOR canonical_select (d9): election shape surfaces") {
+    val shape = shapeOf(
+      "EXPLAIN OPERATOR canonical_select(source = 'documents', min_sim = 0.25)")
+    assert(shapeInt(shape, "exchanges") > 0, shape.mkString("\n"))
+    assert(shapeInt(shape, "scans") > 0, shape.mkString("\n"))
+  }
+
+  test("EXPLAIN INSERT: g7's bulk path plans stage-free with the auto fill visible") {
+    g.execute("DROP DATABASE IF EXISTS xpdb")
+    val loc = java.nio.file.Files.createTempDirectory("graft_xpdb").toFile.getAbsolutePath
+    g.execute(s"CREATE DATABASE xpdb LOCATION '$loc'")
+    g.execute("CREATE TABLE xpdb.li (id INTEGER AUTO_INCREMENT, okey INTEGER, qty FLOAT)")
+    // g7's exact batch shape: INSERT…SELECT off a deterministic narrow
+    // scan — the staging policy must plan NO checkpoint (re-reads
+    // identically from lineage) while the auto-increment fill shows.
+    val shape = shapeOf(
+      "EXPLAIN INSERT INTO xpdb.li (okey, qty) SELECT l_orderkey, l_quantity FROM lineitem")
+    assert(shape.exists(_ == "target: xpdb.li"), shape.mkString("\n"))
+    assert(shape.exists(l => l.startsWith("staging: none — deterministic narrow batch")),
+      shape.mkString("\n"))
+    assert(shape.exists(_.startsWith("auto_increment: id")), shape.mkString("\n"))
+    // a shuffled batch flips the decision: ORDER BY forces an exchange
+    // upstream of the auto fill, so the plan must stage
+    val shuffled = shapeOf(
+      "EXPLAIN INSERT INTO xpdb.li (okey, qty) " +
+        "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_quantity")
+    assert(shuffled.exists(l => l.startsWith("staging: lazy 2-replica disk localCheckpoint")),
+      shuffled.mkString("\n"))
+    // dry run: nothing was written
+    assert(g.query("SELECT count(*) AS n FROM xpdb.li").head.getLong(0) == 0L)
+    g.execute("DROP DATABASE xpdb")
+  }
+
   test("unknown operator names what is available") {
     val e = intercept[EngineException](g.query("EXECUTE OPERATOR no_such_op()"))
     assert(e.getMessage.contains("unknown operator") &&

@@ -91,6 +91,33 @@ class DistributedPrefixSpec extends AnyFunSuite
     assert(slices > 100, s"hash slices degenerate: $slices")
   }
 
+  test("recomputeInput=true rejects a nondeterministic input plan") {
+    // The recompute branch re-derives the input in BOTH internal
+    // branches; a nondeterministic projection would diverge the slice
+    // counts from the slice contents and silently corrupt every rank —
+    // so the guard must fail fast, naming the hazard, instead.
+    val nondet = hdf.withColumn("v", (rand() * 10).cast("long"))
+    val e = intercept[IllegalArgumentException] {
+      DistributedPrefix
+        .sumBeforeHashOrdered(nondet, "grp", "h", "id", "v", "cum",
+          recomputeInput = true)
+        .collect()
+    }
+    assert(e.getMessage.contains("deterministic"))
+    // deterministic inputs pass through the same guard unchanged
+    val ok = DistributedPrefix
+      .sumBeforeHashOrdered(hdf, "grp", "h", "id", "v", "cum",
+        recomputeInput = true)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("h").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = hdf
+      .withColumn("cum", coalesce(sum(col("v")).over(w), lit(0L)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(ok == want)
+  }
+
   test("rowNumberHashOrdered equals the single-window rank") {
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("h").asc, col("id").asc)

@@ -43,6 +43,22 @@ class PiiSpec extends AnyFunSuite {
     assert(redactOne("odd 999.999.999.999 addr") == "odd <IP> addr")
   }
 
+  test("NULL text yields NULL counts and a NULL digest (prefilter preserves NULL propagation)") {
+    // pii_scan is a public facade over arbitrary frames (source = ...),
+    // so nullable text must behave exactly like the unfiltered
+    // regexp_count chain and the DuckDB oracle: NULL in, NULL out —
+    // the candidate prefilter may not coerce the counts to 0.
+    import spark.implicits._
+    val src = Seq((1L, null: String), (2L, "mail x@y.io now"), (3L, "clean prose"))
+      .toDF("doc_id", "text")
+    val rows = Pii.piiColumns(src).orderBy("doc_id").collect()
+    val nullRow = rows(0)
+    for (i <- 1 to 4)
+      assert(nullRow.isNullAt(i), s"NULL text must yield NULL in field $i, got ${nullRow.get(i)}")
+    assert(rows(1).getLong(1) == 1L && rows(1).getString(4) != null)
+    assert(rows(2).getLong(1) == 0L && rows(2).getLong(2) == 0L && rows(2).getLong(3) == 0L)
+  }
+
   test("p2 constructed rows all carry exactly one of each PII class") {
     val agg = Pii.piiPositive(spark, dir)
       .agg(min("n_emails"), max("n_emails"), min("n_ips"), max("n_ips"),
