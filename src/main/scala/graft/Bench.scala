@@ -62,7 +62,23 @@ object Bench {
     val battery = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    // Opt-in spill accounting (SPARK_GRAFT_SPILL=1) for the memory-
+    // pressure rung: a task-end listener accumulates disk-spill bytes
+    // and each query's delta is attributed to it (queries run
+    // sequentially; listener-bus lag is ms-scale against second-scale
+    // queries). Reported per query on stderr, max across passes.
+    val spillTrack = sys.env.contains("SPARK_GRAFT_SPILL")
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    if (spillTrack) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) spillBytes.addAndGet(m.diskBytesSpilled)
+        }
+      })
+    val spills = scala.collection.mutable.Map.empty[String, Long]
     for (pass <- 1 to 3; (name, fn) <- battery) {
+      val s0 = spillBytes.get()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
@@ -72,6 +88,13 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
+      if (spillTrack)
+        spills(name) = math.max(spills.getOrElse(name, 0L), spillBytes.get() - s0)
+    }
+    if (spillTrack) {
+      val sj = spills.toSeq.sortBy(_._1).filter(_._2 > 0)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      System.err.println(s"""[bench] spill_bytes_by_query $sj""")
     }
     val results = battery.map { case (name, _) =>
       val ss = samples(name)

@@ -29,7 +29,28 @@ import org.apache.spark.sql.types.{FloatType, TimestampNTZType}
   * oracle read the SAME files), so the generator's job is fidelity
   * of shape, not bit-identity with the driver's generator.
   *
-  * Usage: graft.DataGen <outDir> [scale]   (scale=1.0 → sf1)
+  * ADVERSARIAL-SKEW MODE (`skew` third arg; round-14 verdict task 3):
+  * the benign generator never stresses the census caps, salting and
+  * adaptive bits that ARE the 100 TB story, so this mode plants the
+  * pathologies they exist for — all still fully deterministic:
+  *
+  *  - documents: heavy-tailed (zipf-ish) word counts — the p99 doc is
+  *    ~100× the median, the max ~5000 words (straggler-task and
+  *    posting-list stress for d2/d13/t8's budget scans);
+  *  - documents: ~5% of docs are BYTE-IDENTICAL copies of one viral
+  *    boilerplate text (one mega band-key/fp bucket — the exact shape
+  *    MaxBandBucket/MaxShingleDf drop-whole tiers are documented
+  *    for), on top of the usual ~5% near-dup tail;
+  *  - documents: one mega-language — 90% en (per-language prefix
+  *    machinery degrades to one giant group for t8's budgets);
+  *  - lineitem: ONE hot l_orderkey carrying ~30% of all rows (AQE
+  *    skew-join stress, q33's shape at corpus scale);
+  *  - embeddings: a near-identical cluster of min(10k, n/2) vectors
+  *    (pairwise cosine ≈ 1 — every hyperplane sign agrees, so finer
+  *    adaptive bits CANNOT split it; d5/d10 must take their census-
+  *    cap representative-star tier, not enumerate ~10k²/2 pairs).
+  *
+  * Usage: graft.DataGen <outDir> [scale] [skew]   (scale=1.0 → sf1)
   */
 object DataGen {
   private val BaseDir = "/root/testdata/sf0.1"
@@ -55,6 +76,7 @@ object DataGen {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val scale = if (args.length > 1) args(1).toDouble else 1.0
+    val skewed = args.length > 2 && args(2).equalsIgnoreCase("skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -69,12 +91,13 @@ object DataGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    write(spark, outDir, scale)
+    write(spark, outDir, scale, skewed)
     spark.stop()
   }
 
   /** Writes all ten tables; returns per-table row counts. */
-  def write(spark: SparkSession, outDir: String, scale: Double): Map[String, Long] = {
+  def write(spark: SparkSession, outDir: String, scale: Double,
+            skewed: Boolean = false): Map[String, Long] = {
     val nCust = (150000 * scale).toLong
     val nSupp = (10000 * scale).toLong
     val nPart = (200000 * scale).toLong
@@ -127,8 +150,16 @@ object DataGen {
       pick(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
         45, col("id")).as("o_orderpriority"))
 
+    // Skew mode: one hot order key (42) draws ~30% of all lineitem
+    // rows — the canonical skew-join pathology AQE's skew split and
+    // q34-style salting exist for.
+    val lOrderkey =
+      if (skewed)
+        when(u(62, col("id")) < 0.30, lit(42L))
+          .otherwise(h(51, nOrd.toInt.max(1), col("id")).cast("long"))
+      else h(51, nOrd.toInt.max(1), col("id")).cast("long")
     val lineitem = ids(nLine).select(
-      h(51, nOrd.toInt.max(1), col("id")).cast("long").as("l_orderkey"),
+      lOrderkey.as("l_orderkey"),
       h(52, nPart.toInt.max(1), col("id")).cast("long").as("l_partkey"),
       h(53, nSupp.toInt.max(1), col("id")).cast("long").as("l_suppkey"),
       (h(54, 7, col("id")) + 1).as("l_linenumber"),
@@ -172,14 +203,29 @@ object DataGen {
       "order", "part", "query", "row", "scan", "slow", "small", "sort",
       "spark", "stream", "table", "the", "value", "vector", "window")
     val vocabCol = array(vocab.map(lit): _*)
+    // Word count per doc: benign = uniform 10–100; skew = zipf-ish
+    // heavy tail 10–5000 via inverse-power sampling (u^-0.8 scaled so
+    // the median stays ~30 words but p99 runs to thousands — the
+    // straggler-task / mega-posting-list shape real crawl corpora
+    // have and uniform draws never produce).
+    val nWords =
+      if (skewed)
+        least(lit(5000), lit(9) + floor(lit(17.0) *
+          pow(lit(1.0) - u(81, col("id")) + lit(1e-9), lit(-0.8))).cast("int"))
+      else h(81, 91, col("id")) + 9
+    // Viral boilerplate (skew only): ~5% of docs are BYTE-IDENTICAL —
+    // one mega fp/band-key bucket for the census caps to handle.
+    val viralText = (0 until 40)
+      .map(i => vocab((i * 2654435761L % 30).toInt)).mkString(" ")
     val baseDocs = ids(nDoc).select(
       col("id").as("doc_id"),
-      array_join(transform(sequence(lit(0), h(81, 91, col("id")) + 9),
+      array_join(transform(sequence(lit(0), nWords),
         i => element_at(vocabCol, pmod(xxhash64(col("id"), i, lit(82)), lit(30L)).cast("int") + 1)),
         " ").as("text0"),
       (u(83, col("id")) < 0.05 && col("id") > 0).as("is_dup"),
+      (lit(skewed) && u(88, col("id")) < 0.05 && col("id") > 0).as("is_viral"),
       pmod(xxhash64(col("id"), lit(84)), greatest(col("id"), lit(1L))).as("base_id"),
-      when(u(85, col("id")) < 0.41, "en")
+      when(u(85, col("id")) < (if (skewed) 0.90 else 0.41), "en")
         .otherwise(pick(Seq("zh", "de", "fr", "es"), 86, col("id"))).as("lang"),
       format_string("src%d", h(87, 20, col("id"))).as("source"))
     val bases = baseDocs.select(col("doc_id").as("b_id"), col("text0").as("b_text"))
@@ -187,18 +233,31 @@ object DataGen {
       .join(broadcast_if_small(bases, nDoc), col("base_id") === col("b_id"), "left")
       .select(
         col("doc_id"),
-        when(col("is_dup"), concat(col("b_text"), lit(" dup")))
-          .otherwise(col("text0")).as("text"),
+        when(col("is_viral"), lit(viralText))
+          .otherwise(when(col("is_dup"), concat(col("b_text"), lit(" dup")))
+            .otherwise(col("text0"))).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
     // embeddings: unit-norm 64-d with weak label clusters (cos≈0.07).
+    // Skew mode: the first min(10k, n/2) vectors form a NEAR-IDENTICAL
+    // cluster — one shared gaussian direction plus 0.1%-scale private
+    // noise (pairwise cosine ≈ 0.999998). Every hyperplane sign
+    // agrees across the cluster, so adaptive-bit refinement cannot
+    // split it: d5/d10 must survive via their census-cap
+    // representative-star tier instead of ~10k²/2 pair enumeration.
     val dim = 64
+    val clusterN = math.min(10000L, nEmb / 2)
+    def rawExpr(idc: Column) =
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => gauss(91, idc, j) + lit(0.07) * gauss(92, pmod(idc, lit(10L)), j))
+    val clusterExpr =
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => gauss(94, lit(0L), j) + lit(0.001) * gauss(95, col("id"), j))
     val raw = ids(nEmb).select(
       col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(dim - 1)),
-        j => gauss(91, col("id"), j) + lit(0.07) * gauss(92, pmod(col("id"), lit(10L)), j))
-        .as("rawv"),
+      (if (skewed) when(col("id") < clusterN, clusterExpr).otherwise(rawExpr(col("id")))
+       else rawExpr(col("id"))).as("rawv"),
       h(93, 10, col("id")).as("label"))
     val embeddings = raw.select(
       col("vec_id"),

@@ -246,6 +246,21 @@ object Dedup {
     * neighborhood this large doesn't exist in real corpora. */
   val MaxBandBucket = 50
 
+  /** Storage level for d13's distinct-span-contents cache (its four
+    * consumers re-read it; see spanMinhashDupsOn). Profiled both ways
+    * at sf1 and sf10 (ProfileD13, round 14, min of 3 passes each,
+    * q33-style join run right after each d13 in the same session):
+    * DISK_ONLY ties-or-wins on d13 itself (sf1 6.12 vs 6.43 s, sf10
+    * 21.9 vs 22.9 s) and the after-join is identical (sf1 1.85 vs
+    * 1.82 s, sf10 6.67 vs 6.67) — the finally-release means neither
+    * tier squats the pool past the query, so the tier only trades
+    * d13's own execution memory against re-read cost, and the
+    * re-read rides the OS page cache for free. DISK_ONLY is also the
+    * right 100 TB posture: a corpus-scale side-materialization has no
+    * business borrowing the unified pool's storage half mid-query. */
+  val SpanCacheLevelKey = "graft.dedup.spanCacheLevel"
+  val SpanCacheLevelDefault = "DISK_ONLY"
+
   /** MinHash + LSH near-dup: band signatures (bands of rows=2), bucket
     * by band value, emit candidate pairs per bucket, estimate
     * similarity as the fraction of matching minhashes. The banding
@@ -1026,8 +1041,15 @@ object Dedup {
     // stats for planning; the eager localCheckpoint of the (tiny)
     // result below lets the finally release the cache before this
     // returns, so no CacheManager entry outlives the call.
-    val contents = spanContents(docs, maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Storage tier knob (round-14 profiling; see ProfileD13): the one
+    // corpus-sized cache left on the memory tier after round 13 moved
+    // the lazy checkpoints to DISK_ONLY. Unlike those, this persist is
+    // released in the finally below, so it cannot squat the pool past
+    // the query — the tier only trades ITS OWN consumers' re-read cost
+    // against the execution memory its blocks borrow mid-query.
+    val lvl = org.apache.spark.storage.StorageLevel.fromString(
+      docs.sparkSession.conf.get(SpanCacheLevelKey, SpanCacheLevelDefault))
+    val contents = spanContents(docs, maxBucket).persist(lvl)
     try {
 
     // EXACT tier: identical spans pair straight off the holder set
