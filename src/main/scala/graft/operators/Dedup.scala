@@ -248,10 +248,11 @@ object Dedup {
 
   /** Storage level for d13's distinct-span-contents cache (its four
     * consumers re-read it; see spanMinhashDupsOn). Profiled both ways
-    * at sf1 and sf10 (ProfileD13, round 14, min of 3 passes each,
-    * q33-style join run right after each d13 in the same session):
-    * DISK_ONLY ties-or-wins on d13 itself (sf1 6.12 vs 6.43 s, sf10
-    * 21.9 vs 22.9 s) and the after-join is identical (sf1 1.85 vs
+    * at sf0.1, sf1 and sf10 (ProfileD13, round 14, min of 3 passes
+    * each, q33-style join run right after each d13 in the same
+    * session): DISK_ONLY ties-or-wins on d13 itself (sf0.1 2.35 vs
+    * 2.32 s — even; sf1 6.12 vs 6.43 s; sf10 21.9 vs 22.9 s) and the
+    * after-join is identical (sf1 1.85 vs
     * 1.82 s, sf10 6.67 vs 6.67) — the finally-release means neither
     * tier squats the pool past the query, so the tier only trades
     * d13's own execution memory against re-read cost, and the
