@@ -91,6 +91,28 @@ class FaultRecoverySpec extends AnyFunSuite {
     assert(got == clean, "post-recovery d13 result diverged from the clean run")
   }
 
+  test("a streaming microbatch retries an injected task failure (PII ingest twin)") {
+    // The ingest-time scrub is the operator most exposed to transient
+    // executor failures in production (it runs first, on every
+    // document); one injected failure inside a microbatch must be
+    // retried WITHIN the batch — the query completes and emits
+    // exactly the clean rows, never a partial or duplicated batch.
+    val clean = rows(graft.operators.Pii.piiScan(spark, dir))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val flaked = graft.operators.Pii.piiColumns(
+      stream.select(col("doc_id"), flaky(col("text")).as("text")))
+    arm()
+    val q = flaked.writeStream.format("memory")
+      .queryName("fault_pii").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = rows(spark.table("fault_pii"))
+    assert(FaultRecoverySpec.remaining.get() <= 0, "the fault was never consumed")
+    assert(got == clean, "post-recovery streaming scrub diverged from batch")
+  }
+
   test("a persistent failure still fails loudly (no silent wrong answers)") {
     import spark.implicits._
     // More faults than retry budget: every attempt of some task throws.
