@@ -63,22 +63,39 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     // Opt-in spill accounting (SPARK_GRAFT_SPILL=1) for the memory-
-    // pressure rung: a task-end listener accumulates disk-spill bytes
-    // and each query's delta is attributed to it (queries run
-    // sequentially; listener-bus lag is ms-scale against second-scale
-    // queries). Reported per query on stderr, max across passes.
+    // pressure rung, keyed by JOB GROUP rather than boundary
+    // snapshots: each query's jobs run under a job group named after
+    // it, onJobStart maps every stage to its group, and onTaskEnd
+    // credits that stage's disk-spill bytes to the group — so
+    // listener-bus lag at a query boundary cannot misattribute a
+    // query's tail to its successor (late events still carry their
+    // own stage id). Reported per query on stderr as the TOTAL
+    // across all three passes. Known bounds, accepted: the listener
+    // bus drops events past its queue capacity (undercount under
+    // extreme pressure), and a query that FAILS still records its
+    // partial spill (desired — the failure case is what the
+    // memory-pressure rung probes).
     val spillTrack = sys.env.contains("SPARK_GRAFT_SPILL")
-    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val spillByQuery =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     if (spillTrack) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val g = Option(j.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+          if (g != null) j.stageIds.foreach(s => stageGroup.put(s, g))
+        }
         override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = t.taskMetrics
-          if (m != null) spillBytes.addAndGet(m.diskBytesSpilled)
+          val g = stageGroup.get(t.stageId)
+          if (m != null && g != null && m.diskBytesSpilled > 0)
+            spillByQuery
+              .computeIfAbsent(g, _ => new java.util.concurrent.atomic.AtomicLong(0L))
+              .addAndGet(m.diskBytesSpilled)
         }
       })
-    val spills = scala.collection.mutable.Map.empty[String, Long]
     for (pass <- 1 to 3; (name, fn) <- battery) {
-      val s0 = spillBytes.get()
+      if (spillTrack) spark.sparkContext.setJobGroup(name, name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
@@ -86,15 +103,17 @@ object Bench {
           if (!failed.contains(name)) failed += name
           System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
       }
+      finally if (spillTrack) spark.sparkContext.clearJobGroup()
       val dt = (System.nanoTime() - t0) / 1e9
       samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
-      if (spillTrack)
-        spills(name) = math.max(spills.getOrElse(name, 0L), spillBytes.get() - s0)
     }
     if (spillTrack) {
-      val sj = spills.toSeq.sortBy(_._1).filter(_._2 > 0)
-        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      System.err.println(s"""[bench] spill_bytes_by_query $sj""")
+      // brief drain so the last query's in-flight task-end events land
+      Thread.sleep(1000)
+      import scala.jdk.CollectionConverters._
+      val sj = spillByQuery.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v.get() }.mkString("{", ",", "}")
+      System.err.println(s"""[bench] spill_bytes_by_query_3pass $sj""")
     }
     val results = battery.map { case (name, _) =>
       val ss = samples(name)

@@ -642,6 +642,14 @@ class Engine(val spark: SparkSession) {
             } else Seq.empty
           } else Seq.empty
         val cols = if (explicitCols.nonEmpty) explicitCols else tm.columns.map(_.name)
+        // Validate the column list HERE, not only in the locked write
+        // path: EXPLAIN INSERT's dry run would otherwise silently
+        // drop a misspelled column in positionedBatch and report a
+        // staging plan for a batch the engine will never execute.
+        // (The write path re-checks inside the lock against re-read
+        // meta — this is the fail-fast copy both routes share.)
+        cols.foreach(c => if (tm.column(c).isEmpty)
+          throw new EngineException(s"unknown column $c in $db.$tbl"))
         val srcSql =
           if (rest.toUpperCase.startsWith("VALUES")) rewriteValues(rest)
           else rest
@@ -1470,10 +1478,19 @@ class Engine(val spark: SparkSession) {
       Payload.Select(Seq("plan"), plan.split("\n").toSeq.map(Seq(_)))
     } else if (up.startsWith("OPERATOR")) {
       // EXPLAIN OPERATOR name(args…): the registered operator's
-      // physical plan WITHOUT running it, led by a shape summary —
-      // the scan/shuffle/join facts the library's 100 TB claims are
-      // made of, surfaced to the SQL-only user (the plan-shape specs
-      // pin these same facts build-time; this is the runtime view).
+      // physical plan, led by a shape summary — the scan/shuffle/join
+      // facts the library's 100 TB claims are made of, surfaced to
+      // the SQL-only user (the plan-shape specs pin these same facts
+      // build-time; this is the runtime view). The final action (the
+      // result write/collect) does NOT run — but operators that
+      // iterate at DataFrame-CONSTRUCTION time (dup_groups /
+      // canonical_select's label-propagation rounds, incremental
+      // variants) DO execute those rounds to produce their returned
+      // frame, so their EXPLAIN costs what constructing the operator
+      // costs and the surfaced plan is the final round's (fronted by
+      // its checkpoint — see the `checkpoint scans` summary line).
+      // That is the honest plan: for an iterative operator no static
+      // whole-pipeline plan exists.
       Payload.Select(Seq("plan"), planShape(operatorDf("EXECUTE " + arg)))
     } else if (up.startsWith("INSERT")) {
       // EXPLAIN INSERT …: dry-run of the validated write path's

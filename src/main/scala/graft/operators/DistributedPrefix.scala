@@ -121,33 +121,35 @@ object DistributedPrefix {
     * DETERMINISTIC inputs (both branches re-derive the rows; a
     * nondeterministic projection would diverge the slice counts from
     * the slice contents and corrupt every rank) — ENFORCED below, not
-    * comment-only: the analyzed plan is rejected if any node carries a
-    * nondeterministic expression (rand salts, fresh
-    * monotonically_increasing_id, un-checkpointed sample). Default
-    * false: expensive projections (BPE token counts) pay the
+    * comment-only: an analyzed plan carrying a nondeterministic
+    * expression (rand salts, fresh monotonically_increasing_id,
+    * un-checkpointed sample) silently takes the CHECKPOINT path
+    * instead, which is correct for every input because the rows
+    * materialize once and both consumers read the same blocks. A
+    * graceful downgrade rather than an exception, deliberately: the
+    * operators above hardcode recomputeInput at their call sites
+    * (q30's scan projection), so a facade user handing percentilesOn
+    * a rand()-salted frame has no lever to flip — the correct-but-
+    * slightly-slower plan is strictly better for them than an
+    * unrecoverable error (DistributedPrefixSpec pins both the
+    * downgrade's plan shape and the recompute branch's parity).
+    * Default false: expensive projections (BPE token counts) pay the
     * checkpoint once rather than computing twice. */
   private def sharedOrRecompute(sliced: DataFrame, part: String,
                                 sliceCol: String,
                                 recomputeInput: Boolean): DataFrame =
-    if (recomputeInput) { assertDeterministic(sliced); sliced }
+    if (recomputeInput && isDeterministic(sliced)) sliced
     else shared(sliced, part, sliceCol)
 
-  /** Guard for `recomputeInput`: every expression in the analyzed plan
-    * must be deterministic, else the two recomputations diverge and
-    * silently corrupt every rank. Fails fast with the offending node
-    * names. (The small-input fast path never recomputes — one window
-    * evaluates the input once — so the guard sits exactly on the
-    * branch with the hazard.) */
-  private def assertDeterministic(df: DataFrame): Unit = {
-    val bad = df.queryExecution.analyzed.collect {
-      case p if !p.expressions.forall(_.deterministic) => p.nodeName
-    }
-    require(bad.isEmpty,
-      s"recomputeInput=true requires a deterministic input plan (both the offset " +
-        s"aggregate and the slice window re-derive the rows); nondeterministic " +
-        s"expressions found in: ${bad.distinct.mkString(", ")}. " +
-        s"Use the default (checkpointing) mode for this input.")
-  }
+  /** True iff every expression in the analyzed plan is deterministic
+    * — the recompute branch's soundness condition (two recomputations
+    * of a nondeterministic plan diverge and would silently corrupt
+    * every rank, so callers failing this check are downgraded to the
+    * checkpoint path). */
+  private def isDeterministic(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case p if !p.expressions.forall(_.deterministic) => p
+    }.isEmpty
 
   private def hashSlice(hashCol: String): Column =
     expr(s"$hashCol div ${1L << (60 - HashSliceBits)}")
@@ -183,10 +185,12 @@ object DistributedPrefix {
     * budget frame, hash-bit-sliced.
     *
     * `recomputeInput = true` trades the shared checkpoint for
-    * recomputing `df` in both internal branches — ONLY valid for a
-    * deterministic `df` (enforced: a plan carrying a nondeterministic
-    * expression is rejected, since divergent recomputations would
-    * silently corrupt every result). */
+    * recomputing `df` in both internal branches — sound ONLY for a
+    * deterministic `df`, and ENFORCED: a plan carrying a
+    * nondeterministic expression silently downgrades to the
+    * checkpoint path (correct for every input — rows materialize
+    * once), since divergent recomputations would corrupt every
+    * result and callers above this API often cannot flip the flag. */
   def sumBeforeHashOrdered(df: DataFrame, part: String, hashCol: String,
                            tie: String, value: String, out: String,
                            recomputeInput: Boolean = false): DataFrame = {
@@ -211,7 +215,8 @@ object DistributedPrefix {
 
   /** `out` = 1-based row_number() in (hashCol, tie) order within its
     * `part` group, hash-bit-sliced. `recomputeInput` carries the same
-    * determinism contract as [[sumBeforeHashOrdered]] (enforced). */
+    * determinism contract as [[sumBeforeHashOrdered]] (enforced by
+    * checkpoint downgrade). */
   def rowNumberHashOrdered(df: DataFrame, part: String, hashCol: String,
                            tie: String, out: String,
                            recomputeInput: Boolean = false): DataFrame = {
@@ -249,7 +254,7 @@ object DistributedPrefix {
     *   - `total`    — the part group's total row count
     *
     * `recomputeInput` carries the same determinism contract as
-    * [[sumBeforeHashOrdered]] (enforced). */
+    * [[sumBeforeHashOrdered]] (enforced by checkpoint downgrade). */
   def rankedSlices(df: DataFrame, part: String, order: Seq[Column],
                    slice: Column, sliceCol: String, local: String,
                    cnt: String, rank: String, total: String,

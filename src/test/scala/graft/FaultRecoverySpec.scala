@@ -42,7 +42,8 @@ class FaultRecoverySpec extends AnyFunSuite {
   private def flaky(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val f = udf((s: String) => {
       if (FaultRecoverySpec.consume())
-        throw new RuntimeException("injected task failure (FaultRecoverySpec)")
+        throw new RuntimeException(
+          s"${SparkFixture.InjectedFaultMarker} (FaultRecoverySpec)")
       s
     })
     f(c)

@@ -147,8 +147,11 @@ class OperatorFacadeSpec extends AnyFunSuite {
   test("EXPLAIN OPERATOR dup_groups (d6): star-contraction shape surfaces") {
     val shape = shapeOf(
       "EXPLAIN OPERATOR dup_groups(source = 'documents', min_sim = 0.25)")
-    // the returned frame reads the last contraction round's eager
-    // checkpoint — visible as a materialization boundary
+    // d6 iterates at CONSTRUCTION time (label-propagation rounds run
+    // to produce the returned frame — documented in Engine.explain),
+    // so its EXPLAIN surfaces the final round's plan, fronted by the
+    // last contraction checkpoint — visible as a materialization
+    // boundary, not hidden as "scans: 0"
     assert(shapeInt(shape, "exchanges") > 0, shape.mkString("\n"))
     assert(shapeInt(shape, "checkpoint scans") > 0, shape.mkString("\n"))
   }

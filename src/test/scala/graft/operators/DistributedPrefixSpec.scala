@@ -91,20 +91,36 @@ class DistributedPrefixSpec extends AnyFunSuite
     assert(slices > 100, s"hash slices degenerate: $slices")
   }
 
-  test("recomputeInput=true rejects a nondeterministic input plan") {
+  test("recomputeInput=true downgrades a nondeterministic input to the checkpoint path, correctly") {
     // The recompute branch re-derives the input in BOTH internal
     // branches; a nondeterministic projection would diverge the slice
-    // counts from the slice contents and silently corrupt every rank —
-    // so the guard must fail fast, naming the hazard, instead.
+    // counts from the slice contents and silently corrupt every rank.
+    // The guard downgrades such inputs to the always-correct
+    // checkpoint path (rows materialize once) instead of throwing —
+    // callers like percentilesOn hardcode the flag, so an error would
+    // be unrecoverable for them.
     val nondet = hdf.withColumn("v", (rand() * 10).cast("long"))
-    val e = intercept[IllegalArgumentException] {
-      DistributedPrefix
-        .sumBeforeHashOrdered(nondet, "grp", "h", "id", "v", "cum",
-          recomputeInput = true)
-        .collect()
+    val out = DistributedPrefix
+      .sumBeforeHashOrdered(nondet, "grp", "h", "id", "v", "cum",
+        recomputeInput = true)
+    // (a) the plan took the checkpoint path: the input is fronted by
+    // a materialized-RDD scan, not recomputed from source
+    assert(out.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
+      "nondeterministic input did not downgrade to the checkpoint path")
+    // (b) the result is internally consistent: cum equals the prefix
+    // sum computed from the RETURNED rows themselves (the materialized
+    // v values are the single source of truth after the checkpoint)
+    val rows = out.select(col("grp"), col("h"), col("id"), col("v"), col("cum"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, grp) =>
+      var acc = 0L
+      grp.sortBy(r => (r._2, r._3)).foreach { case (_, _, id, v, cum) =>
+        assert(cum == acc, s"row $id: cum $cum != running sum $acc")
+        acc += v
+      }
     }
-    assert(e.getMessage.contains("deterministic"))
-    // deterministic inputs pass through the same guard unchanged
+    // (c) deterministic inputs keep the recompute branch's exact
+    // single-window parity
     val ok = DistributedPrefix
       .sumBeforeHashOrdered(hdf, "grp", "h", "id", "v", "cum",
         recomputeInput = true)
