@@ -72,11 +72,20 @@ object Bench {
     // own stage id). Reported per query on stderr as the TOTAL
     // across all three passes. Known bounds, accepted: the listener
     // bus drops events past its queue capacity (undercount under
-    // extreme pressure), and a query that FAILS still records its
+    // extreme pressure); a query that FAILS still records its
     // partial spill (desired — the failure case is what the
-    // memory-pressure rung probes).
+    // memory-pressure rung probes); and jobs submitted from Spark's
+    // SHARED lazy thread pools (broadcast-exchange threads) inherit
+    // local properties from whichever query's thread first created
+    // the pool, so a broadcast job's stages can carry a stale or
+    // missing job group and its spill is misattributed or dropped —
+    // a small bound in practice, because broadcast builds are
+    // size-capped (≤ autoBroadcastJoinThreshold) and thus the least
+    // likely stages to spill. stageGroup entries are released on job
+    // end (below) so the map cannot grow unbounded across the run.
     val spillTrack = sys.env.contains("SPARK_GRAFT_SPILL")
     val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val jobStages = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Int]]()
     val spillByQuery =
       new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     if (spillTrack) spark.sparkContext.addSparkListener(
@@ -84,6 +93,7 @@ object Bench {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           val g = Option(j.properties).map(_.getProperty("spark.jobGroup.id")).orNull
           if (g != null) j.stageIds.foreach(s => stageGroup.put(s, g))
+          jobStages.put(j.jobId, j.stageIds)
         }
         override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = t.taskMetrics
@@ -93,19 +103,65 @@ object Bench {
               .computeIfAbsent(g, _ => new java.util.concurrent.atomic.AtomicLong(0L))
               .addAndGet(m.diskBytesSpilled)
         }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          // A job's task-end events precede its job-end event on the
+          // same ordered listener bus, so releasing here only bounds
+          // the map — no late event can miss its group.
+          val ss = jobStages.remove(j.jobId)
+          if (ss != null) ss.foreach(stageGroup.remove(_))
+        }
       })
-    for (pass <- 1 to 3; (name, fn) <- battery) {
-      if (spillTrack) spark.sparkContext.setJobGroup(name, name)
+    // Fixed calibration probe (round-14 verdict task 5): cross-round
+    // bench totals swung ±35% on identical code paths because the
+    // host window varies (cgroup throttling, co-tenants), and each
+    // verdict had to re-litigate "window or regression?". Two fixed
+    // probes whose cost is INDEPENDENT of the battery and the data
+    // answer that mechanically:
+    //   cpu   — a deterministic single-thread xorshift loop: raw CPU
+    //           speed of the window;
+    //   spark — a fixed tiny range→hash→groupBy through the same noop
+    //           sink: scheduler + codegen + shuffle overhead of the
+    //           window.
+    // Sampled once per pass (same 3-sample min discipline as the
+    // queries), reported as "calibration" in the JSON line;
+    // tools/benchmin.py --norm divides cross-round totals by the
+    // spark-probe ratio.
+    def calibrateCpu(): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          if (!failed.contains(name)) failed += name
-          System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      while (i < (1 << 27)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.println("unreachable") // keep the loop live
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibrateSpark(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 5000000L, 1L, 8)
+        .selectExpr("xxhash64(id) % 997 AS k")
+        .groupBy("k").count()
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var calCpu = Double.MaxValue
+    var calSpark = Double.MaxValue
+    for (pass <- 1 to 3) {
+      // One calibration sample per pass, for the same reason the
+      // query samples are pass-major: three consecutive samples
+      // would all sit inside one throttle burst.
+      calCpu = math.min(calCpu, calibrateCpu())
+      calSpark = math.min(calSpark, calibrateSpark())
+      for ((name, fn) <- battery) {
+        if (spillTrack) spark.sparkContext.setJobGroup(name, name)
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) failed += name
+            System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
+        }
+        finally if (spillTrack) spark.sparkContext.clearJobGroup()
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
       }
-      finally if (spillTrack) spark.sparkContext.clearJobGroup()
-      val dt = (System.nanoTime() - t0) / 1e9
-      samples(name) = samples.getOrElse(name, Vector.empty) :+ dt
     }
     if (spillTrack) {
       // brief drain so the last query's in-flight task-end events land
@@ -146,8 +202,9 @@ object Bench {
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
-    System.err.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$fj,"sf":"$sfDir"}""")
+    val cal = s"""{"cpu":${ms(calCpu)},"spark":${ms(calSpark)}}"""
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$fj,"calibration":$cal,"sf":"$sfDir"}""")
+    System.err.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$fj,"calibration":$cal,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -1460,6 +1460,16 @@ class Engine(val spark: SparkSession) {
   // EXPLAIN introspection (reference other/explain.rs:6-92)
   // ------------------------------------------------------------------
 
+  /** Keyword-boundary prefix match: true iff `up` starts with the
+    * keyword as a whole WORD (`"SELECT 1"` yes, `"SELECTION"` no).
+    * Bare `startsWith` routed `EXPLAIN insert_log` (a table whose
+    * name merely begins with "insert") into the INSERT parser, which
+    * threw "cannot parse" instead of describing the object — same
+    * hazard for SELECT/WITH/OPERATOR-prefixed identifiers. */
+  private def kw(up: String, keyword: String): Boolean =
+    up.startsWith(keyword) &&
+      (up.length == keyword.length || !Character.isLetterOrDigit(up.charAt(keyword.length)) && up.charAt(keyword.length) != '_')
+
   private def explain(sql: String): Payload = {
     val arg = sql.trim.drop("EXPLAIN".length).trim
     val up = arg.toUpperCase
@@ -1471,12 +1481,12 @@ class Engine(val spark: SparkSession) {
       val rows = dbs.flatMap(d =>
         spark.catalog.listTables(d).collect().map(t => Seq[Any](d, t.name)))
       Payload.Select(Seq("database", "table"), rows.toSeq)
-    } else if (up.startsWith("SELECT") || up.startsWith("WITH")) {
+    } else if (kw(up, "SELECT") || kw(up, "WITH")) {
       // Query EXPLAIN: Catalyst's formatted plan, one line per row.
       val plan = spark.sql(arg).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       Payload.Select(Seq("plan"), plan.split("\n").toSeq.map(Seq(_)))
-    } else if (up.startsWith("OPERATOR")) {
+    } else if (kw(up, "OPERATOR")) {
       // EXPLAIN OPERATOR name(args…): the registered operator's
       // physical plan, led by a shape summary — the scan/shuffle/join
       // facts the library's 100 TB claims are made of, surfaced to
@@ -1492,7 +1502,7 @@ class Engine(val spark: SparkSession) {
       // That is the honest plan: for an iterative operator no static
       // whole-pipeline plan exists.
       Payload.Select(Seq("plan"), planShape(operatorDf("EXECUTE " + arg)))
-    } else if (up.startsWith("INSERT")) {
+    } else if (kw(up, "INSERT") && kw(up.drop("INSERT".length).trim, "INTO")) {
       // EXPLAIN INSERT …: dry-run of the validated write path's
       // PLANNING — the batch's physical plan plus the staging and
       // constraint decisions insertDataFrame will take — without the

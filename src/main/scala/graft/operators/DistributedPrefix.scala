@@ -141,15 +141,28 @@ object DistributedPrefix {
     if (recomputeInput && isDeterministic(sliced)) sliced
     else shared(sliced, part, sliceCol)
 
-  /** True iff every expression in the analyzed plan is deterministic
-    * — the recompute branch's soundness condition (two recomputations
-    * of a nondeterministic plan diverge and would silently corrupt
-    * every rank, so callers failing this check are downgraded to the
-    * checkpoint path). */
-  private def isDeterministic(df: DataFrame): Boolean =
+  /** True iff recomputing the plan twice is guaranteed to yield the
+    * same row SET — the recompute branch's soundness condition (two
+    * recomputations that diverge would silently corrupt every rank,
+    * so callers failing this check are downgraded to the checkpoint
+    * path). Two distinct hazards are checked:
+    *  - expression nondeterminism (rand salts, fresh
+    *    monotonically_increasing_id);
+    *  - plan-level SET nondeterminism: a LIMIT/TAIL above a shuffle
+    *    (or a Sample) has all-deterministic expressions yet may keep
+    *    a DIFFERENT subset of rows on each recomputation, because
+    *    which rows arrive first is a race. Expressions alone would
+    *    pass such a plan straight through the guard. */
+  private def isDeterministic(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Sample, Tail}
     df.queryExecution.analyzed.collectFirst {
       case p if !p.expressions.forall(_.deterministic) => p
+      case p: GlobalLimit => p
+      case p: LocalLimit  => p
+      case p: Sample      => p
+      case p: Tail        => p
     }.isEmpty
+  }
 
   private def hashSlice(hashCol: String): Column =
     expr(s"$hashCol div ${1L << (60 - HashSliceBits)}")

@@ -189,6 +189,33 @@ class OperatorFacadeSpec extends AnyFunSuite {
     g.execute("DROP DATABASE xpdb")
   }
 
+  test("EXPLAIN <identifier> beats keyword-prefix collisions (round-14 ADVICE)") {
+    // A table whose NAME merely begins with a dispatcher keyword
+    // (insert_log, selection, operator_log, with_t) must hit the
+    // describe-object branch, as the reference's EXPLAIN <table>
+    // does — not be parsed as an INSERT/SELECT/OPERATOR statement.
+    g.execute("DROP DATABASE IF EXISTS xkw")
+    val loc = java.nio.file.Files.createTempDirectory("graft_xkw").toFile.getAbsolutePath
+    g.execute(s"CREATE DATABASE xkw LOCATION '$loc'")
+    val prevDb = spark.catalog.currentDatabase // shared session — restore below
+    g.execute("USE xkw")
+    try {
+      for (t <- Seq("insert_log", "selection", "operator_log", "with_t")) {
+        g.execute(s"CREATE TABLE xkw.$t (id INTEGER, note TEXT)")
+        val Payload.Select(cols, rows) = g.execute(s"EXPLAIN $t"): @unchecked
+        assert(cols.head == "column", s"$t routed to the wrong branch: $cols")
+        assert(rows.map(_.head) == Seq("id", "note"), s"$t: $rows")
+      }
+      // The real statement forms still route: keyword + whitespace.
+      val Payload.Select(h, _) = g.execute(
+        "EXPLAIN SELECT 1 AS one"): @unchecked
+      assert(h == Seq("plan"))
+    } finally {
+      g.execute(s"USE `$prevDb`")
+      g.execute("DROP DATABASE xkw")
+    }
+  }
+
   test("unknown operator names what is available") {
     val e = intercept[EngineException](g.query("EXECUTE OPERATOR no_such_op()"))
     assert(e.getMessage.contains("unknown operator") &&

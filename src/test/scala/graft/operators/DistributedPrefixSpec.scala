@@ -134,6 +134,34 @@ class DistributedPrefixSpec extends AnyFunSuite
     assert(ok == want)
   }
 
+  test("recomputeInput=true downgrades plan-level SET nondeterminism (LIMIT/Sample) too") {
+    // Round-14 ADVICE: a LIMIT above a shuffle has all-deterministic
+    // EXPRESSIONS yet may keep a different row SET on each
+    // recomputation (which rows arrive first is a race), and a
+    // seedless Sample re-rolls entirely — exactly the divergence the
+    // guard exists to prevent. Both must take the checkpoint path.
+    for ((label, in) <- Seq(
+        "limit" -> hdf.limit(1000),
+        "sample" -> hdf.sample(0.5))) {
+      val out = DistributedPrefix
+        .sumBeforeHashOrdered(in, "grp", "h", "id", "v", "cum",
+          recomputeInput = true)
+      assert(out.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
+        s"$label input did not downgrade to the checkpoint path")
+      // internal consistency: cum equals the prefix sum over the
+      // RETURNED rows (the materialized set is the source of truth)
+      val rows = out.select(col("grp"), col("h"), col("id"), col("v"), col("cum"))
+        .as[(String, Long, Long, Long, Long)].collect()
+      rows.groupBy(_._1).foreach { case (_, grp) =>
+        var acc = 0L
+        grp.sortBy(r => (r._2, r._3)).foreach { case (_, _, id, v, cum) =>
+          assert(cum == acc, s"$label row $id: cum $cum != running sum $acc")
+          acc += v
+        }
+      }
+    }
+  }
+
   test("rowNumberHashOrdered equals the single-window rank") {
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("h").asc, col("id").asc)
