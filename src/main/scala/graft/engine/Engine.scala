@@ -322,6 +322,8 @@ class Engine(val spark: SparkSession) {
       alterTable(sql)
     else if (up.startsWith("TRUNCATE"))
       truncate(sql)
+    else if (up.startsWith("COMPACT TABLE"))
+      compactTable(sql)
     else if (up.startsWith("DROP TABLE"))
       dropTable(sql)
     else if (up.startsWith("EXPLAIN"))
@@ -1376,6 +1378,91 @@ class Engine(val spark: SparkSession) {
     }
   }
 
+  /** One managed-parquet data file of a table: input_file_name URI +
+    * on-disk size. The listing comes from a zero-column scan (the
+    * parquet reader materializes no values), so it is metadata-cheap
+    * and authoritative for whatever layout the table actually has.
+    * Bounded collect: one short string per FILE, not per row — the
+    * same bound the CoW UPDATE/DELETE discovery scan carries. */
+  private def dataFiles(db: String, tbl: String): Seq[(String, Long)] = {
+    val t = spark.table(s"`$db`.`$tbl`")
+    t.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).filter(_.nonEmpty).toSeq
+      .map { uri =>
+        val p =
+          if (uri.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(uri))
+          else java.nio.file.Paths.get(uri)
+        uri -> (try java.nio.file.Files.size(p) catch { case _: Exception => 0L })
+      }
+  }
+
+  /** COMPACT TABLE t [TARGET mb] — small-file hygiene for the CoW DML
+    * path. File-granular UPDATE/DELETE rewrites only matched files
+    * (correct, and at 100 TB the only affordable granularity), but N
+    * rounds of DML fragment a table into many small files and small
+    * files murder scan throughput (per-file open + footer read +
+    * scheduler overhead dominate). This command bin-packs every file
+    * under the target into ceil(bytes/target) evenly-sized rewrites:
+    *  - files >= target are NOT touched (rewriting them buys nothing);
+    *  - the rewrite batch is staged at [[Engine.StagingLevel]]
+    *    (2-replica disk, same discipline as every mutation path) and
+    *    materialized BEFORE any original file is removed;
+    *  - row parity is observed on the same scan (no separate count
+    *    pass) and re-checked against the appended footer counts —
+    *    a mismatch aborts BEFORE the originals are deleted;
+    *  - no constraint re-checks: compaction moves rows, it does not
+    *    change them.
+    * The auto-threshold that recommends compaction is surfaced by
+    * EXPLAIN FILES <t> (see [[explainFiles]]): more than
+    * [[Engine.CompactRecommendMinSmallFiles]] sub-target files AND
+    * 4x more files than the compacted layout would have. */
+  private def compactTable(sql: String): Payload = {
+    val re = """(?is)COMPACT\s+TABLE\s+([`"\w.]+)(?:\s+TARGET\s+(\d+))?\s*""".r
+    sql match {
+      case re(rawName, targetMb) =>
+        val (db, tbl) = resolve(rawName)
+        val tm = requireMeta(db, tbl)
+        if (tm.jdbc || tm.csvPath.isDefined || tm.xlsxPath.isDefined)
+          throw new EngineException(
+            s"COMPACT TABLE applies to managed parquet tables; $db.$tbl is " +
+              "CSV/sheet/JDBC-backed (single-file or external storage)")
+        val target =
+          Option(targetMb).map(_.toLong).getOrElse(Engine.DefaultCompactTargetMb) << 20
+        val labels = Seq("files_in", "files_out", "rows_moved", "bytes_moved")
+        DbLock.withWriter(dbDir(db)) {
+          val sized = dataFiles(db, tbl)
+          val small = sized.filter(_._2 < target)
+          if (small.size < 2) Payload.Select(labels, Seq(Seq(0, 0, 0L, 0L)))
+          else {
+            val totalSmall = small.map(_._2).sum
+            val k = math.max(1, math.ceil(totalSmall.toDouble / target).toInt)
+            val paths = small.map(_._1)
+            val t = spark.table(s"`$db`.`$tbl`")
+            val obs = org.apache.spark.sql.Observation()
+            // Explicit schema (no footer-inference job); repartition
+            // gives k evenly-sized outputs — the shuffle moves only
+            // the small-file bytes, never the whole table.
+            val out = spark.read.schema(t.schema).parquet(paths: _*)
+              .observe(obs, coalesce(sum(lit(1L)), lit(0L)).as("n_rows"))
+              .repartition(k)
+              .localCheckpoint(eager = true, Engine.StagingLevel)
+            val n = obs.get("n_rows").asInstanceOf[Long]
+            // Parity gate BEFORE the swap: the staged batch must hold
+            // exactly the rows of the files it replaces.
+            val staged = out.count()
+            if (staged != n)
+              throw new EngineException(
+                s"COMPACT aborted: staged $staged rows != scanned $n — originals untouched")
+            out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
+            paths.foreach(deleteDataFile)
+            spark.catalog.refreshTable(s"`$db`.`$tbl`")
+            Payload.Select(labels, Seq(Seq(small.size, k, n, totalSmall)))
+          }
+        }
+      case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+    }
+  }
+
   private def dropTable(sql: String): Payload = {
     val re = """(?is)DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([`"\w.]+)\s*""".r
     sql match {
@@ -1502,6 +1589,8 @@ class Engine(val spark: SparkSession) {
       // That is the honest plan: for an iterative operator no static
       // whole-pipeline plan exists.
       Payload.Select(Seq("plan"), planShape(operatorDf("EXECUTE " + arg)))
+    } else if (kw(up, "FILES") && arg.length > "FILES".length) {
+      explainFiles(arg.drop("FILES".length).trim)
     } else if (kw(up, "INSERT") && kw(up.drop("INSERT".length).trim, "INTO")) {
       // EXPLAIN INSERT …: dry-run of the validated write path's
       // PLANNING — the batch's physical plan plus the staging and
@@ -1546,6 +1635,39 @@ class Engine(val spark: SparkSession) {
         Payload.Select(Seq("column", "type", "nullable", "unique", "auto_increment"), rows.toSeq)
       }
     }
+  }
+
+  /** EXPLAIN FILES <t>: the table's file-count/size histogram plus
+    * the COMPACT TABLE auto-threshold verdict — the fragmentation
+    * dashboard an operator consults before/after DML rounds. The
+    * recommendation fires when the table holds at least
+    * [[Engine.CompactRecommendMinSmallFiles]] files under the
+    * [[Engine.DefaultCompactTargetMb]] target AND 4x more files than
+    * the compacted layout would produce — fragmentation that
+    * measurably costs scan throughput, not routine small-table
+    * layout. */
+  private def explainFiles(rawName: String): Payload = {
+    val (db, tbl) = resolve(cleanIdent(rawName))
+    requireMeta(db, tbl)
+    val sized = dataFiles(db, tbl).sortBy(_._2)
+    val n = sized.size
+    val bytes = sized.map(_._2).sum
+    val target = Engine.DefaultCompactTargetMb << 20
+    val small = sized.count(_._2 < target)
+    val compacted = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+    val recommended =
+      small >= Engine.CompactRecommendMinSmallFiles && n >= 4 * compacted
+    def mb(b: Long) = f"${b / 1048576.0}%.3f"
+    val rows = Seq(
+      Seq[Any]("files", n.toString),
+      Seq[Any]("bytes", bytes.toString),
+      Seq[Any]("min_file_mb", if (n == 0) "0" else mb(sized.head._2)),
+      Seq[Any]("p50_file_mb", if (n == 0) "0" else mb(sized((n - 1) / 2)._2)),
+      Seq[Any]("max_file_mb", if (n == 0) "0" else mb(sized.last._2)),
+      Seq[Any](s"files_under_${Engine.DefaultCompactTargetMb}mb_target", small.toString),
+      Seq[Any]("compacted_layout_files", compacted.toString),
+      Seq[Any]("compact_recommended", recommended.toString))
+    Payload.Select(Seq("metric", "value"), rows)
   }
 
   /** Shape summary + formatted physical plan, shared by EXPLAIN
@@ -1751,4 +1873,15 @@ object Engine {
     * DistributedPrefix.shared / Dedup's posting checkpoint. */
   val StagingLevel: org.apache.spark.storage.StorageLevel =
     org.apache.spark.storage.StorageLevel.DISK_ONLY_2
+
+  /** COMPACT TABLE's default output-file target (and EXPLAIN FILES'
+    * histogram threshold): 128 MB, matching Spark's default
+    * spark.sql.files.maxPartitionBytes so a compacted table scans
+    * one file per task. */
+  val DefaultCompactTargetMb: Long = 128L
+
+  /** EXPLAIN FILES recommends compaction only past this many
+    * sub-target files (together with the 4x-layout rule) — below it,
+    * per-file overhead is noise and a rewrite buys nothing. */
+  val CompactRecommendMinSmallFiles: Int = 8
 }
