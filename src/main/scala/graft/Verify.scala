@@ -51,6 +51,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Tolerance/exact verdicts for the four no-oracle entries
+    // (m3/m4 typed codec paths, q31/q36 sketches): the same checks
+    // their specs pin, recomputed HERE at the driver's SF and
+    // emitted machine-readable, so the correctness story for these
+    // four is an artifact, not spec-trust. Skipped under a query
+    // filter (local iteration on other entries).
+    if (only.isEmpty) {
+      val verdicts = toleranceVerdicts(spark, sfDir)
+      val tj = verdicts.map { case (name, check, pass, detail) =>
+        s"${q(name)}: {${q("check")}: ${q(check)}, ${q("pass")}: $pass, " +
+          s"${q("detail")}: ${q(detail)}}"
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/tolerance.json"), tj)
+      verdicts.filterNot(_._3).foreach { case (name, check, _, detail) =>
+        failed += name
+        System.err.println(s"[verify] $name TOLERANCE FAILED ($check): $detail")
+      }
+    }
     spark.stop()
     // A query that fails to materialize must fail the round loudly, not
     // just lose its CORRECTNESS row (round-1 finding: e1–e4 vanished).
@@ -58,5 +76,122 @@ object Verify {
       System.err.println(s"[verify] ${failed.size} queries failed: ${failed.mkString(", ")}")
       sys.exit(1)
     }
+  }
+
+  /** The four no-oracle entries' verdicts:
+    * (name, check description, pass, detail). Each mirrors the
+    * corresponding spec's acceptance rule exactly (ApproxPercentileSpec,
+    * ApproxDistinctSpec, MultimodalSpec), recomputed against an
+    * independent exact anchor at this run's SF. */
+  private def toleranceVerdicts(spark: SparkSession, sfDir: String)
+      : Seq[(String, String, Boolean, String)] = {
+    import graft.operators.{CoreQueries, Multimodal}
+    def rel(a: Double, e: Double): Double =
+      math.abs(a - e) / math.max(math.abs(e), 1e-9)
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String, Boolean, String)]
+
+    // q31: sketch percentiles vs the exact q30 anchor — p50/p90/p99
+    // within 0.5% relative, min/max bit-exact.
+    try {
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) -> (1 to 5).map(r.getDouble)).toMap
+      val exact = keyed(CoreQueries.q30Percentiles(spark, sfDir))
+      val approx = keyed(CoreQueries.q31ApproxPercentiles(spark, sfDir))
+      val sameKeys = exact.keySet == approx.keySet && exact.nonEmpty
+      val maxRel =
+        if (!sameKeys) Double.MaxValue
+        else exact.keySet.toSeq
+          .flatMap(k => (0 until 3).map(i => rel(approx(k)(i), exact(k)(i)))).max
+      val minmax = sameKeys && exact.keySet.forall(k =>
+        approx(k)(3) == exact(k)(3) && approx(k)(4) == exact(k)(4))
+      out += (("q31_approx_percentiles",
+        "p50/p90/p99 within 0.5% of exact q30 per group; min/max exact",
+        sameKeys && maxRel <= 0.005 && minmax,
+        f"groups=${exact.size} max_rel=$maxRel%.6f minmax_exact=$minmax"))
+    } catch { case e: Throwable =>
+      out += (("q31_approx_percentiles", "approx vs exact", false, e.toString)) }
+
+    // q36: HLL++ distinct counts within 4x the configured rsd (0.08)
+    // of exact COUNT(DISTINCT); exact row counts anchor the grouping.
+    try {
+      import org.apache.spark.sql.functions._
+      val approx = CoreQueries.q36ApproxDistinct(spark, sfDir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val exact = Tables.t(spark, sfDir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("o"),
+          countDistinct(col("l_partkey")).as("p"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val sameKeys = exact.keySet == approx.keySet && exact.nonEmpty
+      val maxRel =
+        if (!sameKeys) Double.MaxValue
+        else exact.keySet.toSeq.flatMap { k =>
+          Seq(rel(approx(k)._1.toDouble, exact(k)._1.toDouble),
+            rel(approx(k)._2.toDouble, exact(k)._2.toDouble))
+        }.max
+      val rowsExact = sameKeys && exact.keySet.forall(k => approx(k)._3 == exact(k)._3)
+      out += (("q36_approx_distinct",
+        "distinct estimates within 0.08 (4x rsd) of exact; row counts exact",
+        sameKeys && maxRel <= 0.08 && rowsExact,
+        f"groups=${exact.size} max_rel=$maxRel%.6f rows_exact=$rowsExact"))
+    } catch { case e: Throwable =>
+      out += (("q36_approx_distinct", "approx vs exact", false, e.toString)) }
+
+    // m3: driver-side exact recompute — n_bytes must equal the source
+    // payload length and entropy_q the millibit-quantized Shannon
+    // entropy of the decode stub's histogram, per document.
+    try {
+      val src = Multimodal.mediaTable(spark, sfDir)
+        .select("doc_id", "content").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      val res = Multimodal.m3FeatureSummary(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      def entropyQ(bytes: Array[Byte]): Long = {
+        val hist = Multimodal.decodeStub(bytes)
+        math.round(-hist.filter(_ > 0)
+          .map(p => p * math.log(p) / math.log(2)).sum * 1000)
+      }
+      val sameKeys = src.keySet == res.keySet && src.nonEmpty
+      val bad =
+        if (!sameKeys) -1L
+        else src.count { case (id, bytes) =>
+          res(id) != ((bytes.length.toLong, entropyQ(bytes))) }
+      out += (("m3_feature_summary",
+        "n_bytes and millibit entropy exactly recomputed from source bytes per doc",
+        sameKeys && bad == 0, s"docs=${src.size} mismatches=$bad"))
+    } catch { case e: Throwable =>
+      out += (("m3_feature_summary", "exact recompute", false, e.toString)) }
+
+    // m4: driver-side exact recompute — each image's resized content
+    // md5 must equal the md5 of the cyclic tiling of its source
+    // bytes to the default target, and n_bytes the target.
+    try {
+      val target = 1024
+      val src = Multimodal.mediaTable(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("media_type") === "image")
+        .select("doc_id", "content").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      val res = SparkEntry.queries("m4_resize")(spark, sfDir).collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Number](1).longValue(), r.getString(2))).toMap
+      def tiledMd5(bytes: Array[Byte]): String = {
+        val tiled = Array.tabulate[Byte](target)(i =>
+          if (bytes.isEmpty) 0 else bytes(i % bytes.length))
+        java.security.MessageDigest.getInstance("MD5").digest(tiled)
+          .map("%02x".format(_)).mkString
+      }
+      val sameKeys = src.keySet == res.keySet && src.nonEmpty
+      val bad =
+        if (!sameKeys) -1L
+        else src.count { case (id, bytes) =>
+          res(id) != ((target.toLong, tiledMd5(bytes))) }
+      out += (("m4_resize",
+        "content md5 equals md5 of cyclic tiling of source bytes; n_bytes = target",
+        sameKeys && bad == 0, s"images=${src.size} mismatches=$bad"))
+    } catch { case e: Throwable =>
+      out += (("m4_resize", "exact recompute", false, e.toString)) }
+
+    out.toSeq
   }
 }

@@ -74,6 +74,45 @@ object ProfileConcurrent {
       ((System.nanoTime() - t0) / 1e9, row.getLong(0), row.getLong(1))
     }
 
+    // PROBE mode: the scheduler-fairness witness proper. Heavy
+    // uniform tenants barely distinguish FAIR from FIFO (all pools
+    // saturate all cores); the case FAIR exists for is a SHORT query
+    // arriving while a heavy one has stages queued — under FIFO it
+    // waits behind them, under FAIR pools it interleaves. One tenant
+    // loops d13 (the heaviest entry), another fires the battery's
+    // smallest probe (q2) every 500 ms; we report the probe's
+    // latency distribution and its inflation vs idle.
+    if (args.length > 3 && args(3) == "probe") {
+      // Scheduler mode is context-fixed: run the main twice (FAIR,
+      // FIFO) and compare the printed probe lines.
+      val probeName = "q2_filter_project"
+      val heavyName = Top10.head
+      run(probeName) // warm both paths
+      run(heavyName)
+      val idle = (1 to 5).map(_ => run(probeName)._1).sorted
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val heavy = new Thread(() => {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "heavy")
+        while (!stop.get()) run(heavyName)
+      }, "heavy")
+      heavy.start()
+      Thread.sleep(2000) // let heavy stages queue up
+      val lat = (1 to 20).map { _ =>
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "probe")
+        val dt = run(probeName)._1
+        Thread.sleep(500)
+        dt
+      }.sorted
+      stop.set(true); heavy.join()
+      def j2(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      println(
+        s"""{"mode":"PROBE/$mode","probe":"$probeName","heavy":"$heavyName",""" +
+        s""""idle_p50":${j2(idle(2))},"busy_p50":${j2(lat(9))},"busy_p95":${j2(lat(18))},""" +
+        s""""busy_max":${j2(lat.last)},"inflation_p50":${j2(lat(9) / idle(2))}}""")
+      spark.stop()
+      return
+    }
+
     // Warm-up (JIT, codegen cache, parquet footers) — discarded.
     Top10.foreach(run)
 

@@ -49,7 +49,16 @@ object DedupStream {
               .as("band_key"))
         }: _*)).as("bk"))
       .select(col("old_id"), col("osig"), col("bk.band_id"), col("bk.band_key"))
-    (fps, bands)
+    // A stream-static join re-evaluates the STATIC side's plan every
+    // micro-batch, so without a persist each arriving batch re-hashes
+    // the whole standing corpus — the sf1 streaming rung measured the
+    // classify pipeline 4x slower from exactly this. The index is the
+    // deployment's standing state: compute once, keep on local disk
+    // (DISK_ONLY, not memory — corpus-sized state never squats the
+    // unified pool; a lost block recomputes from lineage). It lives
+    // for the ingest app's lifetime, so nothing unpersists it.
+    (fps.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY),
+      bands.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
   }
 
   /** `newDocs` is a STREAMING frame of (doc_id, text, ...) rows from
@@ -181,7 +190,11 @@ object DedupStream {
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") > 1 && col("bn") <= maxBucket)
       .select(col("band_id"), col("band_key"))
+    // Standing index: persisted once (disk tier), same rationale as
+    // corpusIndex — a stream-static join re-derives an unpersisted
+    // static side every micro-batch.
     val bandIdx = cBands.join(live, Seq("band_id", "band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // STREAM side: narrow span derivation (d13's unit rules), fp keys
     // probe the content index; the indexed signature (sig is a pure
     // function of content) feeds the band probe
@@ -249,6 +262,8 @@ object DedupStream {
         t(spark, dir, "documents").select(col("doc_id"), col("text")))
       .groupBy(col("fp"))
       .agg((size(collect_set(col("doc_id"))) >= 2).as("is_dup"))
+      // standing index — persisted once, same rationale as corpusIndex
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     Dedup.spanFps(newDocs)
       .join(idx, Seq("fp"), "left")
       .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("dup"))

@@ -69,6 +69,23 @@ def main():
         else:
             n_fail += 1
             print(f"{name}: FAIL {'; '.join(msgs)}")
+    # Tolerance verdicts for the four no-oracle entries (m3/m4/q31/q36):
+    # graft.Verify emits them machine-readable; surface them in the
+    # same pass/fail accounting so "oracle-green" and "tolerance-green"
+    # read from one gate.
+    try:
+        tol = json.load(open(f"{out_dir}/tolerance.json"))
+    except FileNotFoundError:
+        tol = {}
+    for name, v in sorted(tol.items()):
+        if only and name not in only:
+            continue
+        if v["pass"]:
+            n_pass += 1
+            print(f"{name}: OK tolerance ({v['detail']})")
+        else:
+            n_fail += 1
+            print(f"{name}: FAIL tolerance ({v['check']}: {v['detail']})")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
