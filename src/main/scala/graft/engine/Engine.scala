@@ -1691,6 +1691,9 @@ class Engine(val spark: SparkSession) {
       // scan plan reads as "fronted by a materialization", not "scans
       // nothing".
       s"checkpoint scans: ${nodes("Scan ExistingRDD")}",
+      // A persist boundary (d14's gram cache) surfaces the same way:
+      // a cached-materialization scan, not a hidden "scans: 0".
+      s"cached scans: ${nodes("InMemoryTableScan")}",
       s"exchanges: ${nodes("Exchange")}",
       s"broadcast joins: ${nodes("BroadcastHashJoin")}",
       s"sort-merge joins: ${nodes("SortMergeJoin")}",

@@ -163,6 +163,46 @@ class OperatorFacadeSpec extends AnyFunSuite {
     assert(shapeInt(shape, "scans") > 0, shape.mkString("\n"))
   }
 
+  test("EXPLAIN OPERATOR exact_substring (d14): posting shape with the gram cache visible") {
+    val shape = shapeOf(
+      "EXPLAIN OPERATOR exact_substring(source = 'documents')")
+    // d14 (like d2/d6) materializes at construction time: its
+    // returned frame reads the final posting-merge checkpoint, so the
+    // honest surfaced plan is that boundary — a checkpoint scan, not
+    // a hidden "scans: 0" — and never a cartesian. The summary must
+    // also carry the cached-scans metric (the gram cache's surface
+    // for plans that front an InMemoryRelation instead).
+    assert(shapeInt(shape, "checkpoint scans") > 0, shape.mkString("\n"))
+    assert(shape.exists(_.startsWith("cached scans: ")), shape.mkString("\n"))
+    assert(!shape.exists(_.contains("CartesianProduct")), shape.mkString("\n"))
+  }
+
+  test("EXPLAIN INSERT: g3's constraint-batch VALUES plan shows every check, stage-free") {
+    g.execute("DROP DATABASE IF EXISTS xg3")
+    val loc = java.nio.file.Files.createTempDirectory("graft_xg3").toFile.getAbsolutePath
+    g.execute(s"CREATE DATABASE xg3 LOCATION '$loc'")
+    g.execute(
+      """CREATE TABLE xg3.u (id INTEGER AUTO_INCREMENT,
+        |name TEXT NOT NULL UNIQUE, score FLOAT DEFAULT 2.5)""".stripMargin)
+    // g3's exact batch shape: a VALUES INSERT into the
+    // AUTO_INCREMENT + NOT NULL + UNIQUE + DEFAULT table. VALUES is
+    // deterministic and narrow, so the plan must stage nothing while
+    // listing every constraint pass it will run.
+    val shape = shapeOf("EXPLAIN INSERT INTO xg3.u (name) VALUES ('a'), ('b')")
+    assert(shape.exists(_ == "target: xg3.u"), shape.mkString("\n"))
+    assert(shape.exists(l => l.startsWith("staging: none — deterministic narrow batch")),
+      shape.mkString("\n"))
+    assert(shape.exists(_.startsWith("auto_increment: id")), shape.mkString("\n"))
+    assert(shape.exists(_ == "not_null checks: [name]"), shape.mkString("\n"))
+    assert(shape.exists(_ == "unique checks: [name]"), shape.mkString("\n"))
+    // dry run: nothing written, auto counter untouched
+    assert(g.query("SELECT count(*) AS n FROM xg3.u").head.getLong(0) == 0L)
+    g.execute("INSERT INTO xg3.u (name) VALUES ('a')")
+    assert(g.query("SELECT id FROM xg3.u").head.getAs[Number](0).longValue() == 1L,
+      "EXPLAIN INSERT must not consume auto-increment ids")
+    g.execute("DROP DATABASE xg3")
+  }
+
   test("EXPLAIN INSERT: g7's bulk path plans stage-free with the auto fill visible") {
     g.execute("DROP DATABASE IF EXISTS xpdb")
     val loc = java.nio.file.Files.createTempDirectory("graft_xpdb").toFile.getAbsolutePath
