@@ -76,4 +76,30 @@ class ConcurrentDmlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM cdml2.t").head.getLong(0) == 2L)
     g.execute("DROP DATABASE cdml2")
   }
+
+  test("readers never wait on the writer lock (multi-tenant read liveness)") {
+    // The single-writer contract is mutation-scoped ONLY: a tenant
+    // running SELECTs while another holds the DML lock must proceed
+    // immediately — the reference serializes readers behind its
+    // engine Mutex, and NOT inheriting that is half the multi-tenant
+    // pitch (the other half is ProfileConcurrent's inflation table).
+    val g = new Engine(spark)
+    val loc = freshDb(g, "cdml3")
+    g.execute("CREATE TABLE cdml3.t (id INTEGER AUTO_INCREMENT, v INTEGER)")
+    g.execute("INSERT INTO cdml3.t (v) VALUES (1)")
+    val lockFile = new java.io.File(loc, ".graft.lock")
+    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    val foreign = ch.lock() // a writer holds the database lock...
+    try {
+      // ...and reads proceed without touching it (no deadline wait:
+      // the in-test timeout below is far under DbLock's default).
+      val t0 = System.nanoTime()
+      val n = g.query("SELECT count(*) AS n FROM cdml3.t").head.getLong(0)
+      val readMs = (System.nanoTime() - t0) / 1e6
+      assert(n == 1L)
+      assert(readMs < 5000, f"read took $readMs%.0f ms under a held writer lock")
+    } finally { foreign.release(); ch.close() }
+    g.execute("DROP DATABASE cdml3")
+  }
 }
