@@ -79,12 +79,29 @@ object ProfileStream {
       val stateBytes = prog.flatMap(_.stateOperators.map(_.memoryUsedBytes)).maxOption.getOrElse(0L)
       def pct(p: Double) =
         if (durs.isEmpty) 0.0 else durs(math.min(durs.size - 1, (p * durs.size).toInt))
+      // Watermark lag for event-time pipelines: how far the FINAL
+      // watermark trails the GLOBAL max event time seen across the
+      // whole replay (per-batch maxes are not monotone — the replay
+      // fragments are shuffled, not time-ordered). On a finite
+      // historical replay the floor is the configured delay (10 min
+      // = 600 s); the excess over it is watermark advancement
+      // stalled behind batch processing (one trigger's worth here,
+      // since the watermark updates at batch END).
+      def ts(s: String): Long =
+        try java.time.Instant.parse(s).toEpochMilli catch { case _: Throwable => 0L }
+      val globalMax = prog.flatMap(p => Option(p.eventTime))
+        .flatMap(et => Option(et.get("max"))).map(ts).maxOption.getOrElse(0L)
+      val lastWm = prog.reverseIterator.flatMap(p => Option(p.eventTime))
+        .flatMap(et => Option(et.get("watermark"))).map(ts).find(_ > 0L)
+      val wmLagS = lastWm.filter(_ => globalMax > 0L)
+        .map(wm => (globalMax - wm) / 1000.0).getOrElse(-1.0)
       println(
         s"""{"rung":"$name","sf":"$sfDir","files":$nFiles,"files_per_trigger":$perTrigger,""" +
         s""""batches":${prog.count(_.numInputRows > 0)},"input_rows":$rows,""" +
         s""""wall_s":${j(wall)},"rows_per_s":${j(rows / wall)},""" +
         s""""batch_p50_s":${j(pct(0.5))},"batch_p95_s":${j(pct(0.95))},""" +
-        s""""state_rows":$stateRows,"state_bytes":$stateBytes}""")
+        s""""state_rows":$stateRows,"state_bytes":$stateBytes,""" +
+        s""""watermark_lag_s":${j(wmLagS)}}""")
     }
 
     def parity(name: String, batch: DataFrame,
