@@ -138,14 +138,27 @@ object Verify {
     } catch { case e: Throwable =>
       out += (("q36_approx_distinct", "approx vs exact", false, e.toString)) }
 
+    // m3/m4 collect CONTENT BYTES to the driver for the exact
+    // recompute, so both are bounded to a deterministic residue
+    // class of at most ~MaxDocs documents (doc_id % m == 0 — the
+    // SubsetGen idea): at the driver's sf0.01 that is the whole
+    // corpus, at a top rung it stays a fixed reproducible subset
+    // instead of an unbounded corpus-sized driver collect.
+    val MaxTolDocs = 20000L
+    def tolModulus(n: Long): Long = math.max(1L, (n + MaxTolDocs - 1) / MaxTolDocs)
+
     // m3: driver-side exact recompute — n_bytes must equal the source
     // payload length and entropy_q the millibit-quantized Shannon
     // entropy of the decode stub's histogram, per document.
     try {
+      import org.apache.spark.sql.functions.col
+      val m = tolModulus(Multimodal.mediaTable(spark, sfDir).count())
       val src = Multimodal.mediaTable(spark, sfDir)
+        .filter(col("doc_id") % m === 0)
         .select("doc_id", "content").collect()
         .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
-      val res = Multimodal.m3FeatureSummary(spark, sfDir).collect()
+      val res = Multimodal.m3FeatureSummary(spark, sfDir)
+        .filter(col("doc_id") % m === 0).collect()
         .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
       def entropyQ(bytes: Array[Byte]): Long = {
         val hist = Multimodal.decodeStub(bytes)
@@ -159,7 +172,7 @@ object Verify {
           res(id) != ((bytes.length.toLong, entropyQ(bytes))) }
       out += (("m3_feature_summary",
         "n_bytes and millibit entropy exactly recomputed from source bytes per doc",
-        sameKeys && bad == 0, s"docs=${src.size} mismatches=$bad"))
+        sameKeys && bad == 0, s"docs=${src.size} (doc_id%$m==0) mismatches=$bad"))
     } catch { case e: Throwable =>
       out += (("m3_feature_summary", "exact recompute", false, e.toString)) }
 
@@ -167,12 +180,16 @@ object Verify {
     // md5 must equal the md5 of the cyclic tiling of its source
     // bytes to the default target, and n_bytes the target.
     try {
+      import org.apache.spark.sql.functions.col
       val target = 1024
-      val src = Multimodal.mediaTable(spark, sfDir)
-        .filter(org.apache.spark.sql.functions.col("media_type") === "image")
+      val images = Multimodal.mediaTable(spark, sfDir)
+        .filter(col("media_type") === "image")
+      val m = tolModulus(images.count())
+      val src = images.filter(col("doc_id") % m === 0)
         .select("doc_id", "content").collect()
         .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
-      val res = SparkEntry.queries("m4_resize")(spark, sfDir).collect()
+      val res = SparkEntry.queries("m4_resize")(spark, sfDir)
+        .filter(col("doc_id") % m === 0).collect()
         .map(r => r.getLong(0) ->
           (r.getAs[Number](1).longValue(), r.getString(2))).toMap
       def tiledMd5(bytes: Array[Byte]): String = {
@@ -188,7 +205,7 @@ object Verify {
           res(id) != ((target.toLong, tiledMd5(bytes))) }
       out += (("m4_resize",
         "content md5 equals md5 of cyclic tiling of source bytes; n_bytes = target",
-        sameKeys && bad == 0, s"images=${src.size} mismatches=$bad"))
+        sameKeys && bad == 0, s"images=${src.size} (doc_id%$m==0) mismatches=$bad"))
     } catch { case e: Throwable =>
       out += (("m4_resize", "exact recompute", false, e.toString)) }
 

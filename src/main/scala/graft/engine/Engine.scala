@@ -1407,9 +1407,11 @@ class Engine(val spark: SparkSession) {
     *  - the rewrite batch is staged at [[Engine.StagingLevel]]
     *    (2-replica disk, same discipline as every mutation path) and
     *    materialized BEFORE any original file is removed;
-    *  - row parity is observed on the same scan (no separate count
-    *    pass) and re-checked against the appended footer counts —
-    *    a mismatch aborts BEFORE the originals are deleted;
+    *  - row parity is gated twice: the staged checkpoint must hold
+    *    exactly the scanned rows (observed on the scan itself), and
+    *    after the append the NEW files' own footer count must equal
+    *    the staged count — either mismatch aborts (rolling back the
+    *    append) BEFORE any original file is deleted;
     *  - no constraint re-checks: compaction moves rows, it does not
     *    change them.
     * The auto-threshold that recommends compaction is surfaced by
@@ -1447,13 +1449,33 @@ class Engine(val spark: SparkSession) {
               .repartition(k)
               .localCheckpoint(eager = true, Engine.StagingLevel)
             val n = obs.get("n_rows").asInstanceOf[Long]
-            // Parity gate BEFORE the swap: the staged batch must hold
-            // exactly the rows of the files it replaces.
+            // Parity gate 1, BEFORE the swap: the staged batch must
+            // hold exactly the rows of the files it replaces.
             val staged = out.count()
             if (staged != n)
               throw new EngineException(
                 s"COMPACT aborted: staged $staged rows != scanned $n — originals untouched")
             out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
+            // Parity gate 2, AFTER the append but BEFORE any original
+            // is removed: the rows that actually landed on disk (the
+            // newly appended files, counted from their own parquet
+            // footers — a metadata job) must equal the staged count.
+            // A write that silently dropped rows aborts here with the
+            // originals intact.
+            spark.catalog.refreshTable(s"`$db`.`$tbl`")
+            val pathSet = paths.toSet
+            val newFiles = dataFiles(db, tbl).map(_._1)
+              .filterNot(pathSet.contains).filterNot(f => sized.exists(_._1 == f))
+            val landed =
+              if (newFiles.isEmpty) 0L
+              else spark.read.schema(t.schema).parquet(newFiles: _*).count()
+            if (landed != n) {
+              newFiles.foreach(deleteDataFile) // roll the append back
+              spark.catalog.refreshTable(s"`$db`.`$tbl`")
+              throw new EngineException(
+                s"COMPACT aborted: appended files hold $landed rows != staged $n — " +
+                  "append rolled back, originals untouched")
+            }
             paths.foreach(deleteDataFile)
             spark.catalog.refreshTable(s"`$db`.`$tbl`")
             Payload.Select(labels, Seq(Seq(small.size, k, n, totalSmall)))
@@ -1647,7 +1669,10 @@ class Engine(val spark: SparkSession) {
     * measurably costs scan throughput, not routine small-table
     * layout. */
   private def explainFiles(rawName: String): Payload = {
-    val (db, tbl) = resolve(cleanIdent(rawName))
+    // resolve() handles backtick-quoted qualified names itself — a
+    // prior cleanIdent stripped the OUTER backticks of `db`.`tbl`
+    // and broke splitQualified's quote tracking.
+    val (db, tbl) = resolve(rawName.trim)
     requireMeta(db, tbl)
     val sized = dataFiles(db, tbl).sortBy(_._2)
     val n = sized.size

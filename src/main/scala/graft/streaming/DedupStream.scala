@@ -178,9 +178,16 @@ object DedupStream {
           concat_ws(":", sig.getItem(2 * b), sig.getItem(2 * b + 1))
             .as("band_key"))
       }: _*))
-    // STANDING index: distinct span contents + live-bucket band rows
+    // STANDING index: distinct span contents + live-bucket band rows.
+    // Persisted (disk tier): contents feeds BOTH the fp probe join
+    // and the band index below, and an unpersisted static side of a
+    // stream-static join is re-derived every micro-batch — the
+    // corpus-wide span explode + groupBy + signatures would dominate
+    // each batch (the round-15 sf1 rung measured exactly this
+    // pathology on d7's index before its persist).
     val contents = Dedup.spanContents(
       t(spark, dir, "documents").select(col("doc_id"), col("text")), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val cBands = contents
       .select(col("fp").as("fp2"), col("sig").as("sig2"),
         col("docs").as("docs2"), bandsOf(col("sig")).as("bk"))

@@ -45,6 +45,11 @@ object ProfileStream {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // rung() aggregates q.recentProgress — Spark retains only the
+      // last numRecentProgressUpdates entries (default 100), which
+      // would silently truncate rows/s and percentiles on replays
+      // with more triggers than that (e.g. nFiles=400, perTrigger=1).
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failures = 0

@@ -68,26 +68,33 @@ object SparkFixture {
         // ANSI cast errors (ReferenceAbilitySpec feeds 'Gascoigne'
         // to numeric casts). Both are value-deterministic.
         "over the 2^31-1 array bound",
-        "cast_invalid_input",
-        // Broadcast/subquery wrapper raised inside the same
-        // error-path suites; its toErrorString carries NO cause text
-        // to attribute (just the awaitResult frames), so it cannot
-        // be told apart from the intentional failures that produce
-        // it. A real flake in a broadcast build would also surface
-        // as the per-event stderr line at the moment it happens.
-        "exception thrown in awaitresult")
-      val unexplained = unexpectedTaskFailures.asScala.toList
+        "cast_invalid_input")
+      val all = unexpectedTaskFailures.asScala.toList
         .filterNot(m => intentional.exists(m.toLowerCase.contains))
-      if (unexplained.nonEmpty) {
-        val banner =
-          ("=" * 72) + "\n[SparkFixture] FLAKE REPORT: " +
-            s"${unexplained.size} UNEXPLAINED task failure(s) were retried " +
-            "silently by local[4,2] during this run — a test that passed " +
-            "may be masking a flaky operator:\n" +
-            unexplained.map("  - " + _).mkString("\n") + "\n" + ("=" * 72)
-        System.err.println(banner)
+      // The awaitResult broadcast/subquery wrapper carries NO cause
+      // text in toErrorString, so it cannot be attributed: the
+      // error-path suites raise it deterministically, but a real
+      // broadcast flake would look identical. Neither suppress nor
+      // cry wolf — report the count on its own soft line, keep the
+      // loud banner for attributable failures.
+      val (wrappers, unexplained) =
+        all.partition(_.toLowerCase.contains("exception thrown in awaitresult"))
+      val report = new StringBuilder
+      if (unexplained.nonEmpty) report.append(
+        ("=" * 72) + "\n[SparkFixture] FLAKE REPORT: " +
+          s"${unexplained.size} UNEXPLAINED task failure(s) were retried " +
+          "silently by local[4,2] during this run — a test that passed " +
+          "may be masking a flaky operator:\n" +
+          unexplained.map("  - " + _).mkString("\n") + "\n" + ("=" * 72))
+      if (wrappers.nonEmpty) report.append(
+        s"\n[SparkFixture] note: ${wrappers.size} causeless awaitResult " +
+          "wrapper failure(s) (broadcast/subquery) — raised deterministically " +
+          "by the error-path suites, unattributable from toErrorString; check " +
+          "the per-event stderr lines if this count is new.")
+      if (report.nonEmpty) {
+        System.err.println(report.toString)
         try java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("target/flake-report.txt"), banner)
+          java.nio.file.Paths.get("target/flake-report.txt"), report.toString)
         catch { case _: Throwable => () }
       }
     }, "graft-flake-report"))

@@ -81,9 +81,11 @@ class CompactTableSpec extends AnyFunSuite {
     val sizes = files("big").map { u =>
       java.nio.file.Files.size(java.nio.file.Paths.get(java.net.URI.create(u)))
     }
-    // TARGET 1 (MB): our ~6 sub-MB fragments total a few MB, so the
-    // rewrite must emit ceil(total/1MB) > 1 outputs, each a new file.
-    val total = sizes.sum
+    // TARGET 1 (MB): only files STRICTLY UNDER the target participate
+    // (the command's contract), so the expected output count derives
+    // from the sub-target subset — a fragment that happens to reach
+    // 1 MB stays in place and must not shift the expectation.
+    val total = sizes.filter(_ < (1 << 20)).sum
     val Payload.Select(_, Seq(stats)) = g.execute("COMPACT TABLE cpt.big TARGET 1"): @unchecked
     val k = math.max(1, math.ceil(total.toDouble / (1 << 20)).toInt)
     assert(stats(1) == k, s"expected $k outputs for $total bytes at 1 MB: $stats")

@@ -77,9 +77,18 @@ def main():
         tol = json.load(open(f"{out_dir}/tolerance.json"))
     except FileNotFoundError:
         tol = {}
+    if only and tol:
+        # graft.Verify skips the tolerance recompute under a query
+        # filter, so whatever tolerance.json sits in out_dir is from
+        # an EARLIER full run — reporting it as current would turn a
+        # broken q31 green from a stale artifact.
+        requested = sorted(set(tol) & only)
+        if requested:
+            print(f"(tolerance verdicts for {', '.join(requested)} skipped: "
+                  "filtered verify runs do not recompute tolerance.json — "
+                  "run without a filter)")
+        tol = {}
     for name, v in sorted(tol.items()):
-        if only and name not in only:
-            continue
         if v["pass"]:
             n_pass += 1
             print(f"{name}: OK tolerance ({v['detail']})")
