@@ -88,9 +88,12 @@ object SparkFixture {
           unexplained.map("  - " + _).mkString("\n") + "\n" + ("=" * 72))
       if (wrappers.nonEmpty) report.append(
         s"\n[SparkFixture] note: ${wrappers.size} causeless awaitResult " +
-          "wrapper failure(s) (broadcast/subquery) — raised deterministically " +
-          "by the error-path suites, unattributable from toErrorString; check " +
-          "the per-event stderr lines if this count is new.")
+          "wrapper failure(s) (broadcast/subquery). Known source: " +
+          "TablesFaultSpec's corrupt-parquet fixture raises exactly these " +
+          "(6 in a full run, bisected round 15) — the wrapper strips the " +
+          "cause so they can't be content-filtered. A count above the " +
+          "known 6 means a NEW unattributed broadcast failure: check the " +
+          "per-event stderr lines.")
       if (report.nonEmpty) {
         System.err.println(report.toString)
         try java.nio.file.Files.writeString(
