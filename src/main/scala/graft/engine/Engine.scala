@@ -1441,12 +1441,29 @@ class Engine(val spark: SparkSession) {
             val paths = small.map(_._1)
             val t = spark.table(s"`$db`.`$tbl`")
             val obs = org.apache.spark.sql.Observation()
-            // Explicit schema (no footer-inference job); repartition
-            // gives k evenly-sized outputs — the shuffle moves only
-            // the small-file bytes, never the whole table.
-            val out = spark.read.schema(t.schema).parquet(paths: _*)
+            // Explicit schema (no footer-inference job); the shuffle
+            // moves only the small-file bytes, never the whole table.
+            // Layout of the k outputs: an INDEXED table was clustered
+            // by CREATE INDEX (range-disjoint files are what make
+            // min/max pruning and file-granular DML O(matching
+            // range)), so its compaction re-packs BY RANGE on the
+            // indexed column + sorts within partitions — a
+            // round-robin repartition would silently destroy the
+            // clustered property it paid a full rewrite to build.
+            // Unindexed tables take the even round-robin pack.
+            val scanned = spark.read.schema(t.schema).parquet(paths: _*)
+            val packed = tm.indexes.headOption match {
+              case Some(idx) => scanned
+                .repartitionByRange(k, col(idx.column))
+                .sortWithinPartitions(col(idx.column))
+              case None => scanned.repartition(k)
+            }
+            // Observe ABOVE the shuffle: repartitionByRange SAMPLES
+            // its child to pick boundaries, so a metric below the
+            // exchange would accumulate twice (sampling pass + real
+            // pass) and double-count the rows.
+            val out = packed
               .observe(obs, coalesce(sum(lit(1L)), lit(0L)).as("n_rows"))
-              .repartition(k)
               .localCheckpoint(eager = true, Engine.StagingLevel)
             val n = obs.get("n_rows").asInstanceOf[Long]
             // Parity gate 1, BEFORE the swap: the staged batch must

@@ -98,6 +98,38 @@ class CompactTableSpec extends AnyFunSuite {
     assert(rowsOf("big") == expected)
   }
 
+  test("COMPACT preserves an indexed table's range clustering") {
+    // CREATE INDEX paid a full rewrite to make files range-disjoint
+    // (min/max pruning + file-granular DML); a round-robin compact
+    // would silently destroy that. With an index present, COMPACT
+    // must re-pack by range on the indexed column.
+    g.execute("CREATE TABLE cpt.idx (k INTEGER, v STRING)")
+    g.execute("INSERT INTO cpt.idx SELECT id, repeat(cast(id AS string), 6) FROM range(20000)")
+    g.execute("CREATE INDEX ik ON cpt.idx (k)")
+    // fragment AGAIN after the index build, as DML rounds would
+    for (i <- 1 until 12)
+      g.execute(s"INSERT INTO cpt.idx SELECT id + ${i * 20000}, " +
+        "repeat(cast(id AS string), 6) FROM range(20000)")
+    val expected = rowsOf("idx")
+    val Payload.Select(_, Seq(stats)) = g.execute("COMPACT TABLE cpt.idx TARGET 1"): @unchecked
+    assert(stats(1).asInstanceOf[Number].intValue() >= 2,
+      s"need >=2 outputs to observe clustering: $stats")
+    assert(rowsOf("idx") == expected)
+    // every file's [min(k), max(k)] range must be disjoint (k unique)
+    val ranges = spark.table("cpt.idx")
+      .groupBy(input_file_name().as("f"))
+      .agg(org.apache.spark.sql.functions.min("k").as("lo"),
+        org.apache.spark.sql.functions.max("k").as("hi"))
+      .collect().map(r => (r.getAs[Number]("lo").longValue(),
+        r.getAs[Number]("hi").longValue()))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA < loB, s"file ranges overlap after COMPACT: $ranges")
+      case _ =>
+    }
+  }
+
   test("CSV-backed tables are rejected with a clear error") {
     val dir = java.nio.file.Files.createTempDirectory("cpt_csv").toFile
     val f = new java.io.File(dir, "c.csv")
