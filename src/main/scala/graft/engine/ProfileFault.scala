@@ -98,20 +98,44 @@ object ProfileFault {
     }
 
     /** Kill a specific executor the way a 1000-node cluster loses
-      * one: hard JVM exit from inside a task (OOM-kill / node death
-      * model — no decommission protocol, no block migration). The
-      * standalone master sees the crash and relaunches a FRESH
-      * executor in the slot, exactly like a production refill — the
-      * fresh JVM has none of the old blocks, so the block-loss
-      * witness stands. (sc.killExecutors was rejected: it lowers the
-      * app's executor target so the slot is never refilled, and its
-      * graceful path is the wrong fault model anyway.) Needs the
-      * application jar on the executor classpath for the closure. */
+      * one: SIGKILL the executor JVM from outside Spark (OOM-kill /
+      * node-death model — no decommission protocol, no block
+      * migration, no cooperation from the victim). The standalone
+      * master sees the crash and relaunches a FRESH executor in the
+      * slot, exactly like a production refill — the fresh JVM has
+      * none of the old blocks, so the block-loss witness stands.
+      * (sc.killExecutors was rejected: it lowers the app's executor
+      * target so the slot is never refilled, and its graceful path
+      * is the wrong fault model anyway.) */
     def kill(victim: String): Unit = {
-      try spark.range(0L, 400L, 1L, 100).rdd.foreachPartition { _ =>
-        if (org.apache.spark.SparkEnv.get.executorId == victim)
-          System.exit(137)
-      } catch { case _: Throwable => () } // the dying tasks may fail the job — fine
+      // Primary: SIGKILL the executor JVM from OUTSIDE Spark — the
+      // executors are real local processes whose command line carries
+      // `--executor-id <id>`, so /proc names the victim. This is the
+      // true node-death model AND it cannot starve behind the
+      // victim's own running tasks (a task-based kill queues behind
+      // long tasks on a 1-core executor — observed: phase D's
+      // mid-query kill timed out exactly that way).
+      val pid = new java.io.File("/proc").listFiles()
+        .filter(f => f.getName.forall(_.isDigit))
+        .find { f =>
+          try {
+            val cmd = new String(java.nio.file.Files.readAllBytes(
+              f.toPath.resolve("cmdline"))).split('\u0000')
+            cmd.exists(_.contains("CoarseGrainedExecutorBackend")) &&
+              cmd.sliding(2).exists(p =>
+                p.length == 2 && p(0) == "--executor-id" && p(1) == victim)
+          } catch { case _: Throwable => false }
+        }.map(_.getName)
+      pid match {
+        case Some(p) =>
+          Runtime.getRuntime.exec(Array("kill", "-9", p)).waitFor()
+        case None =>
+          // Fallback: hard exit from inside a task (needs a free core).
+          try spark.range(0L, 400L, 1L, 100).rdd.foreachPartition { _ =>
+            if (org.apache.spark.SparkEnv.get.executorId == victim)
+              System.exit(137)
+          } catch { case _: Throwable => () } // dying tasks may fail the job — fine
+      }
       await(s"executor $victim gone", 60)(
         !FaultShims.liveExecutors(sc).contains(victim))
     }
@@ -201,6 +225,41 @@ object ProfileFault {
         val after = out.selectExpr("sum(cum)", "count(*)", "bit_xor(h)").collect()(0)
         assert(after == before, s"operator result drifted after executor loss: $after != $before")
       } finally spark.conf.unset(graft.operators.DistributedPrefix.SmallInputBytesKey)
+    }
+
+    // ------- Phase D: executor loss MID-QUERY (shuffle loss) -------
+    check("D: executor killed mid-query — lost shuffle data recomputed, exact result") {
+      await("executors back to 2", 120)(FaultShims.liveExecutors(sc).size >= 2)
+      // A shuffle-heavy aggregation long enough (tens of seconds on
+      // 2 single-core executors) that the kill lands mid-flight. The
+      // dead executor takes its shuffle map outputs with it; the
+      // fetch failure must resubmit the map stage and still produce
+      // the EXACT deterministic answer — the everyday production
+      // fault (spot-instance loss mid-job).
+      def heavy() = spark.range(0L, 400000000L, 1L, 16)
+        .selectExpr("id % 3000000 AS k", "id")
+        .groupBy("k").agg(org.apache.spark.sql.functions.expr("sum(id) AS s"))
+        .selectExpr("count(*) AS n", "bit_xor(xxhash64(k, s)) AS h")
+        .collect()(0)
+      val expected = heavy() // clean reference run
+      @volatile var result: Either[Throwable, org.apache.spark.sql.Row] = null
+      val runner = new Thread(() => {
+        result = try Right(heavy()) catch { case e: Throwable => Left(e) }
+      }, "mid-query")
+      runner.start()
+      Thread.sleep(3000) // let the map stage get airborne
+      val victim = FaultShims.liveExecutors(sc).head
+      val midFlight = runner.isAlive
+      kill(victim)
+      runner.join(300000)
+      assert(result != null, "query did not finish after mid-query kill")
+      result match {
+        case Right(row) =>
+          assert(row == expected, s"mid-kill result $row != clean $expected")
+          assert(midFlight,
+            "query finished before the kill — widen the data to keep the witness honest")
+        case Left(e) => throw e
+      }
     }
 
     spark.stop()
