@@ -113,6 +113,79 @@ object ProfileConcurrent {
       return
     }
 
+    // MIXED mode: the deployment combination the FAIR/FIFO tables
+    // don't cover — analytic readers sharing the session with a DML
+    // writer. Three reader tenants each run the top-6 read battery
+    // (parity-checked), one writer tenant drives an INSERT/UPDATE
+    // loop through the Engine into its own database. Pins: readers
+    // never error or drift while DML runs (the writer lock is
+    // mutation-scoped), and the writer's AUTO_INCREMENT sequence
+    // stays dense under the concurrency (the single-writer contract
+    // holds with analytics in flight).
+    if (args.length > 3 && args(3) == "mixed") {
+      val g = new Engine(spark)
+      g.execute("DROP DATABASE IF EXISTS mixw")
+      val loc = java.nio.file.Files.createTempDirectory("graft_mixw").toFile.getAbsolutePath
+      g.execute(s"CREATE DATABASE mixw LOCATION '$loc'")
+      g.execute("CREATE TABLE mixw.t (id INTEGER AUTO_INCREMENT, v INTEGER)")
+      val readSet = Top10.take(6)
+      readSet.foreach(run) // warm
+      val serial = readSet.map(n => n -> run(n)).toMap
+      val errors = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      val writerRounds = 40
+      val writer = new Thread(() => {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "writer")
+        for (i <- 0 until writerRounds) {
+          try {
+            g.execute(s"INSERT INTO mixw.t (v) VALUES ($i), (${i + 1000})")
+            if (i % 10 == 9)
+              g.execute(s"UPDATE mixw.t SET v = v + 1 WHERE v < $i")
+          } catch { case e: Throwable => errors.add(s"writer round $i: ${e.getMessage}") }
+        }
+      }, "writer")
+      val infl = new java.util.concurrent.ConcurrentHashMap[String, java.util.Vector[Double]]()
+      val readers = (0 until 3).map { i =>
+        new Thread(() => {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"reader$i")
+          val rotated = readSet.drop(i * 2) ++ readSet.take(i * 2)
+          for (name <- rotated) {
+            try {
+              val (dt, n, x) = run(name)
+              val (_, sn, sx) = serial(name)
+              if (n != sn || x != sx)
+                errors.add(s"$name reader$i PARITY: ($n,$x) != ($sn,$sx)")
+              infl.computeIfAbsent(name, _ => new java.util.Vector[Double]()).add(dt)
+            } catch { case e: Throwable =>
+              errors.add(s"$name reader$i FAILED: ${e.getMessage}") }
+          }
+        }, s"reader$i")
+      }
+      (writer +: readers).foreach(_.start())
+      (writer +: readers).foreach(_.join())
+      // Writer integrity: dense ids despite concurrent analytics.
+      val ids = spark.sql("SELECT id FROM mixw.t ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      val dense = ids == (1L to 2L * writerRounds)
+      if (!dense) errors.add(s"writer ids not dense: ${ids.take(10)}...")
+      import scala.jdk.CollectionConverters._
+      def j2(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      val med = readSet.map { n =>
+        val v = infl.get(n).asScala.toSeq.sorted
+        n.takeWhile(_ != '_') -> v((v.size - 1) / 2) / serial(n)._1
+      }
+      g.execute("DROP DATABASE mixw")
+      println(
+        s"""{"mode":"MIXED","readers":3,"writer_rounds":$writerRounds,""" +
+        s""""writer_ids_dense":$dense,"errors":${errors.size()},""" +
+        s""""reader_median_inflation":${med.map { case (k, v) =>
+          "\"" + k + "\":" + j2(v) }.mkString("{", ",", "}")}}""")
+      errors.asScala.foreach(e => System.err.println(s"[mixed] $e"))
+      spark.stop()
+      if (!errors.isEmpty) sys.exit(1)
+      return
+    }
+
     // Warm-up (JIT, codegen cache, parquet footers) — discarded.
     Top10.foreach(run)
 
