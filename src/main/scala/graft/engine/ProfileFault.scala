@@ -262,6 +262,35 @@ object ProfileFault {
       }
     }
 
+    // ------- Phase E: DOUBLE loss at replication 2 = loud ----------
+    check("E: double executor loss at replication 2 — loud failure, never a wrong answer") {
+      // The 2-replica tier's exact boundary: ONE loss serves from the
+      // replica (phase A2); losing BOTH holders must fail loudly for
+      // a clean rerun — returning anything would be silent data loss.
+      await("executors back to 2", 120)(FaultShims.liveExecutors(sc).size >= 2)
+      val df2 = spark.range(0L, 1000000L, 1L, 8)
+        .selectExpr("id", "xxhash64(id) AS h")
+      val staged2 = df2.localCheckpoint(eager = true, StorageLevel.DISK_ONLY_2)
+      val (rddId, parts) = lastPersisted()
+      val holders = FaultShims.blockExecutors(sc, rddId, parts)
+        .values.flatten.toSet
+      assert(holders.size >= 2, s"need 2 replica holders, got $holders")
+      holders.foreach(kill) // master refills with FRESH (blockless) JVMs
+      val res =
+        try Left(staged2.selectExpr("count(*)", "bit_xor(h)").collect()(0))
+        catch { case e: Throwable => Right(e) }
+      res match {
+        case Left(row) =>
+          sys.error(s"query RETURNED after losing BOTH replicas: $row")
+        case Right(e) =>
+          val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .map(_.toString).mkString(" | ").toLowerCase
+          assert(chain.contains("checkpoint") || chain.contains("block") ||
+            chain.contains("lost"), s"unrelated failure: $chain")
+          println(s"     loud failure (expected): ${e.getMessage.linesIterator.next()}")
+      }
+    }
+
     spark.stop()
     if (failures > 0) { println(s"$failures FAILED"); sys.exit(1) }
     else println("ALL OK")
