@@ -1630,6 +1630,13 @@ class Engine(val spark: SparkSession) {
       Payload.Select(Seq("plan"), planShape(operatorDf("EXECUTE " + arg)))
     } else if (kw(up, "FILES") && arg.length > "FILES".length) {
       explainFiles(arg.drop("FILES".length).trim)
+    } else if (kw(up, "COMPACT") && kw(up.drop("COMPACT".length).trim, "TABLE")) {
+      // EXPLAIN COMPACT TABLE t [TARGET mb]: dry-run of the
+      // compaction decision — which files would move, how many
+      // outputs, how the rewrite would be laid out — without the
+      // writer lock and without moving a byte (the EXPLAIN INSERT
+      // pattern applied to the other mutating maintenance command).
+      explainCompact(arg)
     } else if (kw(up, "INSERT") && kw(up.drop("INSERT".length).trim, "INTO")) {
       // EXPLAIN INSERT …: dry-run of the validated write path's
       // PLANNING — the batch's physical plan plus the staging and
@@ -1710,6 +1717,47 @@ class Engine(val spark: SparkSession) {
       Seq[Any]("compacted_layout_files", compacted.toString),
       Seq[Any]("compact_recommended", recommended.toString))
     Payload.Select(Seq("metric", "value"), rows)
+  }
+
+  /** EXPLAIN COMPACT TABLE — the dry run. Same parse and same
+    * decision arithmetic as [[compactTable]] (files under target,
+    * ceil(bytes/target) outputs, index-aware layout), no lock, no
+    * rewrite. */
+  private def explainCompact(arg: String): Payload = {
+    val re = """(?is)COMPACT\s+TABLE\s+([`"\w.]+)(?:\s+TARGET\s+(\d+))?\s*""".r
+    arg match {
+      case re(rawName, targetMb) =>
+        val (db, tbl) = resolve(rawName)
+        val tm = requireMeta(db, tbl)
+        if (tm.jdbc || tm.csvPath.isDefined || tm.xlsxPath.isDefined)
+          throw new EngineException(
+            s"COMPACT TABLE applies to managed parquet tables; $db.$tbl is " +
+              "CSV/sheet/JDBC-backed (single-file or external storage)")
+        val tmbL = Option(targetMb).map(_.toLong).getOrElse(Engine.DefaultCompactTargetMb)
+        val target = tmbL << 20
+        val sized = dataFiles(db, tbl)
+        val small = sized.filter(_._2 < target)
+        val totalSmall = small.map(_._2).sum
+        val k = math.max(1, math.ceil(totalSmall.toDouble / target).toInt)
+        val wouldRun = small.size >= 2
+        val layout = tm.indexes.headOption match {
+          case Some(idx) =>
+            s"range-repartition on indexed column ${idx.column} + sort within " +
+              "partitions (preserves the clustered layout)"
+          case None => "round-robin repartition (unindexed table)"
+        }
+        val rows = Seq(
+          Seq[Any]("target_mb", tmbL.toString),
+          Seq[Any]("files_total", sized.size.toString),
+          Seq[Any]("files_under_target", small.size.toString),
+          Seq[Any]("bytes_to_move", totalSmall.toString),
+          Seq[Any]("files_out", (if (wouldRun) k else 0).toString),
+          Seq[Any]("would_run", wouldRun.toString +
+            (if (!wouldRun) " — fewer than 2 sub-target files, nothing to pack" else "")),
+          Seq[Any]("layout", if (wouldRun) layout else "(no-op)"))
+        Payload.Select(Seq("metric", "value"), rows)
+      case _ => throw new EngineException(s"cannot parse: EXPLAIN ${arg.take(60)}")
+    }
   }
 
   /** Shape summary + formatted physical plan, shared by EXPLAIN

@@ -130,6 +130,25 @@ class CompactTableSpec extends AnyFunSuite {
     }
   }
 
+  test("EXPLAIN COMPACT TABLE dry-runs the decision without moving a byte") {
+    g.execute("CREATE TABLE cpt.xc (k INTEGER, v INTEGER)")
+    for (i <- 0 until 6)
+      g.execute(s"INSERT INTO cpt.xc SELECT id + ${i * 100}, id FROM range(100)")
+    val before = files("xc")
+    val Payload.Select(_, rows) = g.execute("EXPLAIN COMPACT TABLE cpt.xc"): @unchecked
+    val m = rows.map(r => r.head.toString -> r(1).toString).toMap
+    assert(m("would_run") == "true", m.toString)
+    assert(m("files_under_target").toInt == before.size, m.toString)
+    assert(m("files_out") == "1", m.toString)
+    assert(m("layout").contains("round-robin"), m.toString)
+    assert(files("xc") == before, "EXPLAIN must not move files")
+    // indexed variant reports the range layout
+    g.execute("CREATE INDEX ixc ON cpt.xc (k)")
+    val Payload.Select(_, rows2) = g.execute("EXPLAIN COMPACT TABLE cpt.xc"): @unchecked
+    val m2 = rows2.map(r => r.head.toString -> r(1).toString).toMap
+    assert(m2("layout").contains("range-repartition on indexed column k"), m2.toString)
+  }
+
   test("CSV-backed tables are rejected with a clear error") {
     val dir = java.nio.file.Files.createTempDirectory("cpt_csv").toFile
     val f = new java.io.File(dir, "c.csv")
