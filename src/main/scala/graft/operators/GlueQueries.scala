@@ -177,6 +177,27 @@ object GlueQueries {
       |  CAST(count(*) * (2 * count(*) + 1) AS BIGINT) AS sum_ids
       |FROM lineitem""".stripMargin
 
+  /** g8: COMPACT TABLE round trip under the driver's oracle — a
+    * table fragmented by 8 separate INSERTs is compacted and read
+    * back; the oracle reconstructs the exact rows independently, so
+    * the gate proves compaction moved every row and invented none
+    * (file-count reduction itself is pinned in CompactTableSpec —
+    * DuckDB can't see our file layout, only the rows). */
+  def g8Compact(spark: SparkSession, dir: String): DataFrame = {
+    val g = new Engine(spark)
+    freshDb(g, "g8db")
+    g.execute("CREATE TABLE g8db.t (k INTEGER, v INTEGER)")
+    for (i <- 0 until 8)
+      g.execute(s"INSERT INTO g8db.t SELECT id + ${i * 1000}, (id * 7) % 97 FROM range(1000)")
+    g.execute("COMPACT TABLE g8db.t")
+    g.query("SELECT k, v FROM g8db.t")
+  }
+
+  def g8OracleSql: String =
+    """SELECT CAST(id + c * 1000 AS BIGINT) AS k,
+      |  CAST((id * 7) % 97 AS BIGINT) AS v
+      |FROM range(1000) t(id) CROSS JOIN range(8) c(c)""".stripMargin
+
   /** Dialect scalar battery 1: CONVERT/TRY_CONVERT core casts, IIF,
     * byte-LEN (reference function.rs:124-166, utility.rs). */
   def f1ConvertCasts(spark: SparkSession, dir: String): DataFrame = {
