@@ -187,16 +187,19 @@ object GlueQueries {
     val g = new Engine(spark)
     freshDb(g, "g8db")
     g.execute("CREATE TABLE g8db.t (k INTEGER, v INTEGER)")
-    for (i <- 0 until 8)
-      g.execute(s"INSERT INTO g8db.t SELECT id + ${i * 1000}, (id * 7) % 97 FROM range(1000)")
+    // 6 separate INSERTs — enough fragments that the compaction
+    // genuinely bin-packs (each INSERT writes >=1 file) while keeping
+    // the battery entry statement-count lean.
+    for (i <- 0 until 6)
+      g.execute(s"INSERT INTO g8db.t SELECT id + ${i * 500}, (id * 7) % 97 FROM range(500)")
     g.execute("COMPACT TABLE g8db.t")
     g.query("SELECT k, v FROM g8db.t")
   }
 
   def g8OracleSql: String =
-    """SELECT CAST(id + c * 1000 AS BIGINT) AS k,
+    """SELECT CAST(id + c * 500 AS BIGINT) AS k,
       |  CAST((id * 7) % 97 AS BIGINT) AS v
-      |FROM range(1000) t(id) CROSS JOIN range(8) c(c)""".stripMargin
+      |FROM range(500) t(id) CROSS JOIN range(6) c(c)""".stripMargin
 
   /** Dialect scalar battery 1: CONVERT/TRY_CONVERT core casts, IIF,
     * byte-LEN (reference function.rs:124-166, utility.rs). */
