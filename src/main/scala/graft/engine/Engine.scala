@@ -102,8 +102,19 @@ class Engine(val spark: SparkSession) {
     * the MultiSQL string-literal form before function resolution ever
     * runs, so the registered implementation would be unreachable.
     * CAST type names map to the dialect (TEXT = string, FLOAT = f64). */
+  /** `SET @x = rhs` must keep its LHS verbatim — substituting an
+    * already-defined @x there turned every REASSIGNMENT into
+    * "SET <old value> = rhs", a parse error (found by the
+    * auto_compact on/off toggle). The RHS still substitutes, so
+    * `SET @y = @x` composes. */
+  private val setVarLhsRe = """(?is)(\s*SET\s+@[A-Za-z_]\w*\s*=\s*)(.+)""".r
+
   private def preprocess(sql: String): String = {
-    var s = rewriteOutsideQuotes(substituteVars(sql), "DATEADD(", "graft_dateadd(")
+    val substituted = sql match {
+      case setVarLhsRe(lhs, rhs) => lhs + substituteVars(rhs)
+      case _ => substituteVars(sql)
+    }
+    var s = rewriteOutsideQuotes(substituted, "DATEADD(", "graft_dateadd(")
     s = rewriteOutsideQuotes(s, "AS TEXT)", "AS STRING)")
     s = rewriteOutsideQuotes(s, "AS FLOAT)", "AS DOUBLE)")
     s
@@ -322,7 +333,11 @@ class Engine(val spark: SparkSession) {
       alterTable(sql)
     else if (up.startsWith("TRUNCATE"))
       truncate(sql)
-    else if (up.startsWith("COMPACT TABLE"))
+    else if (kw(up, "COMPACT"))
+      // keyword-boundary routing (kw), not a literal "COMPACT TABLE"
+      // prefix: compactTable's own regex accepts any whitespace
+      // between the keywords, so "COMPACT\tTABLE t" must reach it
+      // instead of falling through to a confusing generic error.
       compactTable(sql)
     else if (up.startsWith("DROP TABLE"))
       dropTable(sql)
@@ -607,8 +622,13 @@ class Engine(val spark: SparkSession) {
   // ------------------------------------------------------------------
 
   private def insert(sql: String): Payload = {
-    val (payload, _, doneWithBatch) = insertReturning(sql)
+    val (db, tbl, tm, cols, src) = parseInsert(sql)
+    val (payload, _, doneWithBatch) = insertDataFrame(db, tbl, tm, cols, src)
     doneWithBatch()
+    // Opt-in post-DML hygiene (fresh lock — the insert's was released
+    // with its batch). INSERT is fragmentation source #1: every
+    // statement appends its own files.
+    maybeAutoCompact(db, tbl)
     payload
   }
 
@@ -1112,6 +1132,7 @@ class Engine(val spark: SparkSession) {
           affected.foreach(deleteDataFile)
           spark.catalog.refreshTable(s"`$db`.`$tbl`")
           tm.xlsxPath.foreach(syncXlsx)
+          maybeAutoCompact(db, tbl) // opt-in, under the held writer lock
           Payload.Update(n)
         } else {
           // Whole-table rewrite: no WHERE (every file is affected
@@ -1201,6 +1222,7 @@ class Engine(val spark: SparkSession) {
               affected.foreach(deleteDataFile)
               spark.catalog.refreshTable(s"`$db`.`$tbl`")
               tm.xlsxPath.foreach(syncXlsx)
+              maybeAutoCompact(db, tbl) // opt-in, under the held writer lock
               Payload.Delete(n)
             }
           case (Some(cond), None) =>
@@ -1378,23 +1400,64 @@ class Engine(val spark: SparkSession) {
     }
   }
 
-  /** One managed-parquet data file of a table: input_file_name URI +
-    * on-disk size. The listing comes from a zero-column scan (the
-    * parquet reader materializes no values), so it is metadata-cheap
-    * and authoritative for whatever layout the table actually has.
-    * Bounded collect: one short string per FILE, not per row — the
-    * same bound the CoW UPDATE/DELETE discovery scan carries. */
-  private def dataFiles(db: String, tbl: String): Seq[(String, Long)] = {
-    val t = spark.table(s"`$db`.`$tbl`")
-    t.select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0)).filter(_.nonEmpty).toSeq
-      .map { uri =>
-        val p =
-          if (uri.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(uri))
-          else java.nio.file.Paths.get(uri)
-        uri -> (try java.nio.file.Files.size(p) catch { case _: Exception => 0L })
-      }
-  }
+  /** The local directory behind a managed parquet table, from the
+    * catalog's table location. None for non-local URIs (an
+    * object-store location has no java.nio path) — callers fall back
+    * to scan-derived behavior there. */
+  private def tableDirectory(db: String, tbl: String): Option[java.nio.file.Path] =
+    try {
+      val uri = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db))).location
+      if (uri.getScheme == null) Some(java.nio.file.Paths.get(uri.getPath))
+      else if (uri.getScheme == "file") Some(java.nio.file.Paths.get(java.net.URI.create(uri.toString)))
+      else None
+    } catch { case _: Exception => None }
+
+  /** One managed-parquet data file of a table: URI + on-disk size.
+    *
+    * Listed from the table DIRECTORY, not from a row scan: the old
+    * input_file_name()-over-rows listing was blind to zero-row
+    * fragments, so EXPLAIN FILES undercounted fragmentation and
+    * COMPACT TABLE could never remove empty files left by zero-row
+    * INSERTs (round-15 advice). Hidden entries (dot/underscore
+    * prefixes — Spark's own non-data convention, which also covers
+    * COMPACT's staging subdirectory and _SUCCESS markers) are
+    * excluded, mirroring exactly what Spark's file index treats as
+    * the table. A file whose size cannot be stat'ed was deleted
+    * between listing and stat (an external actor) — it is SKIPPED,
+    * never coerced to a 0-byte "small" file that would poison a
+    * compaction read set. Tables at non-local locations keep the
+    * scan-derived listing (bounded collect: one string per FILE). */
+  private def dataFiles(db: String, tbl: String): Seq[(String, Long)] =
+    tableDirectory(db, tbl).filter(java.nio.file.Files.isDirectory(_)) match {
+      case Some(dir) =>
+        val s = java.nio.file.Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter { p =>
+              val n = p.getFileName.toString
+              !n.startsWith(".") && !n.startsWith("_") &&
+                java.nio.file.Files.isRegularFile(p)
+            }
+            .flatMap { p =>
+              try Some(p.toUri.toString -> java.nio.file.Files.size(p))
+              catch { case _: Exception => None }
+            }
+            .toList
+        } finally s.close()
+      case None =>
+        val t = spark.table(s"`$db`.`$tbl`")
+        t.select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0)).filter(_.nonEmpty).toSeq
+          .flatMap { uri =>
+            val p =
+              if (uri.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(uri))
+              else java.nio.file.Paths.get(uri)
+            try Some(uri -> java.nio.file.Files.size(p))
+            catch { case _: Exception => None }
+          }
+    }
 
   /** COMPACT TABLE t [TARGET mb] — small-file hygiene for the CoW DML
     * path. File-granular UPDATE/DELETE rewrites only matched files
@@ -1403,15 +1466,16 @@ class Engine(val spark: SparkSession) {
     * files murder scan throughput (per-file open + footer read +
     * scheduler overhead dominate). This command bin-packs every file
     * under the target into ceil(bytes/target) evenly-sized rewrites:
-    *  - files >= target are NOT touched (rewriting them buys nothing);
-    *  - the rewrite batch is staged at [[Engine.StagingLevel]]
-    *    (2-replica disk, same discipline as every mutation path) and
-    *    materialized BEFORE any original file is removed;
-    *  - row parity is gated twice: the staged checkpoint must hold
-    *    exactly the scanned rows (observed on the scan itself), and
-    *    after the append the NEW files' own footer count must equal
-    *    the staged count — either mismatch aborts (rolling back the
-    *    append) BEFORE any original file is deleted;
+    *  - files >= target are NOT touched (rewriting them buys
+    *    nothing) — EXCEPT, on an indexed table, the ones whose key
+    *    range overlaps the rewritten span, which must join the
+    *    rewrite for the files to stay GLOBALLY range-disjoint (see
+    *    [[overlappingAtTarget]]);
+    *  - the rewrite lands in a hidden staging directory inside the
+    *    table dir and is row-parity-gated there BEFORE the swap —
+    *    concurrent readers see only the final few renames, and any
+    *    mismatch aborts with the originals untouched (see
+    *    [[compactCore]]);
     *  - no constraint re-checks: compaction moves rows, it does not
     *    change them.
     * The auto-threshold that recommends compaction is surfaced by
@@ -1432,73 +1496,184 @@ class Engine(val spark: SparkSession) {
           Option(targetMb).map(_.toLong).getOrElse(Engine.DefaultCompactTargetMb) << 20
         val labels = Seq("files_in", "files_out", "rows_moved", "bytes_moved")
         DbLock.withWriter(dbDir(db)) {
-          val sized = dataFiles(db, tbl)
-          val small = sized.filter(_._2 < target)
-          if (small.size < 2) Payload.Select(labels, Seq(Seq(0, 0, 0L, 0L)))
-          else {
-            val totalSmall = small.map(_._2).sum
-            val k = math.max(1, math.ceil(totalSmall.toDouble / target).toInt)
-            val paths = small.map(_._1)
-            val t = spark.table(s"`$db`.`$tbl`")
-            val obs = org.apache.spark.sql.Observation()
-            // Explicit schema (no footer-inference job); the shuffle
-            // moves only the small-file bytes, never the whole table.
-            // Layout of the k outputs: an INDEXED table was clustered
-            // by CREATE INDEX (range-disjoint files are what make
-            // min/max pruning and file-granular DML O(matching
-            // range)), so its compaction re-packs BY RANGE on the
-            // indexed column + sorts within partitions — a
-            // round-robin repartition would silently destroy the
-            // clustered property it paid a full rewrite to build.
-            // Unindexed tables take the even round-robin pack.
-            val scanned = spark.read.schema(t.schema).parquet(paths: _*)
-            val packed = tm.indexes.headOption match {
-              case Some(idx) => scanned
-                .repartitionByRange(k, col(idx.column))
-                .sortWithinPartitions(col(idx.column))
-              case None => scanned.repartition(k)
-            }
-            // Observe ABOVE the shuffle: repartitionByRange SAMPLES
-            // its child to pick boundaries, so a metric below the
-            // exchange would accumulate twice (sampling pass + real
-            // pass) and double-count the rows.
-            val out = packed
-              .observe(obs, coalesce(sum(lit(1L)), lit(0L)).as("n_rows"))
-              .localCheckpoint(eager = true, Engine.StagingLevel)
-            val n = obs.get("n_rows").asInstanceOf[Long]
-            // Parity gate 1, BEFORE the swap: the staged batch must
-            // hold exactly the rows of the files it replaces.
-            val staged = out.count()
-            if (staged != n)
-              throw new EngineException(
-                s"COMPACT aborted: staged $staged rows != scanned $n — originals untouched")
-            out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
-            // Parity gate 2, AFTER the append but BEFORE any original
-            // is removed: the rows that actually landed on disk (the
-            // newly appended files, counted from their own parquet
-            // footers — a metadata job) must equal the staged count.
-            // A write that silently dropped rows aborts here with the
-            // originals intact.
-            spark.catalog.refreshTable(s"`$db`.`$tbl`")
-            val pathSet = paths.toSet
-            val newFiles = dataFiles(db, tbl).map(_._1)
-              .filterNot(pathSet.contains).filterNot(f => sized.exists(_._1 == f))
-            val landed =
-              if (newFiles.isEmpty) 0L
-              else spark.read.schema(t.schema).parquet(newFiles: _*).count()
-            if (landed != n) {
-              newFiles.foreach(deleteDataFile) // roll the append back
-              spark.catalog.refreshTable(s"`$db`.`$tbl`")
-              throw new EngineException(
-                s"COMPACT aborted: appended files hold $landed rows != staged $n — " +
-                  "append rolled back, originals untouched")
-            }
-            paths.foreach(deleteDataFile)
-            spark.catalog.refreshTable(s"`$db`.`$tbl`")
-            Payload.Select(labels, Seq(Seq(small.size, k, n, totalSmall)))
-          }
+          Payload.Select(labels, Seq(compactCore(db, tbl, tm, target)))
         }
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
+    }
+  }
+
+  /** On an INDEXED table: the at-or-above-target files whose
+    * index-column range (parquet footer min/max — driver-side
+    * metadata reads of O(KB) per file, never a data scan) overlaps
+    * the combined key span of the sub-target files being rewritten.
+    * Including them in the rewrite keeps the table's files GLOBALLY
+    * range-disjoint after compaction, not merely disjoint within the
+    * rewritten subset (round-15 advice — the property CREATE INDEX
+    * paid a full rewrite for). Worst case — small files spread over
+    * the whole key space — this degenerates to a full re-cluster,
+    * which is exactly what restoring global disjointness costs;
+    * EXPLAIN COMPACT TABLE surfaces the neighbor count so an
+    * operator sees that price before paying it. A file with absent
+    * or unreadable stats stays untouched: it cannot be range-placed,
+    * and query RESULTS never depend on disjointness (pruning is
+    * stats-based) — only layout quality does. */
+  private def overlappingAtTarget(tm: TableMeta, big: Seq[(String, Long)],
+      small: Seq[(String, Long)]): Seq[(String, Long)] =
+    tm.indexes.headOption match {
+      case Some(idx) if big.nonEmpty =>
+        val conf = spark.sessionState.newHadoopConf()
+        val spans = small.flatMap(f => ParquetStats.footerRange(conf, f._1, idx.column))
+        if (spans.isEmpty) Seq.empty
+        else {
+          val lo = spans.map(_._1).reduce((a, b) => if (a.compareTo(b) <= 0) a else b)
+          val hi = spans.map(_._2).reduce((a, b) => if (a.compareTo(b) >= 0) a else b)
+          big.filter { f =>
+            ParquetStats.footerRange(conf, f._1, idx.column).exists { case (bLo, bHi) =>
+              bLo.compareTo(hi) <= 0 && bHi.compareTo(lo) >= 0
+            }
+          }
+        }
+      case _ => Seq.empty
+    }
+
+  /** The compaction engine, under an ALREADY-HELD writer lock: packs
+    * every sub-target file — plus, on an indexed table, overlapping
+    * at-target neighbors (see [[overlappingAtTarget]]) — into
+    * ceil(bytes/target) rewrites. Returns the payload row
+    * (files_in, files_out, rows_moved, bytes_moved).
+    *
+    * Reader isolation (round-15 advice): readers deliberately bypass
+    * the writer lock (reader liveness is pinned by ConcurrentDmlSpec),
+    * so the swap must not expose intermediate state any longer than
+    * physics requires. The rewrite therefore lands in a DOT-PREFIXED
+    * staging subdirectory INSIDE the table directory — hidden from
+    * Spark's file listing, same filesystem so the swap is pure
+    * renames — and is parity-gated THERE: the scan-observed row count
+    * must equal the staged files' own parquet-footer count (one gate
+    * covering both a lost read and a lost write; a mismatch discards
+    * staging with the originals untouched). Only then does the swap
+    * run: k renames in + m deletes out, all filesystem METADATA ops.
+    * The concurrent-reader duplication window shrinks from "whole
+    * rewrite + count job" (the old append-then-verify flow) to those
+    * few renames. A process crash INSIDE that final span can still
+    * expose duplicates — true multi-file atomicity needs a manifest
+    * catalog, a documented non-goal — while a crash anywhere BEFORE
+    * it leaves the table bit-identical plus one invisible staging
+    * directory swept by the next compaction. */
+  private def compactCore(db: String, tbl: String, tm: TableMeta, target: Long): Seq[Any] = {
+    val sized = dataFiles(db, tbl)
+    val small = sized.filter(_._2 < target)
+    if (small.size < 2) return Seq(0, 0, 0L, 0L)
+    val moveSet = small ++ overlappingAtTarget(tm, sized.filter(_._2 >= target), small)
+    val totalMove = moveSet.map(_._2).sum
+    val k = math.max(1, math.ceil(totalMove.toDouble / target).toInt)
+    val paths = moveSet.map(_._1)
+    val t = spark.table(s"`$db`.`$tbl`")
+    val tdir = tableDirectory(db, tbl).getOrElse(throw new EngineException(
+      s"COMPACT TABLE requires a local managed parquet directory for $db.$tbl"))
+    // Stale staging dirs (a crashed prior compact) are invisible to
+    // readers but hold disk — sweep them while we hold the lock.
+    listHidden(tdir, ".compact_staging_").foreach(deleteRecursively)
+    val staging = tdir.resolve(
+      s".compact_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val obs = org.apache.spark.sql.Observation()
+      // Explicit schema (no footer-inference job); the shuffle moves
+      // only the rewrite set's bytes, never the whole table. Layout:
+      // an INDEXED table re-packs BY RANGE on the indexed column +
+      // sorts within partitions (a round-robin pack would silently
+      // destroy the clustering CREATE INDEX paid a full rewrite for);
+      // unindexed tables take the even round-robin pack. The observe
+      // sits ABOVE the shuffle: repartitionByRange SAMPLES its child
+      // for boundaries, so a metric below the exchange would count
+      // the sampling pass too and double-count rows.
+      val scanned = spark.read.schema(t.schema).parquet(paths: _*)
+      val packed = tm.indexes.headOption match {
+        case Some(idx) => scanned
+          .repartitionByRange(k, col(idx.column))
+          .sortWithinPartitions(col(idx.column))
+        case None => scanned.repartition(k)
+      }
+      packed.observe(obs, coalesce(sum(lit(1L)), lit(0L)).as("n_rows"))
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val n = obs.get("n_rows").asInstanceOf[Long]
+      val stagedFiles = {
+        val s = java.nio.file.Files.list(staging)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter { p =>
+            val nm = p.getFileName.toString
+            !nm.startsWith(".") && !nm.startsWith("_")
+          }.toList
+        } finally s.close()
+      }
+      // Parity gate, entirely inside staging: the rows that LANDED
+      // (the staged files' own footer counts — a metadata job) must
+      // equal the rows the scan OBSERVED flowing into the writer.
+      val landed =
+        if (stagedFiles.isEmpty) 0L
+        else spark.read.schema(t.schema)
+          .parquet(stagedFiles.map(_.toUri.toString): _*).count()
+      if (landed != n)
+        throw new EngineException(
+          s"COMPACT aborted: staged files hold $landed rows != scanned $n — " +
+            "staging discarded, originals untouched")
+      // THE SWAP — the only span a concurrent reader can observe:
+      // k renames + m deletes, filesystem metadata only.
+      stagedFiles.foreach { f =>
+        java.nio.file.Files.move(f, tdir.resolve(f.getFileName.toString),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      paths.foreach(deleteDataFile)
+      spark.catalog.refreshTable(s"`$db`.`$tbl`")
+      Seq(moveSet.size, stagedFiles.size, n, totalMove)
+    } finally deleteRecursively(staging)
+  }
+
+  private def listHidden(dir: java.nio.file.Path, prefix: String): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.getFileName.toString.startsWith(prefix)).toList
+    } finally s.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val all = java.nio.file.Files.walk(p)
+      try all.iterator().asScala.toList.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally all.close()
+    }
+
+  /** Opt-in post-DML compaction (round-15 verdict task 3): with
+    * `SET @auto_compact = true`, every statement-level INSERT and
+    * file-granular UPDATE/DELETE re-checks the EXPLAIN FILES
+    * fragmentation threshold after its swap and, if tripped, runs
+    * the compaction inline — under the writer lock it already holds
+    * for UPDATE/DELETE (DbLock is reentrant), or a fresh one for
+    * INSERT. The run is recorded in session variable
+    * `@last_auto_compact` ('files_in=…,files_out=…,rows_moved=…')
+    * so a session can audit what maintenance happened and when. OFF
+    * by default: compaction rides the mutating statement's latency,
+    * a trade the operator opts into — the default posture stays
+    * "EXPLAIN FILES recommends, the operator decides". */
+  private def maybeAutoCompact(db: String, tbl: String): Unit = {
+    val on = vars.get("auto_compact").map(_.trim).exists(v =>
+      v.equalsIgnoreCase("true") || v == "1")
+    if (!on) return
+    val tm = requireMeta(db, tbl)
+    if (tm.jdbc || tm.csvPath.isDefined || tm.xlsxPath.isDefined) return
+    // Same arithmetic as EXPLAIN FILES' compact_recommended verdict.
+    val sized = dataFiles(db, tbl)
+    val target = Engine.DefaultCompactTargetMb << 20
+    val smallN = sized.count(_._2 < target)
+    val compacted = math.max(1, math.ceil(sized.map(_._2).sum.toDouble / target).toInt)
+    if (smallN >= Engine.CompactRecommendMinSmallFiles && sized.size >= 4 * compacted) {
+      val stats = DbLock.withWriter(dbDir(db))(compactCore(db, tbl, tm, target))
+      vars("last_auto_compact") =
+        s"'files_in=${stats(0)},files_out=${stats(1)},rows_moved=${stats(2)}'"
     }
   }
 
@@ -1737,20 +1912,30 @@ class Engine(val spark: SparkSession) {
         val target = tmbL << 20
         val sized = dataFiles(db, tbl)
         val small = sized.filter(_._2 < target)
-        val totalSmall = small.map(_._2).sum
-        val k = math.max(1, math.ceil(totalSmall.toDouble / target).toInt)
         val wouldRun = small.size >= 2
+        // Same decision arithmetic as compactCore, including the
+        // indexed rewrite's at-target neighbors (the files whose key
+        // ranges overlap the small-file span — pulled in so global
+        // range-disjointness survives; surfaced here so the operator
+        // sees that price before paying it).
+        val neighbors =
+          if (wouldRun) overlappingAtTarget(tm, sized.filter(_._2 >= target), small)
+          else Seq.empty
+        val totalMove = (small ++ neighbors).map(_._2).sum
+        val k = math.max(1, math.ceil(totalMove.toDouble / target).toInt)
         val layout = tm.indexes.headOption match {
           case Some(idx) =>
             s"range-repartition on indexed column ${idx.column} + sort within " +
-              "partitions (preserves the clustered layout)"
+              "partitions (restores GLOBAL range disjointness — overlapping " +
+              "at-target neighbors join the rewrite)"
           case None => "round-robin repartition (unindexed table)"
         }
         val rows = Seq(
           Seq[Any]("target_mb", tmbL.toString),
           Seq[Any]("files_total", sized.size.toString),
           Seq[Any]("files_under_target", small.size.toString),
-          Seq[Any]("bytes_to_move", totalSmall.toString),
+          Seq[Any]("files_at_target_included", (if (wouldRun) neighbors.size else 0).toString),
+          Seq[Any]("bytes_to_move", totalMove.toString),
           Seq[Any]("files_out", (if (wouldRun) k else 0).toString),
           Seq[Any]("would_run", wouldRun.toString +
             (if (!wouldRun) " — fewer than 2 sub-target files, nothing to pack" else "")),

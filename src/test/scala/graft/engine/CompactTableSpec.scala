@@ -130,6 +130,137 @@ class CompactTableSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed sizes: an overlapping at-target neighbor joins the indexed rewrite " +
+      "so disjointness stays GLOBAL") {
+    // Round-15 advice: range-repartitioning only the sub-target files
+    // among themselves keeps them disjoint from EACH OTHER but not
+    // from untouched >=target files. With an index present, a big
+    // file whose key range overlaps the small-file span must join the
+    // rewrite — global disjointness is the property CREATE INDEX paid
+    // a full rewrite for.
+    g.execute("CREATE TABLE cpt.mix (k INTEGER, v STRING)")
+    // One big file covering the whole key space: ~60k rows of 64
+    // low-compressibility chars lands >1 MB after snappy. The INSERT
+    // itself may split across write tasks, so pack it to a single
+    // at-target file with a default-target COMPACT first.
+    g.execute("INSERT INTO cpt.mix SELECT id, concat(md5(cast(id AS string)), " +
+      "md5(cast(id + 7 AS string))) FROM range(60000)")
+    g.execute("CREATE INDEX imix ON cpt.mix (k)")
+    g.execute("COMPACT TABLE cpt.mix")
+    val bigSizes = files("mix").map { u =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(java.net.URI.create(u)))
+    }
+    assert(bigSizes.exists(_ >= (1 << 20)),
+      s"fixture needs at least one >=1 MB file, got $bigSizes")
+    // Small fragments INTERLEAVED across the big file's key range —
+    // the exact overlap the subset-only rewrite cannot fix.
+    for (i <- 1 to 8)
+      g.execute(s"INSERT INTO cpt.mix SELECT id * 30 + $i, " +
+        "md5(cast(id AS string)) FROM range(2000)")
+    val expected = rowsOf("mix")
+    // dry run surfaces the neighbor price before it is paid
+    val Payload.Select(_, xc) = g.execute("EXPLAIN COMPACT TABLE cpt.mix TARGET 1"): @unchecked
+    val xm = xc.map(r => r.head.toString -> r(1).toString).toMap
+    assert(xm("files_at_target_included").toInt >= 1,
+      s"the overlapping big file must be included: $xm")
+    val Payload.Select(_, Seq(stats)) = g.execute("COMPACT TABLE cpt.mix TARGET 1"): @unchecked
+    assert(stats(2) == (60000L + 8 * 2000L), s"every row must move (big file included): $stats")
+    assert(rowsOf("mix") == expected, "rows changed across mixed-size COMPACT")
+    val ranges = spark.table("cpt.mix")
+      .groupBy(input_file_name().as("f"))
+      .agg(org.apache.spark.sql.functions.min("k").as("lo"),
+        org.apache.spark.sql.functions.max("k").as("hi"))
+      .collect().map(r => (r.getAs[Number]("lo").longValue(),
+        r.getAs[Number]("hi").longValue()))
+      .sortBy(_._1)
+    assert(ranges.length >= 2, s"need >=2 files to observe disjointness: ${ranges.toSeq}")
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA < loB, s"GLOBAL file ranges overlap after COMPACT: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
+
+  test("SET @auto_compact = true keeps file count bounded across DML rounds") {
+    g.execute("CREATE TABLE cpt.ac (k INTEGER, v INTEGER)")
+    g.execute("SET @auto_compact = true")
+    try {
+      // 24 INSERT rounds + a CoW UPDATE: without the hook this
+      // fragments to 25+ files; with it, every mutation re-checks the
+      // EXPLAIN FILES threshold after its swap and compacts inline,
+      // so the count stays under the recommendation floor + one
+      // round's worth of fresh appends.
+      for (i <- 0 until 24)
+        g.execute(s"INSERT INTO cpt.ac SELECT id + ${i * 1000}, id FROM range(1000)")
+      g.execute("UPDATE cpt.ac SET v = v + 1 WHERE k < 500")
+      val n = files("ac").size
+      assert(n < Engine.CompactRecommendMinSmallFiles + 4,
+        s"auto_compact must keep fragmentation bounded, got $n files")
+      assert(explainFiles("ac")("compact_recommended") == "false",
+        "a hook-maintained table must never sit in the recommended-and-ignored state")
+      // rows exact: 24k inserts, k<500 bumped by 1
+      val Payload.Select(_, Seq(Seq(cnt, sv))) =
+        g.execute("SELECT count(*), sum(v) FROM cpt.ac"): @unchecked
+      assert(cnt == 24000L, s"count $cnt")
+      assert(sv == 24L * (0L until 1000L).sum + 500L, s"sum(v) $sv")
+      // the session can audit what maintenance happened
+      val Payload.Select(_, Seq(Seq(rep))) =
+        g.execute("SELECT @last_auto_compact AS r"): @unchecked
+      assert(rep.toString.startsWith("files_in="), s"audit var: $rep")
+    } finally g.execute("SET @auto_compact = false")
+    // hook OFF again: fragmentation accrues undisturbed
+    val before = files("ac").size
+    for (i <- 0 until 3)
+      g.execute(s"INSERT INTO cpt.ac SELECT id + ${24000 + i * 10}, id FROM range(10)")
+    assert(files("ac").size >= before + 3, "auto_compact=false must not compact")
+  }
+
+  test("COMPACT routes on keyword boundaries: tabs and extra spaces reach the command") {
+    g.execute("CREATE TABLE cpt.ws (k INTEGER)")
+    g.execute("INSERT INTO cpt.ws VALUES (1)")
+    g.execute("INSERT INTO cpt.ws VALUES (2)")
+    val Payload.Select(labels, _) = g.execute("COMPACT\tTABLE  cpt.ws"): @unchecked
+    assert(labels == Seq("files_in", "files_out", "rows_moved", "bytes_moved"))
+    // a table whose name merely starts with COMPACT must NOT route here
+    g.execute("CREATE TABLE cpt.compaction_log (k INTEGER)")
+    g.execute("INSERT INTO cpt.compaction_log VALUES (9)")
+    val Payload.Select(_, rows) = g.execute("SELECT k FROM cpt.compaction_log"): @unchecked
+    assert(rows == Seq(Seq(9)))
+  }
+
+  test("zero-row fragments are visible to EXPLAIN FILES and removed by COMPACT") {
+    // Round-15 advice: the old row-scan listing (input_file_name over
+    // rows) could not see a parquet file with no rows, so EXPLAIN
+    // FILES undercounted and COMPACT never cleaned them. Plant one
+    // the way a zero-row INSERT or an aborted writer would leave it.
+    g.execute("CREATE TABLE cpt.zr (k INTEGER, v INTEGER)")
+    for (i <- 0 until 3)
+      g.execute(s"INSERT INTO cpt.zr SELECT id + ${i * 10}, id FROM range(10)")
+    val withRows = explainFiles("zr")("files").toInt
+    // write an EMPTY parquet part file into the table directory
+    val tdir = java.nio.file.Paths.get(java.net.URI.create(files("zr").head)).getParent
+    val tmp = java.nio.file.Files.createTempDirectory("zr_empty")
+    spark.table("cpt.zr").limit(0).coalesce(1).write
+      .mode("overwrite").parquet(tmp.toString)
+    val moved = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(tmp)
+      try s.iterator().asScala
+        .find(p => p.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    java.nio.file.Files.move(moved, tdir.resolve("part-empty-zr.parquet"))
+    spark.catalog.refreshTable("cpt.zr")
+    assert(explainFiles("zr")("files").toInt == withRows + 1,
+      "directory listing must count the zero-row fragment")
+    val Payload.Select(_, Seq(stats)) = g.execute("COMPACT TABLE cpt.zr"): @unchecked
+    assert(stats(0) == withRows + 1, s"the empty fragment must join the rewrite: $stats")
+    assert(explainFiles("zr")("files").toInt < withRows, "compacted layout")
+    val Payload.Select(_, Seq(Seq(cnt))) =
+      g.execute("SELECT count(*) FROM cpt.zr"): @unchecked
+    assert(cnt == 30L, s"rows preserved: $cnt")
+  }
+
   test("EXPLAIN COMPACT TABLE dry-runs the decision without moving a byte") {
     g.execute("CREATE TABLE cpt.xc (k INTEGER, v INTEGER)")
     for (i <- 0 until 6)
