@@ -141,6 +141,17 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // Sick-host detector (round-15 verdict task 7): the cpu probe is a
+    // deterministic single-thread loop whose min-of-3 on this class of
+    // host sits at ~0.25 s (r15 driver artifact: 0.252). If even the
+    // MINIMUM across three de-correlated samples exceeds 2x that, the
+    // host window is sick enough that every battery number is garbage
+    // — fail LOUDLY (exit 4) instead of recording a misleading
+    // artifact. The spark probe only warns: it mixes scheduler and
+    // codegen warm-up, so its variance is legitimately wider.
+    // SPARK_GRAFT_HOSTCHECK=off records the run anyway (triage mode).
+    val NominalCalCpu = 0.25
+    val NominalCalSpark = 0.33
     var calCpu = Double.MaxValue
     var calSpark = Double.MaxValue
     for (pass <- 1 to 3) {
@@ -202,10 +213,19 @@ object Bench {
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val cal = s"""{"cpu":${ms(calCpu)},"spark":${ms(calSpark)}}"""
+    val hostSick = calCpu > 2.0 * NominalCalCpu
+    if (calSpark > 2.0 * NominalCalSpark)
+      System.err.println(f"[bench] WARNING: spark calibration probe ${calSpark}%.3f s vs nominal $NominalCalSpark — scheduler window degraded")
+    val cal = s"""{"cpu":${ms(calCpu)},"spark":${ms(calSpark)},"host_ok":${!hostSick}}"""
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$fj,"calibration":$cal,"sf":"$sfDir"}""")
     System.err.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$fj,"calibration":$cal,"sf":"$sfDir"}""")
     spark.stop()
+    if (hostSick && !sys.env.get("SPARK_GRAFT_HOSTCHECK").contains("off")) {
+      System.err.println(f"[bench] SICK HOST: cpu calibration min-of-3 ${calCpu}%.3f s > 2x nominal $NominalCalCpu s — " +
+        "every number above reflects the throttled window, not the code; rerun when the host recovers " +
+        "(SPARK_GRAFT_HOSTCHECK=off to record anyway)")
+      sys.exit(4)
+    }
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -26,7 +26,13 @@ import org.apache.spark.storage.StorageLevel
   *      any answer;
   *   C. the same replica-serve through a real library operator:
   *      DistributedPrefix's shared-input checkpoint (the q30/t8
-  *      spine) re-collected bit-identically after the kill.
+  *      spine) re-collected bit-identically after the kill;
+  *   D. executor loss MID-QUERY: lost shuffle map outputs are
+  *      resubmitted and the answer stays exact;
+  *   E. DOUBLE loss at replication 2 fails loudly, never answers;
+  *   F. executor loss mid-MICRO-BATCH of d7's classify stream: the
+  *      state store reloads from the checkpoint on the refilled
+  *      executor and the sink ends set-equal to batch.
   *
   * Run (SPARK_HOME must point at a full distribution so the worker
   * can fork executor JVMs; the packaged jar puts graft classes on
@@ -289,6 +295,59 @@ object ProfileFault {
             chain.contains("lost"), s"unrelated failure: $chain")
           println(s"     loud failure (expected): ${e.getMessage.linesIterator.next()}")
       }
+    }
+
+    // ------- Phase F: executor loss DURING a streaming query --------
+    check("F: executor killed mid-micro-batch — state recovers from checkpoint, sink == batch") {
+      // The last untested recovery cell (round-15 verdict task 6):
+      // ProfileRestart proves a COLD restart resumes exactly-once;
+      // this phase proves the harder mid-flight case — an executor
+      // dies while d7's classify stream is mid-corpus, the HDFS-backed
+      // state store reloads its partitions from the checkpoint deltas
+      // on the refilled executor, the DISK_ONLY corpus index (lost
+      // with the executor's block manager) recomputes from lineage,
+      // and the sink still ends set-equal to the batch classification
+      // with no lost or duplicated doc — at-most-once classification
+      // held through the fault.
+      await("executors back to 2", 120)(FaultShims.liveExecutors(sc).size >= 2)
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      graft.Tables.registerAll(spark, sfDir)
+      val work = java.nio.file.Files.createTempDirectory("graft_faultstream").toFile
+      val docsDir = s"$work/documents"
+      val ckpt = s"$work/ckpt"
+      // 12 single-file triggers: enough batches that a kill after
+      // batch 2 still leaves most of the corpus to classify through
+      // the recovered state.
+      graft.Tables.t(spark, sfDir, "documents")
+        .filter(org.apache.spark.sql.functions.col("source") === "src19")
+        .repartition(12).write.parquet(docsDir)
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docsDir)
+      val out = graft.streaming.DedupStream
+        .streamingIncrementalDedup(spark, sfDir, stream)
+      val q = out.writeStream.format("memory").queryName("pf_d7")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        await("3 micro-batches committed", 300)(
+          Option(q.lastProgress).exists(_.batchId >= 3))
+        val victim = FaultShims.liveExecutors(sc).head
+        val before = q.lastProgress.batchId
+        kill(victim)
+        q.processAllAvailable()
+        println(s"     killed executor $victim after batch $before; " +
+          s"stream drained to batch ${q.lastProgress.batchId}")
+      } finally q.stop()
+      val streamed = spark.table("pf_d7").collect().map(_.toSeq).toSet
+      val want = graft.operators.Dedup.incrementalDedup(spark, sfDir,
+          pairsOverride = Some(graft.operators.Dedup.minhashLsh(spark, sfDir,
+            minEstSim = 0.25, maxBucket = Int.MaxValue)))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == want,
+        s"post-kill sink ${streamed.size} rows != batch ${want.size} rows")
+      assert(streamed.size == streamed.map(_.head).size,
+        "a doc_id classified twice across the fault — at-most-once broken")
     }
 
     spark.stop()

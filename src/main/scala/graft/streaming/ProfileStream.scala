@@ -26,8 +26,19 @@ import org.apache.spark.sql.functions.col
   * arrives in ~N/k micro-batches exactly as a file-drop ingest
   * directory would. Run:
   * {{{
-  *   sbt "runMain graft.streaming.ProfileStream localdata/sf1 40 2"
+  *   sbt "runMain graft.streaming.ProfileStream localdata/sf1 40 2 [hdfs|rocksdb]"
   * }}}
+  * The optional 4th arg picks the state-store backend (round-15
+  * verdict task 4) — the first knob a production ingest flips:
+  * `hdfs` (default) keeps all state in executor memory with
+  * file-backed snapshots; `rocksdb` moves it to an on-disk RocksDB
+  * per partition, bounding executor heap at the cost of per-access
+  * (de)serialization. Both run the same rungs with parity pinned, so
+  * the printed rows are directly comparable.
+  *
+  * Each rung also prints its 3 slowest micro-batches with the
+  * durationMs breakdown (addBatch / getBatch / state commit), so a
+  * p95 tail is attributable to a phase, not just observed.
   * Prints one JSON line per rung; nonzero exit on any parity
   * mismatch or query error.
   */
@@ -39,12 +50,18 @@ object ProfileStream {
     val sfDir = if (args.nonEmpty) args(0) else "localdata/sf1"
     val nFiles = if (args.length > 1) args(1).toInt else 40
     val perTrigger = if (args.length > 2) args(2).toInt else 2
-    val spark = SparkSession.builder()
+    val backend = if (args.length > 3) args(3).toLowerCase else "hdfs"
+    require(backend == "hdfs" || backend == "rocksdb", s"unknown state backend '$backend'")
+    val builder = SparkSession.builder()
       .master("local[32]")
       .appName("graft-stream-rung")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    if (backend == "rocksdb") builder.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder
       // rung() aggregates q.recentProgress — Spark retains only the
       // last numRecentProgressUpdates entries (default 100), which
       // would silently truncate rows/s and percentiles on replays
@@ -101,12 +118,25 @@ object ProfileStream {
       val wmLagS = lastWm.filter(_ => globalMax > 0L)
         .map(wm => (globalMax - wm) / 1000.0).getOrElse(-1.0)
       println(
-        s"""{"rung":"$name","sf":"$sfDir","files":$nFiles,"files_per_trigger":$perTrigger,""" +
+        s"""{"rung":"$name","backend":"$backend","sf":"$sfDir","files":$nFiles,"files_per_trigger":$perTrigger,""" +
         s""""batches":${prog.count(_.numInputRows > 0)},"input_rows":$rows,""" +
         s""""wall_s":${j(wall)},"rows_per_s":${j(rows / wall)},""" +
         s""""batch_p50_s":${j(pct(0.5))},"batch_p95_s":${j(pct(0.95))},""" +
         s""""state_rows":$stateRows,"state_bytes":$stateBytes,""" +
         s""""watermark_lag_s":${j(wmLagS)}}""")
+      // Tail attribution: the 3 slowest triggers with their phase
+      // breakdown — a 5x p95/p50 gap should name a phase (addBatch =
+      // the query plan incl. stream-static joins; getBatch/latestOffset
+      // = source listing; commit/stateCommit = state store), not
+      // remain a mystery number in the artifact.
+      prog.filter(_.numInputRows > 0)
+        .sortBy(p => -Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
+        .take(3).foreach { p =>
+          import scala.jdk.CollectionConverters._
+          val d = p.durationMs.asScala.toSeq.sortBy(-_._2.toLong)
+            .map { case (k, v) => s"$k=${v}ms" }.mkString(" ")
+          System.err.println(s"[stream] $name slow batch ${p.batchId}: rows=${p.numInputRows} $d")
+        }
     }
 
     def parity(name: String, batch: DataFrame,
