@@ -98,8 +98,11 @@ object ProfileDml {
       val step = maxKey / chunks + 1
       val (_, lS) = timed {
         for (i <- 0 until chunks)
+          // mode/comment are synthesized: the DataGen lineitem carries
+          // l_linestatus + l_shipdate, not TPC-H's shipmode/comment
           g.execute("INSERT INTO dmlw.li SELECT l_orderkey, l_partkey, l_linenumber, " +
-            "l_quantity, l_extendedprice, l_discount, l_returnflag, l_shipmode, l_comment " +
+            "l_quantity, l_extendedprice, l_discount, l_returnflag, l_linestatus, " +
+            "CONCAT('shipped ', CAST(l_shipdate AS TEXT)) " +
             s"FROM lineitem WHERE l_orderkey >= ${i * step} AND l_orderkey < ${(i + 1) * step}")
       }
       loadS = lS
@@ -107,8 +110,14 @@ object ProfileDml {
       indexS = iS
       total0 = files().size
       val ex = explainFiles()
-      println(s"""{"phase":"load","rows":${fingerprint().head},"load_s":${j(loadS)},""" +
+      val nLoaded = fingerprint().head.asInstanceOf[Long]
+      println(s"""{"phase":"load","rows":$nLoaded,"load_s":${j(loadS)},""" +
         s""""index_s":${j(indexS)},"files":$total0,"bytes":${ex("bytes")}}""")
+      // guard against a vacuous witness: every later phase's row and
+      // file assertions pass trivially on an empty table
+      assert(nLoaded == spark.table("lineitem").count(),
+        s"ingest dropped rows: $nLoaded loaded")
+      assert(total0 > 8, s"expected a multi-file layout, got $total0 files")
     }
 
     // --------------------------- update ---------------------------
@@ -165,7 +174,7 @@ object ProfileDml {
       val (_, wall) = timed {
         for (i <- 0 until 12) {
           g.execute("INSERT INTO dmlw.li SELECT l_orderkey, l_partkey, l_linenumber, " +
-            s"l_quantity, l_extendedprice, l_discount, l_returnflag, l_shipmode, 'patch-$i' " +
+            s"l_quantity, l_extendedprice, l_discount, l_returnflag, l_linestatus, 'patch-$i' " +
             s"FROM lineitem WHERE l_orderkey >= ${i * 1000 + 1} AND l_orderkey < ${i * 1000 + 201}")
           g.execute(s"UPDATE dmlw.li SET disc = 0.0 " +
             s"WHERE okey >= ${(i + 20) * 1000} AND okey < ${(i + 20) * 1000 + 200}")

@@ -630,11 +630,18 @@ object CoreQueries {
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
-        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90"),
-        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"),
+        // ONE sketch queried at three ranks — three scalar
+        // approx_percentile calls each build their own full summary
+        // over every value (3x the build/merge cost: 12.3 s vs 2.2 s
+        // on the 60M-row rung for identical output)
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("ps"),
         min(col("l_extendedprice")).as("lo"),
         max(col("l_extendedprice")).as("hi"))
+      .select(col("l_returnflag"),
+        col("ps").getItem(0).as("p50"),
+        col("ps").getItem(1).as("p90"),
+        col("ps").getItem(2).as("p99"),
+        col("lo"), col("hi"))
 
   /** q36: APPROX COUNT DISTINCT — the HyperLogLog++ sketch tier next
     * to q10's exact COUNT(DISTINCT). At 100 TB this is the cardinality
