@@ -217,8 +217,15 @@ object Bench {
     if (calSpark > 2.0 * NominalCalSpark)
       System.err.println(f"[bench] WARNING: spark calibration probe ${calSpark}%.3f s vs nominal $NominalCalSpark — scheduler window degraded")
     val cal = s"""{"cpu":${ms(calCpu)},"spark":${ms(calSpark)},"host_ok":${!hostSick}}"""
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$fj,"calibration":$cal,"sf":"$sfDir"}""")
+    // Full-precision stderr line FIRST, short stdout line LAST: the
+    // round driver keeps only a ~2 KB tail of the combined output, so
+    // whatever prints last is what survives to be parsed — r15's
+    // artifact ended with the 2.9 KB full-name line and parsed as
+    // null. Flush stderr before the stdout line to pin the order.
     System.err.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$fj,"calibration":$cal,"sf":"$sfDir"}""")
+    System.err.flush()
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$fj,"calibration":$cal,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
     if (hostSick && !sys.env.get("SPARK_GRAFT_HOSTCHECK").contains("off")) {
       System.err.println(f"[bench] SICK HOST: cpu calibration min-of-3 ${calCpu}%.3f s > 2x nominal $NominalCalCpu s — " +
