@@ -150,7 +150,12 @@ object Bench {
     // artifact. The spark probe only warns: it mixes scheduler and
     // codegen warm-up, so its variance is legitimately wider.
     // SPARK_GRAFT_HOSTCHECK=off records the run anyway (triage mode).
-    val NominalCalCpu = 0.25
+    // The nominal is this host CLASS's cpu-probe floor; a legitimately
+    // slower deployment overrides it once via env instead of living
+    // with a permanently-tripped gate (round-16 advice):
+    // SPARK_GRAFT_CAL_NOMINAL_CPU=<seconds>.
+    val NominalCalCpu = sys.env.get("SPARK_GRAFT_CAL_NOMINAL_CPU")
+      .flatMap(_.toDoubleOption).getOrElse(0.25)
     val NominalCalSpark = 0.33
     var calCpu = Double.MaxValue
     var calSpark = Double.MaxValue
@@ -227,11 +232,15 @@ object Bench {
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$fj,"calibration":$cal,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
+    // Exit precedence (round-16 advice): a query FAILURE (exit 1) is
+    // the stronger signal and must never be masked by the host gate —
+    // exit 4 fires only when the battery itself was clean.
     if (hostSick && !sys.env.get("SPARK_GRAFT_HOSTCHECK").contains("off")) {
       System.err.println(f"[bench] SICK HOST: cpu calibration min-of-3 ${calCpu}%.3f s > 2x nominal $NominalCalCpu s — " +
         "every number above reflects the throttled window, not the code; rerun when the host recovers " +
-        "(SPARK_GRAFT_HOSTCHECK=off to record anyway)")
-      sys.exit(4)
+        "(SPARK_GRAFT_HOSTCHECK=off to record anyway" +
+        (if (failed.nonEmpty) "; NOTE: query failures below take exit precedence" else "") + ")")
+      if (failed.isEmpty) sys.exit(4)
     }
     if (failed.nonEmpty) sys.exit(1)
   }

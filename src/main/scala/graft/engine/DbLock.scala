@@ -44,8 +44,14 @@ private[engine] object DbLock {
   private def timeoutMs: Long =
     java.lang.Long.getLong("graft.lock.timeout.ms", 10000L)
 
-  def withWriter[A](dir: Option[java.io.File])(f: => A): A = {
-    val canon = dir.map(_.getCanonicalPath).getOrElse("<memory>")
+  /** `key` scopes the JVM-level lock when `dir` is absent (a
+    * non-local database location): pass the location URI so two
+    * DIFFERENT remote databases don't serialize against each other —
+    * before round 17 every non-local database shared one "<memory>"
+    * lock entry, an over-coarse (safe but needless) bottleneck once
+    * hdfs:// locations became first-class. */
+  def withWriter[A](dir: Option[java.io.File], key: String = "<memory>")(f: => A): A = {
+    val canon = dir.map(_.getCanonicalPath).getOrElse(key)
     val e = entries.computeIfAbsent(canon, _ => new Entry)
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     if (!e.monitor.tryLock(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))

@@ -378,7 +378,7 @@ class Engine(val spark: SparkSession) {
       if (!body.trim.toUpperCase.startsWith("INSERT")) sqlDf(sql)
       else {
         val cteName = cleanIdent(rawName)
-        val (_, inserted, doneWithBatch) = insertReturning(body.trim)
+        val (tgtDb, tgtTbl, inserted, doneWithBatch) = insertReturning(body.trim)
         inserted.createOrReplaceTempView(cteName)
         try {
           val rest = sql.substring(end).trim
@@ -389,6 +389,11 @@ class Engine(val spark: SparkSession) {
         } finally {
           spark.catalog.dropTempView(cteName)
           doneWithBatch()
+          // The CTE-source INSERT appends files exactly like statement
+          // INSERT — it must run the same opt-in post-DML hygiene, or
+          // an auto_compact user's table fragments through precisely
+          // the path the feature exists for (round-16 verdict task 4).
+          maybeAutoCompact(tgtDb, tgtTbl)
         }
       }
     case _ => sqlDf(sql)
@@ -435,6 +440,17 @@ class Engine(val spark: SparkSession) {
           // tmp-dir-backed + session-scoped, with identical semantics.
           val tmp = java.nio.file.Files.createTempDirectory(s"graft_mem_$name").toFile
           spark.sql(s"CREATE DATABASE `$name` LOCATION '${tmp.getAbsolutePath}'")
+        case Some(path) if path.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*") =>
+          // A Hadoop-filesystem URI location (hdfs://, viewfs://, …):
+          // the managed parquet backend through FileSystem.get(uri) —
+          // identical semantics to a local directory, including the
+          // CoW DML / EXPLAIN FILES / COMPACT file layer (TableFs).
+          // Cross-process flock does not exist on remote filesystems,
+          // so single-writer discipline there is JVM-scoped (DbLock).
+          val p = new org.apache.hadoop.fs.Path(path)
+          TableFs.mkdirs(hadoopConf, p)
+          spark.sql(s"CREATE DATABASE `$name` LOCATION '$path'")
+          mountExistingParquetFs(name, p)
         case Some(path) =>
           val dir = new java.io.File(path)
           dir.mkdirs()
@@ -552,6 +568,31 @@ class Engine(val spark: SparkSession) {
     } finally conn.close()
   }
 
+  /** [[mountExistingParquet]] for a Hadoop-filesystem database
+    * location: same table-discovery rule (bare `*.parquet` children
+    * or directories containing parquet files), listed through the
+    * location's own FileSystem instead of java.io. */
+  private def mountExistingParquetFs(db: String, dir: org.apache.hadoop.fs.Path): Unit = {
+    val conf = hadoopConf
+    val children =
+      try TableFs.fs(conf, dir).listStatus(dir).toSeq
+      catch { case _: Exception => Seq.empty }
+    children.filter { s =>
+      s.getPath.getName.endsWith(".parquet") ||
+        (s.isDirectory && (
+          try TableFs.fs(conf, s.getPath).listStatus(s.getPath)
+            .exists(_.getPath.getName.endsWith(".parquet"))
+          catch { case _: Exception => false }))
+    }.foreach { s =>
+      val tbl = s.getPath.getName.stripSuffix(".parquet")
+      spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$tbl` USING parquet " +
+        s"LOCATION '${s.getPath.toString}'")
+      val cols = spark.table(s"`$db`.`$tbl`").schema.map(f2 =>
+        ColumnMeta(f2.name, f2.dataType, nullable = true))
+      meta.put(db, tbl, TableMeta(cols))
+    }
+  }
+
   private def mountExistingParquet(db: String, dir: java.io.File): Unit = {
     val children = Option(dir.listFiles()).getOrElse(Array.empty)
     children.filter(f => f.getName.endsWith(".parquet") ||
@@ -632,14 +673,16 @@ class Engine(val spark: SparkSession) {
     payload
   }
 
-  /** INSERT that also returns the written rows as a DataFrame (the
-    * `expect_data` path of reference alter_row/insert.rs:66-74) plus a
-    * cleanup thunk releasing the staged batch — call it once the
-    * returned DataFrame is no longer needed (an unpersisted autoinc
-    * batch would recompute with fresh, different ids). */
-  private def insertReturning(sql: String): (Payload, DataFrame, () => Unit) = {
+  /** INSERT that also returns the target table and the written rows
+    * as a DataFrame (the `expect_data` path of reference
+    * alter_row/insert.rs:66-74) plus a cleanup thunk releasing the
+    * staged batch — call it once the returned DataFrame is no longer
+    * needed (an unpersisted autoinc batch would recompute with fresh,
+    * different ids). */
+  private def insertReturning(sql: String): (String, String, DataFrame, () => Unit) = {
     val (db, tbl, tm, cols, src) = parseInsert(sql)
-    insertDataFrame(db, tbl, tm, cols, src)
+    val (_, df, done) = insertDataFrame(db, tbl, tm, cols, src)
+    (db, tbl, df, done)
   }
 
   /** Parse an INSERT statement down to (db, tbl, meta, target columns,
@@ -700,6 +743,13 @@ class Engine(val spark: SparkSession) {
         else null
       Option(f).filter(_.isDirectory)
     } catch { case _: Exception => None }
+
+  /** JVM-level lock key when [[dbDir]] is None (a non-local database
+    * location, where flock does not exist): the location URI, so
+    * distinct remote databases get distinct writer locks. */
+  private def dbLockKey(db: String): String =
+    try spark.catalog.getDatabase(db).locationUri
+    catch { case _: Exception => s"<db:$db>" }
 
   /** Positions the source's columns under the target's names; missing
     * columns get their DEFAULT expression (evaluated per row, like
@@ -783,7 +833,7 @@ class Engine(val spark: SparkSession) {
     // advance (DbLock): UNIQUE and AUTO_INCREMENT checks are only
     // sound with no concurrent writer, the guarantee the reference
     // gets from its Sled directory flock (database/mod.rs:72-92).
-    DbLock.withWriter(dbDir(db))(insertDataFrameLocked(db, tbl, tm, cols, src))
+    DbLock.withWriter(dbDir(db), dbLockKey(db))(insertDataFrameLocked(db, tbl, tm, cols, src))
 
   private def insertDataFrameLocked(db: String, tbl: String, tm0: TableMeta,
                               cols: Seq[String], src: DataFrame): (Payload, DataFrame, () => Unit) = {
@@ -792,6 +842,10 @@ class Engine(val spark: SparkSession) {
     // reading counter=1 was the exact collision ConcurrentDmlSpec
     // reproduces). Re-read inside the critical section.
     val tm = meta.get(db, tbl).getOrElse(tm0)
+    // First writer after a crashed COMPACT swap converges the table
+    // before appending to it (manifest protocol) — one existence
+    // check on a known path when no crash happened.
+    if (!tm.jdbc && tm.csvPath.isEmpty && tm.xlsxPath.isEmpty) repairCompactSwap(db, tbl)
     // Sub-step timing for the bulk-INSERT profile (ProfileG7); zero
     // cost unless GRAFT_INSERT_PROF is set in the environment.
     val profOn = sys.env.contains("GRAFT_INSERT_PROF")
@@ -1076,7 +1130,10 @@ class Engine(val spark: SparkSession) {
         if (tm.jdbc) throw new EngineException(
           s"UPDATE on JDBC-mounted table $db.$tbl is not supported (INSERT is); " +
             "run the update in the external database")
-        DbLock.withWriter(dbDir(db)) {
+        DbLock.withWriter(dbDir(db), dbLockKey(db)) {
+        // First writer after a crashed COMPACT swap converges the
+        // table before reading its file layout (manifest protocol).
+        if (tm.csvPath.isEmpty && tm.xlsxPath.isEmpty) repairCompactSwap(db, tbl)
         val cond = Option(wherePart).map(dialectExpr).getOrElse(lit(true))
         val assigns: Map[String, Column] = splitTop(setPart, ',').map { a =>
           val eq = a.indexOf('=')
@@ -1171,7 +1228,10 @@ class Engine(val spark: SparkSession) {
         if (tm.jdbc) throw new EngineException(
           s"DELETE on JDBC-mounted table $db.$tbl is not supported (INSERT is); " +
             "run the delete in the external database")
-        DbLock.withWriter(dbDir(db)) {
+        DbLock.withWriter(dbDir(db), dbLockKey(db)) {
+        // First writer after a crashed COMPACT swap converges the
+        // table before reading its file layout (manifest protocol).
+        if (tm.csvPath.isEmpty && tm.xlsxPath.isEmpty) repairCompactSwap(db, tbl)
         val t = spark.table(s"`$db`.`$tbl`")
         // A foldable condition (no WHERE, or WHERE 1=1 style) turns
         // the keep-filter into a constant — the optimizer then
@@ -1242,12 +1302,11 @@ class Engine(val spark: SparkSession) {
     }
   }
 
-  /** Remove one data file given input_file_name()'s URI form. */
+  /** Remove one data file given input_file_name()'s URI form —
+    * through the file's own Hadoop FileSystem, whatever the scheme. */
   private def deleteDataFile(uri: String): Unit = {
-    val p =
-      if (uri.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(uri))
-      else java.nio.file.Paths.get(uri)
-    java.nio.file.Files.deleteIfExists(p)
+    val p = new org.apache.hadoop.fs.Path(uri)
+    TableFs.delete(hadoopConf, p)
   }
 
   private def overwriteTable(db: String, tbl: String, df: DataFrame): Unit = {
@@ -1400,18 +1459,24 @@ class Engine(val spark: SparkSession) {
     }
   }
 
-  /** The local directory behind a managed parquet table, from the
-    * catalog's table location. None for non-local URIs (an
-    * object-store location has no java.nio path) — callers fall back
-    * to scan-derived behavior there. */
-  private def tableDirectory(db: String, tbl: String): Option[java.nio.file.Path] =
+  /** The directory behind a managed parquet table, from the catalog's
+    * table location, as a fully-qualified Hadoop Path. Any scheme with
+    * a registered Hadoop FileSystem qualifies — local, hdfs://,
+    * viewfs://, … — so the CoW/COMPACT file layer works wherever the
+    * table actually lives (round-16 verdict task 1: at 100 TB that is
+    * HDFS/object storage, not this machine's disk). None only when the
+    * catalog has no location or no FileSystem serves the scheme —
+    * callers fall back to scan-derived behavior there. */
+  private def tableDirectory(db: String, tbl: String): Option[org.apache.hadoop.fs.Path] =
     try {
       val uri = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db))).location
-      if (uri.getScheme == null) Some(java.nio.file.Paths.get(uri.getPath))
-      else if (uri.getScheme == "file") Some(java.nio.file.Paths.get(java.net.URI.create(uri.toString)))
-      else None
+      val p = new org.apache.hadoop.fs.Path(uri)
+      Some(TableFs.fs(hadoopConf, p).makeQualified(p))
     } catch { case _: Exception => None }
+
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    spark.sessionState.newHadoopConf()
 
   /** One managed-parquet data file of a table: URI + on-disk size.
     *
@@ -1423,41 +1488,27 @@ class Engine(val spark: SparkSession) {
     * prefixes — Spark's own non-data convention, which also covers
     * COMPACT's staging subdirectory and _SUCCESS markers) are
     * excluded, mirroring exactly what Spark's file index treats as
-    * the table. A file whose size cannot be stat'ed was deleted
-    * between listing and stat (an external actor) — it is SKIPPED,
-    * never coerced to a 0-byte "small" file that would poison a
-    * compaction read set. Tables at non-local locations keep the
-    * scan-derived listing (bounded collect: one string per FILE). */
-  private def dataFiles(db: String, tbl: String): Seq[(String, Long)] =
-    tableDirectory(db, tbl).filter(java.nio.file.Files.isDirectory(_)) match {
+    * the table. Listed through the Hadoop FileSystem of the table's
+    * own location (TableFs) so hdfs://-style tables get the same
+    * listing as local ones. Tables whose location no FileSystem
+    * serves keep the scan-derived fallback (bounded collect: one
+    * string per FILE). */
+  private def dataFiles(db: String, tbl: String): Seq[(String, Long)] = {
+    val conf = hadoopConf
+    tableDirectory(db, tbl).filter(TableFs.isDirectory(conf, _)) match {
       case Some(dir) =>
-        val s = java.nio.file.Files.list(dir)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala
-            .filter { p =>
-              val n = p.getFileName.toString
-              !n.startsWith(".") && !n.startsWith("_") &&
-                java.nio.file.Files.isRegularFile(p)
-            }
-            .flatMap { p =>
-              try Some(p.toUri.toString -> java.nio.file.Files.size(p))
-              catch { case _: Exception => None }
-            }
-            .toList
-        } finally s.close()
+        TableFs.listData(conf, dir).map { case (p, len) => p.toUri.toString -> len }
       case None =>
         val t = spark.table(s"`$db`.`$tbl`")
         t.select(input_file_name().as("f")).distinct()
           .collect().map(_.getString(0)).filter(_.nonEmpty).toSeq
           .flatMap { uri =>
-            val p =
-              if (uri.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(uri))
-              else java.nio.file.Paths.get(uri)
-            try Some(uri -> java.nio.file.Files.size(p))
+            val p = new org.apache.hadoop.fs.Path(uri)
+            try Some(uri -> TableFs.fs(conf, p).getFileStatus(p).getLen)
             catch { case _: Exception => None }
           }
     }
+  }
 
   /** COMPACT TABLE t [TARGET mb] — small-file hygiene for the CoW DML
     * path. File-granular UPDATE/DELETE rewrites only matched files
@@ -1495,7 +1546,7 @@ class Engine(val spark: SparkSession) {
         val target =
           Option(targetMb).map(_.toLong).getOrElse(Engine.DefaultCompactTargetMb) << 20
         val labels = Seq("files_in", "files_out", "rows_moved", "bytes_moved")
-        DbLock.withWriter(dbDir(db)) {
+        DbLock.withWriter(dbDir(db), dbLockKey(db)) {
           Payload.Select(labels, Seq(compactCore(db, tbl, tm, target)))
         }
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
@@ -1555,12 +1606,27 @@ class Engine(val spark: SparkSession) {
     * run: k renames in + m deletes out, all filesystem METADATA ops.
     * The concurrent-reader duplication window shrinks from "whole
     * rewrite + count job" (the old append-then-verify flow) to those
-    * few renames. A process crash INSIDE that final span can still
-    * expose duplicates — true multi-file atomicity needs a manifest
-    * catalog, a documented non-goal — while a crash anywhere BEFORE
-    * it leaves the table bit-identical plus one invisible staging
-    * directory swept by the next compaction. */
+    * few renames.
+    *
+    * Crash closure (round-16 verdict task 3): a `.compact_swap_manifest`
+    * (staged names to rename in + original names to delete) is written
+    * into the table dir BEFORE the first rename and removed AFTER the
+    * last delete. A process crash anywhere inside the swap leaves the
+    * manifest behind, and [[repairCompactSwap]] — run at the head of
+    * every writer-lock-holding mutation — converges the table: all
+    * staged files present → finish the deletes (roll forward); any
+    * staged file missing → remove the partially-renamed-in ones (roll
+    * back; the originals are all still present, because deletes only
+    * start after the last rename). Either way: exact row parity. A
+    * crash BEFORE the manifest write leaves the table bit-identical
+    * plus one invisible staging directory swept by the next
+    * compaction. All file ops go through the table location's own
+    * Hadoop FileSystem (TableFs), so hdfs://-style tables compact
+    * identically to local ones. */
   private def compactCore(db: String, tbl: String, tm: TableMeta, target: Long): Seq[Any] = {
+    // Converge any crashed prior swap FIRST — its manifest supersedes
+    // whatever the directory listing would otherwise show.
+    repairCompactSwap(db, tbl)
     val sized = dataFiles(db, tbl)
     val small = sized.filter(_._2 < target)
     if (small.size < 2) return Seq(0, 0, 0L, 0L)
@@ -1570,11 +1636,13 @@ class Engine(val spark: SparkSession) {
     val paths = moveSet.map(_._1)
     val t = spark.table(s"`$db`.`$tbl`")
     val tdir = tableDirectory(db, tbl).getOrElse(throw new EngineException(
-      s"COMPACT TABLE requires a local managed parquet directory for $db.$tbl"))
+      s"COMPACT TABLE requires a filesystem-backed managed parquet directory for $db.$tbl"))
+    val conf = hadoopConf
     // Stale staging dirs (a crashed prior compact) are invisible to
     // readers but hold disk — sweep them while we hold the lock.
-    listHidden(tdir, ".compact_staging_").foreach(deleteRecursively)
-    val staging = tdir.resolve(
+    TableFs.listPrefixed(conf, tdir, ".compact_staging_")
+      .foreach(TableFs.deleteRecursively(conf, _))
+    val staging = new org.apache.hadoop.fs.Path(tdir,
       s".compact_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
       val obs = org.apache.spark.sql.Observation()
@@ -1597,16 +1665,7 @@ class Engine(val spark: SparkSession) {
       packed.observe(obs, coalesce(sum(lit(1L)), lit(0L)).as("n_rows"))
         .write.mode(SaveMode.Overwrite).parquet(staging.toString)
       val n = obs.get("n_rows").asInstanceOf[Long]
-      val stagedFiles = {
-        val s = java.nio.file.Files.list(staging)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.filter { p =>
-            val nm = p.getFileName.toString
-            !nm.startsWith(".") && !nm.startsWith("_")
-          }.toList
-        } finally s.close()
-      }
+      val stagedFiles = TableFs.listData(conf, staging).map(_._1)
       // Parity gate, entirely inside staging: the rows that LANDED
       // (the staged files' own footer counts — a metadata job) must
       // equal the rows the scan OBSERVED flowing into the writer.
@@ -1619,32 +1678,52 @@ class Engine(val spark: SparkSession) {
           s"COMPACT aborted: staged files hold $landed rows != scanned $n — " +
             "staging discarded, originals untouched")
       // THE SWAP — the only span a concurrent reader can observe:
-      // k renames + m deletes, filesystem metadata only.
+      // k renames + m deletes, filesystem metadata only, bracketed by
+      // the crash manifest (intent before the first rename, removal
+      // after the last delete).
+      val manifest = new org.apache.hadoop.fs.Path(tdir, Engine.SwapManifestName)
+      val body = (stagedFiles.map(f => s"staged\t${f.getName}") ++
+        paths.map(u => s"orig\t${new org.apache.hadoop.fs.Path(u).getName}"))
+        .mkString("\n")
+      TableFs.writeString(conf, manifest, body)
       stagedFiles.foreach { f =>
-        java.nio.file.Files.move(f, tdir.resolve(f.getFileName.toString),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        TableFs.rename(conf, f, new org.apache.hadoop.fs.Path(tdir, f.getName))
       }
       paths.foreach(deleteDataFile)
+      TableFs.delete(conf, manifest)
       spark.catalog.refreshTable(s"`$db`.`$tbl`")
       Seq(moveSet.size, stagedFiles.size, n, totalMove)
-    } finally deleteRecursively(staging)
+    } finally TableFs.deleteRecursively(conf, staging)
   }
 
-  private def listHidden(dir: java.nio.file.Path, prefix: String): Seq[java.nio.file.Path] = {
-    val s = java.nio.file.Files.list(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter(_.getFileName.toString.startsWith(prefix)).toList
-    } finally s.close()
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val all = java.nio.file.Files.walk(p)
-      try all.iterator().asScala.toList.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally all.close()
+  /** Converge a COMPACT swap that a process crash tore (see
+    * [[compactCore]]'s manifest protocol). Called at the head of every
+    * writer-lock-holding mutation on a managed parquet table — INSERT,
+    * UPDATE, DELETE, COMPACT — so the first writer to touch the table
+    * after a crash repairs it before reading the file layout. Cost
+    * when no manifest exists (the always case): one existence check on
+    * a known path. Roll FORWARD when every staged file made it into
+    * the table dir (finish the deletes); roll BACK otherwise (remove
+    * the staged-in partials — the originals are all still present,
+    * because deletes only start after the last rename). Both ends land
+    * on exact row parity. */
+  private def repairCompactSwap(db: String, tbl: String): Unit =
+    tableDirectory(db, tbl).foreach { tdir =>
+      val conf = hadoopConf
+      val manifest = new org.apache.hadoop.fs.Path(tdir, Engine.SwapManifestName)
+      if (!TableFs.exists(conf, manifest)) return
+      val lines = TableFs.readString(conf, manifest).linesIterator
+        .map(_.split("\t", 2)).filter(_.length == 2).toSeq
+      val staged = lines.collect { case Array("staged", nm) => nm }
+      val origs = lines.collect { case Array("orig", nm) => nm }
+      val allStagedIn = staged.nonEmpty &&
+        staged.forall(nm => TableFs.exists(conf, new org.apache.hadoop.fs.Path(tdir, nm)))
+      if (allStagedIn)
+        origs.foreach(nm => TableFs.delete(conf, new org.apache.hadoop.fs.Path(tdir, nm)))
+      else
+        staged.foreach(nm => TableFs.delete(conf, new org.apache.hadoop.fs.Path(tdir, nm)))
+      TableFs.delete(conf, manifest)
+      spark.catalog.refreshTable(s"`$db`.`$tbl`")
     }
 
   /** Opt-in post-DML compaction (round-15 verdict task 3): with
@@ -1671,7 +1750,7 @@ class Engine(val spark: SparkSession) {
     val smallN = sized.count(_._2 < target)
     val compacted = math.max(1, math.ceil(sized.map(_._2).sum.toDouble / target).toInt)
     if (smallN >= Engine.CompactRecommendMinSmallFiles && sized.size >= 4 * compacted) {
-      val stats = DbLock.withWriter(dbDir(db))(compactCore(db, tbl, tm, target))
+      val stats = DbLock.withWriter(dbDir(db), dbLockKey(db))(compactCore(db, tbl, tm, target))
       vars("last_auto_compact") =
         s"'files_in=${stats(0)},files_out=${stats(1)},rows_moved=${stats(2)}'"
     }
@@ -2162,4 +2241,12 @@ object Engine {
     * sub-target files (together with the 4x-layout rule) — below it,
     * per-file overhead is noise and a rewrite buys nothing. */
   val CompactRecommendMinSmallFiles: Int = 8
+
+  /** Control file recording an in-flight COMPACT swap's intent
+    * (staged files to rename in, originals to delete) — present only
+    * between the first rename and the last delete; a crash in that
+    * span is converged by `repairCompactSwap` at the next
+    * writer-lock-holding mutation. Dot-prefixed: hidden from Spark's
+    * file listing like all non-data entries. */
+  val SwapManifestName: String = ".compact_swap_manifest"
 }

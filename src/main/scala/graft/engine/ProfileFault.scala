@@ -327,17 +327,29 @@ object ProfileFault {
         .parquet(docsDir)
       val out = graft.streaming.DedupStream
         .streamingIncrementalDedup(spark, sfDir, stream)
+      // Processing-time trigger: without it, 12 sub-second batches can
+      // drain before kill() fires on a fast host and the witness
+      // silently degrades to a post-completion kill that still prints
+      // OK (round-16 advice). At one trigger per second the corpus
+      // stays in flight for ~12 s — the kill provably lands mid-stream,
+      // and the assert below turns "provably" into a hard gate.
       val q = out.writeStream.format("memory").queryName("pf_d7")
-        .outputMode("append").option("checkpointLocation", ckpt).start()
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        .start()
+      var before = -1L
       try {
         await("3 micro-batches committed", 300)(
           Option(q.lastProgress).exists(_.batchId >= 3))
         val victim = FaultShims.liveExecutors(sc).head
-        val before = q.lastProgress.batchId
+        before = q.lastProgress.batchId
         kill(victim)
         q.processAllAvailable()
         println(s"     killed executor $victim after batch $before; " +
           s"stream drained to batch ${q.lastProgress.batchId}")
+        assert(before < q.lastProgress.batchId,
+          s"kill landed after the stream drained (batch $before of " +
+            s"${q.lastProgress.batchId}) — the mid-micro-batch witness would be vacuous")
       } finally q.stop()
       val streamed = spark.table("pf_d7").collect().map(_.toSeq).toSet
       val want = graft.operators.Dedup.incrementalDedup(spark, sfDir,

@@ -215,6 +215,30 @@ class CompactTableSpec extends AnyFunSuite {
     assert(files("ac").size >= before + 3, "auto_compact=false must not compact")
   }
 
+  test("INSERT-as-CTE-source runs the auto_compact hook too (round-16 verdict task 4)") {
+    g.execute("CREATE TABLE cpt.cte (k INTEGER, v INTEGER)")
+    g.execute("SET @auto_compact = true")
+    try {
+      // 24 CTE-INSERT rounds append files exactly like statement
+      // INSERT — before the fix this path skipped the hook and an
+      // auto_compact user's table fragmented through precisely the
+      // path the feature exists for.
+      for (i <- 0 until 24) {
+        val Payload.Select(_, Seq(Seq(n))) = g.execute(
+          s"WITH w AS (INSERT INTO cpt.cte SELECT id + ${i * 1000}, id FROM range(1000)) " +
+            "SELECT count(*) FROM w"): @unchecked
+        assert(n == 1000L, s"round $i inserted $n")
+      }
+      val n = files("cte").size
+      assert(n < Engine.CompactRecommendMinSmallFiles + 4,
+        s"auto_compact must bound CTE-INSERT fragmentation, got $n files")
+      assert(explainFiles("cte")("compact_recommended") == "false")
+      val Payload.Select(_, Seq(Seq(cnt))) =
+        g.execute("SELECT count(*) FROM cpt.cte"): @unchecked
+      assert(cnt == 24000L, s"count $cnt")
+    } finally g.execute("SET @auto_compact = false")
+  }
+
   test("COMPACT routes on keyword boundaries: tabs and extra spaces reach the command") {
     g.execute("CREATE TABLE cpt.ws (k INTEGER)")
     g.execute("INSERT INTO cpt.ws VALUES (1)")
