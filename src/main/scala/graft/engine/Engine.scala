@@ -1969,7 +1969,14 @@ class Engine(val spark: SparkSession) {
       Seq[Any]("max_file_mb", if (n == 0) "0" else mb(sized.last._2)),
       Seq[Any](s"files_under_${Engine.DefaultCompactTargetMb}mb_target", small.toString),
       Seq[Any]("compacted_layout_files", compacted.toString),
-      Seq[Any]("compact_recommended", recommended.toString))
+      Seq[Any]("compact_recommended", recommended.toString),
+      // A torn COMPACT swap (process crash mid-swap) is visible here
+      // before any writer converges it: readers see duplicate rows
+      // until the next mutation replays the manifest. EXPLAIN is
+      // read-only — it reports, never repairs.
+      Seq[Any]("pending_swap_manifest", tableDirectory(db, tbl).exists(d =>
+        TableFs.exists(hadoopConf,
+          new org.apache.hadoop.fs.Path(d, Engine.SwapManifestName))).toString))
     Payload.Select(Seq("metric", "value"), rows)
   }
 

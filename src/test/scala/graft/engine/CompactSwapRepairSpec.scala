@@ -90,11 +90,19 @@ class CompactSwapRepairSpec extends AnyFunSuite {
     (origRows, origFiles, stagedFiles.map(_.getFileName.toString))
   }
 
+  private def pendingManifest(tbl: String): String = {
+    val Payload.Select(_, rows) = g.execute(s"EXPLAIN FILES swp.$tbl"): @unchecked
+    rows.collectFirst { case Seq("pending_swap_manifest", v) => v.toString }.get
+  }
+
   test("crash AFTER all renames, BEFORE the deletes: next mutation rolls FORWARD to parity") {
     val (origRows, origFiles, stagedNames) = tornSwap("fwd", renamedInAll = true)
-    // The torn state is visibly broken: originals + staged both count.
+    // The torn state is visibly broken: originals + staged both count,
+    // and EXPLAIN FILES names the pending manifest (read-only: it
+    // reports the tear, it does not repair it).
     assert(spark.table("swp.fwd").count() == 2L * origRows.size,
       "precondition: the torn swap must expose duplicates")
+    assert(pendingManifest("fwd") == "true", "EXPLAIN FILES must surface the torn swap")
     // Any writer-lock mutation repairs first; this one matches nothing.
     val Payload.Update(n) = g.execute("UPDATE swp.fwd SET v = 0 WHERE k < 0"): @unchecked
     assert(n == 0L)
@@ -106,6 +114,7 @@ class CompactSwapRepairSpec extends AnyFunSuite {
     assert((after & origFiles).isEmpty)
     assert(!java.nio.file.Files.exists(tdir("fwd").resolve(Engine.SwapManifestName)),
       "manifest must be consumed by the repair")
+    assert(pendingManifest("fwd") == "false")
   }
 
   test("crash MID-renames (partial staged set): next mutation rolls BACK to parity") {
