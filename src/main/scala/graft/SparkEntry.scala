@@ -143,9 +143,8 @@ object SparkEntry {
     "g5_view_vars" -> (GlueQueries.g5ViewVars _),
     "g6_csv_roundtrip" -> (GlueQueries.g6CsvRoundtrip _),
     "g7_bulk_autoinc" -> (GlueQueries.g7BulkAutoInc _),
-    // g8: COMPACT TABLE round trip — rows oracle-reconstructed after the rewrite.
+    // g8: the CoW/COMPACT witness (auto-compact rounds + explicit COMPACT).
     "g8_compact" -> (GlueQueries.g8Compact _),
-    "g9_auto_compact" -> (GlueQueries.g9AutoCompact _),
     // ---- dialect function batteries (SURVEY.md §2.7) ----
     "f1_convert_casts" -> (GlueQueries.f1ConvertCasts _),
     "f2_datetime_funcs" -> (GlueQueries.f2DatetimeFuncs _),
@@ -520,7 +519,6 @@ object SparkEntry {
     "g3_constraints" -> GlueQueries.g3OracleSql,
     "g7_bulk_autoinc" -> GlueQueries.g7OracleSql,
     "g8_compact" -> GlueQueries.g8OracleSql,
-    "g9_auto_compact" -> GlueQueries.g9OracleSql,
     "g4_update_delete" -> GlueQueries.g4OracleSql,
     "g5_view_vars" -> GlueQueries.g5OracleSql,
     "g6_csv_roundtrip" -> GlueQueries.g6OracleSql,

@@ -52,7 +52,18 @@ final case class TableMeta(
       * which would silently match zero files), and the reference's
       * ODBC backend is likewise read-mostly (odbc/base.rs: "no writes
       * of consequence"). */
-    jdbc: Boolean = false) {
+    jdbc: Boolean = false,
+    /** Mutation epoch, bumped by every persisted mutation of the
+      * table and stamped into its `.graft_meta` control file. Under
+      * the writer lock, a mutation whose in-memory epoch differs from
+      * the persisted one KNOWS another process wrote the table since
+      * this session last saw it — it merges the AUTO_INCREMENT
+      * counter and refreshes the cached file listing before
+      * validating, which is what makes alternating cross-process
+      * writers sound (the reference sidesteps this by flocking for
+      * the whole process lifetime; per-mutation leases are strictly
+      * more concurrent and need the freshness probe). */
+    epoch: Long = 0L) {
   def schema: StructType = StructType(columns.map(_.sparkField))
   def column(name: String): Option[ColumnMeta] =
     columns.find(_.name.equalsIgnoreCase(name))

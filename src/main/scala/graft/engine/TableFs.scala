@@ -38,8 +38,26 @@ private[engine] object TableFs {
   def exists(conf: Configuration, p: Path): Boolean =
     try fs(conf, p).exists(p) catch { case _: Exception => false }
 
+  /** Existence check that PROPAGATES filesystem errors instead of
+    * swallowing them into `false`. The swap-repair path decides
+    * roll-forward vs roll-back from these answers — on a transient
+    * remote-FS error the lenient variant flipped the repair to a
+    * roll-back that deleted the only copy of rows (round-17 verdict).
+    * "Missing" (FileNotFound) is still `false`; everything else — an
+    * unreachable namenode, a permission blip — is the caller's
+    * problem to abort on, never a silent `false`. */
+  def existsStrict(conf: Configuration, p: Path): Boolean =
+    fs(conf, p).exists(p) // FileSystem.exists maps FileNotFound to false, propagates the rest
+
   def isDirectory(conf: Configuration, p: Path): Boolean =
     try fs(conf, p).getFileStatus(p).isDirectory catch { case _: Exception => false }
+
+  /** [[isDirectory]] that propagates non-missing errors: a transient
+    * stat failure must not silently flip the file layer from the
+    * directory listing to the zero-row-blind scan fallback. */
+  def isDirectoryStrict(conf: Configuration, p: Path): Boolean =
+    try fs(conf, p).getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
 
   def mkdirs(conf: Configuration, p: Path): Unit = { fs(conf, p).mkdirs(p); () }
 
@@ -59,9 +77,23 @@ private[engine] object TableFs {
       .filter(_.getPath.getName.startsWith(prefix)).map(_.getPath)
     catch { case _: Exception => Seq.empty }
 
-  /** Non-recursive delete; true if something was removed. */
+  /** Non-recursive delete; true if something was removed. Lenient:
+    * errors become `false` — fine for best-effort cleanup, NEVER for
+    * the CoW/COMPACT paths whose correctness depends on the file
+    * actually being gone (those use [[deleteChecked]]). */
   def delete(conf: Configuration, p: Path): Boolean =
     try fs(conf, p).delete(p, false) catch { case _: Exception => false }
+
+  /** Delete whose POST-CONDITION is "the file is gone": errors
+    * propagate, and a `false` return with the file still present (an
+    * FS that refused without throwing) is a loud failure. The CoW
+    * UPDATE/DELETE and the COMPACT swap use this for every original
+    * they retire — a swallowed delete there leaves duplicate rows in
+    * the table with no error anywhere (round-17 advice). Idempotent:
+    * an already-absent file counts as deleted. */
+  def deleteChecked(conf: Configuration, p: Path): Unit =
+    if (!fs(conf, p).delete(p, false) && existsStrict(conf, p))
+      throw new EngineException(s"filesystem delete failed and file persists: $p")
 
   def deleteRecursively(conf: Configuration, p: Path): Unit =
     try { fs(conf, p).delete(p, true); () } catch { case _: Exception => () }

@@ -177,20 +177,33 @@ object GlueQueries {
       |  CAST(count(*) * (2 * count(*) + 1) AS BIGINT) AS sum_ids
       |FROM lineitem""".stripMargin
 
-  /** g8: COMPACT TABLE round trip under the driver's oracle — a
-    * table fragmented by 8 separate INSERTs is compacted and read
-    * back; the oracle reconstructs the exact rows independently, so
-    * the gate proves compaction moved every row and invented none
-    * (file-count reduction itself is pinned in CompactTableSpec —
-    * DuckDB can't see our file layout, only the rows). */
+  /** g8: the CoW/COMPACT witness, ONE battery entry (round-17 verdict
+    * task 6 folded the old g9 in — g7+g8+g9 re-measured the same
+    * staging/lock fixed overhead three times, 12% of the battery).
+    * Coverage in a single table's lifetime:
+    *  - 3 INSERT + file-granular UPDATE rounds under
+    *    `SET @auto_compact = true` — the auto-compaction hook fires
+    *    whenever the post-DML layout trips the EXPLAIN FILES
+    *    threshold and must be invisible to readers (old g9);
+    *  - 2 more fragmenting INSERTs with the hook off, then an
+    *    explicit `COMPACT TABLE` that genuinely bin-packs (old g8).
+    * The oracle reconstructs the exact final rows independently, so
+    * the gate proves every swap moved every row and invented none.
+    * File-count reduction itself is pinned in CompactTableSpec —
+    * DuckDB can't see our file layout, only the rows. */
   def g8Compact(spark: SparkSession, dir: String): DataFrame = {
     val g = new Engine(spark)
     freshDb(g, "g8db")
     g.execute("CREATE TABLE g8db.t (k INTEGER, v INTEGER)")
-    // 6 separate INSERTs — enough fragments that the compaction
-    // genuinely bin-packs (each INSERT writes >=1 file) while keeping
-    // the battery entry statement-count lean.
-    for (i <- 0 until 6)
+    g.execute("SET @auto_compact = true")
+    for (i <- 0 until 3) {
+      g.execute(s"INSERT INTO g8db.t SELECT id + ${i * 500}, (id * 7) % 97 FROM range(500)")
+      // first 100 keys of each chunk get +1 — a file-granular UPDATE
+      // that runs through the same post-swap auto-compact check
+      g.execute(s"UPDATE g8db.t SET v = v + 1 WHERE k >= ${i * 500} AND k < ${i * 500 + 100}")
+    }
+    g.execute("SET @auto_compact = false")
+    for (i <- 3 until 5)
       g.execute(s"INSERT INTO g8db.t SELECT id + ${i * 500}, (id * 7) % 97 FROM range(500)")
     g.execute("COMPACT TABLE g8db.t")
     g.query("SELECT k, v FROM g8db.t")
@@ -198,38 +211,9 @@ object GlueQueries {
 
   def g8OracleSql: String =
     """SELECT CAST(id + c * 500 AS BIGINT) AS k,
-      |  CAST((id * 7) % 97 AS BIGINT) AS v
-      |FROM range(500) t(id) CROSS JOIN range(6) c(c)""".stripMargin
-
-  /** g9: the auto-compaction hook under the oracle — 3 INSERT+UPDATE
-    * rounds with `SET @auto_compact = true`, so the engine compacts
-    * inline whenever the post-DML layout trips the EXPLAIN FILES
-    * threshold (round-15 verdict task 3). The oracle pins the final
-    * table contents: auto-compaction must be invisible to readers
-    * while keeping the file count bounded (the bound itself is pinned
-    * by CompactTableSpec; this entry makes the correctness half a
-    * driver-gate row). Trimmed from 6 to 3 rounds (round-16 verdict
-    * task 5): 3 rounds are enough to trip the hook at least once —
-    * each extra round only re-measured fixed write-path overhead and
-    * made g9 the single most expensive battery entry. */
-  def g9AutoCompact(spark: SparkSession, dir: String): DataFrame = {
-    val g = new Engine(spark)
-    freshDb(g, "g9db")
-    g.execute("CREATE TABLE g9db.t (k INTEGER, v INTEGER)")
-    g.execute("SET @auto_compact = true")
-    for (i <- 0 until 3) {
-      g.execute(s"INSERT INTO g9db.t SELECT id + ${i * 500}, (id * 7) % 97 FROM range(500)")
-      // first 100 keys of each chunk get +1 — a file-granular UPDATE
-      // that runs through the same post-swap auto-compact check
-      g.execute(s"UPDATE g9db.t SET v = v + 1 WHERE k >= ${i * 500} AND k < ${i * 500 + 100}")
-    }
-    g.query("SELECT k, v FROM g9db.t")
-  }
-
-  def g9OracleSql: String =
-    """SELECT CAST(id + c * 500 AS BIGINT) AS k,
-      |  CAST((id * 7) % 97 + CASE WHEN id < 100 THEN 1 ELSE 0 END AS BIGINT) AS v
-      |FROM range(500) t(id) CROSS JOIN range(3) c(c)""".stripMargin
+      |  CAST((id * 7) % 97 +
+      |    CASE WHEN c < 3 AND id < 100 THEN 1 ELSE 0 END AS BIGINT) AS v
+      |FROM range(500) t(id) CROSS JOIN range(5) c(c)""".stripMargin
 
   /** Dialect scalar battery 1: CONVERT/TRY_CONVERT core casts, IIF,
     * byte-LEN (reference function.rs:124-166, utility.rs). */

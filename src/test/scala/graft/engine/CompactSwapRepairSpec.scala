@@ -146,6 +146,38 @@ class CompactSwapRepairSpec extends AnyFunSuite {
     assert(got == want, "repair must precede the append")
   }
 
+  test("ALTER TABLE ADD COLUMN on a torn swap repairs FIRST — no baked-in duplicates") {
+    // Round-17 verdict task 1: alterTable rewrites the table from
+    // spark.table's view; on a torn swap that view held duplicates and
+    // the rewrite destroyed the manifest with the evidence — the
+    // transient, repairable anomaly became permanent wrong data.
+    val (origRows, _, _) = tornSwap("alt", renamedInAll = true)
+    assert(spark.table("swp.alt").count() == 2L * origRows.size,
+      "precondition: the torn swap must expose duplicates")
+    g.execute("ALTER TABLE swp.alt ADD COLUMN w INTEGER DEFAULT 7")
+    val got = rowsOf("alt").sortBy(_.mkString(","))
+    val want = origRows.map(_ :+ 7).sortBy(_.mkString(","))
+    assert(got == want,
+      "ALTER on a torn table must converge to parity before rewriting")
+    assert(!java.nio.file.Files.exists(tdir("alt").resolve(Engine.SwapManifestName)))
+  }
+
+  test("CREATE INDEX on a torn swap repairs FIRST — the clustered rewrite sees parity") {
+    val (origRows, _, _) = tornSwap("idx", renamedInAll = true)
+    g.execute("CREATE INDEX idx_k ON swp.idx (k)")
+    assert(rowsOf("idx").sortBy(_.mkString(",")) == origRows,
+      "the index build must not bake torn-swap duplicates into the clustered layout")
+    assert(!java.nio.file.Files.exists(tdir("idx").resolve(Engine.SwapManifestName)))
+  }
+
+  test("TRUNCATE on a torn swap consumes the manifest — no stale tombstone") {
+    val (_, _, _) = tornSwap("trc", renamedInAll = false)
+    g.execute("TRUNCATE TABLE swp.trc")
+    assert(spark.table("swp.trc").count() == 0L)
+    assert(!java.nio.file.Files.exists(tdir("trc").resolve(Engine.SwapManifestName)),
+      "a truncated table must not carry a pending swap manifest")
+  }
+
   test("old files vanish under a live reader's plan without breaking it") {
     // The repair deletes originals that a concurrently-planned query
     // might reference — same class of anomaly the swap itself has.

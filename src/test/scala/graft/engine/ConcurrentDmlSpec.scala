@@ -77,6 +77,34 @@ class ConcurrentDmlSpec extends AnyFunSuite {
     g.execute("DROP DATABASE cdml2")
   }
 
+  test("INSERTs racing CREATE INDEX lose nothing: DDL serializes with DML") {
+    // Round-17 verdict task 1 (second half): CREATE INDEX's
+    // read-cluster-overwrite used to run OUTSIDE the writer lock — an
+    // INSERT landing between its read and its overwrite was silently
+    // erased by the rewrite. Now both take DbLock; whichever orders
+    // first, every inserted row must survive the clustered rewrite.
+    val g = new Engine(spark)
+    freshDb(g, "cdml4")
+    g.execute("CREATE TABLE cdml4.t (k INTEGER, v INTEGER)")
+    g.execute("INSERT INTO cdml4.t SELECT id, id FROM range(500)")
+    val inserter = new Thread(() => {
+      for (i <- 0 until 10)
+        g.execute(s"INSERT INTO cdml4.t VALUES (${1000 + i}, ${1000 + i})")
+    })
+    val indexer = new Thread(() => {
+      g.execute("CREATE INDEX cdml4_k ON cdml4.t (k)")
+    })
+    inserter.start(); indexer.start()
+    inserter.join(); indexer.join()
+    val n = spark.sql("SELECT count(*) FROM cdml4.t").head.getLong(0)
+    assert(n == 510L, s"rows lost to the DDL/DML race: $n != 510")
+    // And the index must cover whatever landed before its rewrite —
+    // correctness of layout is stats-based, so just assert the rows.
+    val distinct = spark.sql("SELECT count(DISTINCT k) FROM cdml4.t").head.getLong(0)
+    assert(distinct == 510L)
+    g.execute("DROP DATABASE cdml4")
+  }
+
   test("readers never wait on the writer lock (multi-tenant read liveness)") {
     // The single-writer contract is mutation-scoped ONLY: a tenant
     // running SELECTs while another holds the DML lock must proceed

@@ -14,3 +14,49 @@ class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "graftfs"
   override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }
+
+/** [[GraftTestFs]] variant that can be ARMED to throw one transient
+  * IOException from `getFileStatus` (and therefore `exists`) on the
+  * next path whose name contains the armed substring — the
+  * remote-filesystem blip CompactSwapRepairSpec injects to pin that
+  * the swap repair ABORTS on an FS error instead of misreading it as
+  * "file missing" and rolling back over the only copy of rows
+  * (round-17 verdict task 2). Static flag: FileSystem instances are
+  * cache-shared, a field on one instance might not be the one the
+  * engine's call path sees. */
+class FlakyGraftFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "flakyfs"
+  override def getUri: java.net.URI = java.net.URI.create("flakyfs:///")
+  private def maybeFail(f: org.apache.hadoop.fs.Path): Unit = {
+    val armed = FlakyGraftFs.failOnceOn
+    if (armed != null && f.getName.contains(armed)) {
+      FlakyGraftFs.failOnceOn = null
+      throw new java.io.IOException(s"injected transient fs error on $f")
+    }
+  }
+  override def getFileStatus(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus = {
+    maybeFail(f)
+    super.getFileStatus(f)
+  }
+  // RawLocalFileSystem overrides exists() with a direct java.io check
+  // (no getFileStatus) — hook it too, or the repair's existence probes
+  // dodge the injection.
+  override def exists(f: org.apache.hadoop.fs.Path): Boolean = {
+    maybeFail(f)
+    super.exists(f)
+  }
+}
+object FlakyGraftFs {
+  /** Substring of the next path name whose stat should fail, or null. */
+  @volatile var failOnceOn: String = _
+}
+
+/** A registered scheme deliberately NOT on the COMPACT atomic-rename
+  * allowlist (and not conf-extended onto it) — stands in for a raw
+  * object store where "rename" is copy+delete. AtomicRenameGuardSpec
+  * pins that COMPACT refuses loudly here instead of running a swap
+  * protocol whose atomicity assumption the store cannot honor. */
+class UnatomicTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "unatomicfs"
+  override def getUri: java.net.URI = java.net.URI.create("unatomicfs:///")
+}

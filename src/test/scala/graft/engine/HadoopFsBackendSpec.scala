@@ -22,6 +22,12 @@ class HadoopFsBackendSpec extends AnyFunSuite {
   private lazy val g = {
     spark.sparkContext.hadoopConfiguration
       .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    // graftfs wraps RawLocalFileSystem → rename IS atomic; declaring
+    // it via the conf override exercises the per-deployment extension
+    // path of the COMPACT atomic-rename allowlist (round-17 verdict
+    // task 5; the refusal path is AtomicRenameGuardSpec's).
+    spark.sparkContext.hadoopConfiguration
+      .set("graft.fs.atomic.rename.schemes", "graftfs")
     val e = new Engine(spark)
     e.execute("DROP DATABASE IF EXISTS hfs")
     val local = java.nio.file.Files.createTempDirectory("hfs").toFile.getAbsolutePath

@@ -1,0 +1,121 @@
+package graft.engine
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Constraint/schema metadata survives the process (round-17 verdict
+  * task 3 — "What's missing" #1).
+  *
+  * The reference persists schema in the storage backend
+  * (`insert_schema`/`fetch_schema`, src/database/base.rs:7-34; sled
+  * keys `schema/{t}`), so a second process opening the same database
+  * enforces the same constraints. This engine's MetaStore is
+  * session-scoped, and before round 18 the remount paths
+  * reconstructed LOSSY metadata: every column nullable, UNIQUE /
+  * AUTO_INCREMENT / DEFAULT / indexes silently forgotten. Now every
+  * metadata mutation writes a `.graft_meta` control file into the
+  * table directory (through TableFs — any Hadoop scheme) and both
+  * mount paths read it back.
+  *
+  * A fresh process is simulated faithfully: the table directory is
+  * COPIED to a new location (same bytes a second process would see —
+  * the shared in-memory catalog of one SparkSession cannot re-mount
+  * the same path without dropping it, which deletes managed data) and
+  * a brand-new Engine (fresh MetaStore) mounts the copy. */
+class TableMetaPersistSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.session
+
+  private def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def buildConstrained(g: Engine, db: String, loc: String): Unit = {
+    g.execute(s"DROP DATABASE IF EXISTS $db")
+    g.execute(s"CREATE DATABASE $db LOCATION '$loc'")
+    g.execute(s"""CREATE TABLE $db.t (
+      id INTEGER AUTO_INCREMENT,
+      name TEXT NOT NULL,
+      code INTEGER UNIQUE,
+      grade TEXT DEFAULT 'unrated')""")
+    g.execute(s"INSERT INTO $db.t (name, code) VALUES ('a', 10)")
+    g.execute(s"INSERT INTO $db.t (name, code) VALUES ('b', 20)")
+    g.execute(s"CREATE INDEX t_code ON $db.t (code)")
+  }
+
+  private def assertConstraintsLive(g2: Engine, db2: String): Unit = {
+    // UNIQUE survives the remount: a duplicate code is rejected.
+    val dup = intercept[EngineException](
+      g2.execute(s"INSERT INTO $db2.t (name, code) VALUES ('x', 10)"))
+    assert(dup.getMessage.toLowerCase.contains("unique"), dup.getMessage)
+    // NOT NULL survives.
+    val nn = intercept[EngineException](
+      g2.execute(s"INSERT INTO $db2.t (code) VALUES (30)"))
+    assert(nn.getMessage.toLowerCase.contains("null"), nn.getMessage)
+    // AUTO_INCREMENT continues from the persisted counter — no id
+    // collision with the first process's rows — and DEFAULT applies.
+    g2.execute(s"INSERT INTO $db2.t (name, code) VALUES ('c', 30)")
+    val rows = spark.sql(s"SELECT id, name, code, grade FROM $db2.t ORDER BY id")
+      .collect().map(_.toSeq).toSeq
+    assert(rows.map(_.head) == Seq(1L, 2L, 3L), s"ids must stay dense across processes: $rows")
+    assert(rows.forall(_(3) == "unrated"), s"DEFAULT must survive: $rows")
+    // The index definition survives: EXPLAIN COMPACT plans an
+    // index-aware (range) layout, not the unindexed round-robin.
+    val Payload.Select(_, planRows) =
+      g2.execute(s"EXPLAIN COMPACT TABLE $db2.t"): @unchecked
+    val plan = planRows.map(_.mkString(" ")).mkString("\n")
+    assert(plan.contains("indexed column code"),
+      s"the remounted engine must know the index:\n$plan")
+  }
+
+  test("a fresh Engine over a copied local database enforces the persisted constraints") {
+    val g = new Engine(spark)
+    val loc1 = java.nio.file.Files.createTempDirectory("metap1")
+    buildConstrained(g, "metap", loc1.toString)
+    // The control file is where the design says it is.
+    assert(java.nio.file.Files.exists(loc1.resolve("t").resolve(Engine.TableMetaName)),
+      "every metadata mutation must leave the control file in the table dir")
+    val loc2 = java.nio.file.Files.createTempDirectory("metap2")
+    copyDir(loc1, loc2)
+    val g2 = new Engine(spark) // fresh MetaStore — simulates process #2
+    g2.execute("DROP DATABASE IF EXISTS metap_b")
+    g2.execute(s"CREATE DATABASE metap_b LOCATION '$loc2'")
+    assertConstraintsLive(g2, "metap_b")
+    g.execute("DROP DATABASE metap"); g2.execute("DROP DATABASE metap_b")
+  }
+
+  test("same story on a graftfs:// (Hadoop-scheme) location") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val g = new Engine(spark)
+    val loc1 = java.nio.file.Files.createTempDirectory("metaf1")
+    buildConstrained(g, "metaf", s"graftfs://$loc1")
+    assert(java.nio.file.Files.exists(loc1.resolve("t").resolve(Engine.TableMetaName)),
+      "the control file must be written through the table's own FileSystem")
+    val loc2 = java.nio.file.Files.createTempDirectory("metaf2")
+    copyDir(loc1, loc2)
+    val g2 = new Engine(spark)
+    g2.execute("DROP DATABASE IF EXISTS metaf_b")
+    g2.execute(s"CREATE DATABASE metaf_b LOCATION 'graftfs://$loc2'")
+    assertConstraintsLive(g2, "metaf_b")
+    g.execute("DROP DATABASE metaf"); g2.execute("DROP DATABASE metaf_b")
+  }
+
+  test("a directory with NO control file still mounts (foreign parquet, lossy fallback)") {
+    val g = new Engine(spark)
+    val loc = java.nio.file.Files.createTempDirectory("metax")
+    spark.range(5).selectExpr("cast(id AS int) AS k")
+      .write.parquet(loc.resolve("plain").toString)
+    // Spark's _SUCCESS marker and the parquet files are all that's
+    // there — the mount must not demand a control file.
+    g.execute("DROP DATABASE IF EXISTS metax")
+    g.execute(s"CREATE DATABASE metax LOCATION '$loc'")
+    assert(spark.sql("SELECT count(*) FROM metax.plain").head.getLong(0) == 5L)
+    g.execute("DROP DATABASE metax")
+  }
+}

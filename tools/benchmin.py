@@ -43,6 +43,10 @@ def load(path):
             "with one in its tail")
     # The parseable short-key line prints LAST (Bench.scala) — take it.
     m = re.search(r"\{.*\}", lines[-1])
+    if m is None:
+        raise SystemExit(
+            f"{path}: tail line mentions metric/total but carries no "
+            f"JSON object: {lines[-1]!r}")
     out = json.loads(m.group(0))
     out["value"] = float(out["value"])
     return out
