@@ -2251,7 +2251,13 @@ class Engine(val spark: SparkSession) {
       // read-only — it reports, never repairs.
       Seq[Any]("pending_swap_manifest", tableDirectory(db, tbl).exists(d =>
         TableFs.exists(hadoopConf,
-          new org.apache.hadoop.fs.Path(d, Engine.SwapManifestName))).toString))
+          new org.apache.hadoop.fs.Path(d, Engine.SwapManifestName))).toString),
+      // The index definitions driving the clustered layout and the
+      // range-pruning decisions — persisted in `.graft_meta`, so this
+      // row is how a FRESH process confirms it still knows them.
+      Seq[Any]("indexes", meta.get(db, tbl).map(_.indexes.map(i =>
+        s"${i.name}(${i.column})${if (i.unique) " unique" else ""}")
+        .mkString(", ")).filter(_.nonEmpty).getOrElse("(none)")))
     Payload.Select(Seq("metric", "value"), rows)
   }
 

@@ -64,8 +64,14 @@ class TableMetaPersistSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(rows.map(_.head) == Seq(1L, 2L, 3L), s"ids must stay dense across processes: $rows")
     assert(rows.forall(_(3) == "unrated"), s"DEFAULT must survive: $rows")
-    // The index definition survives: EXPLAIN COMPACT plans an
-    // index-aware (range) layout, not the unindexed round-robin.
+    // The index definition survives: EXPLAIN FILES names it and
+    // EXPLAIN COMPACT plans an index-aware (range) layout, not the
+    // unindexed round-robin.
+    val Payload.Select(_, fileRows) =
+      g2.execute(s"EXPLAIN FILES $db2.t"): @unchecked
+    val idxRow = fileRows.collectFirst { case Seq("indexes", v) => v.toString }.get
+    assert(idxRow.contains("t_code(code)"),
+      s"EXPLAIN FILES must show the persisted index: $idxRow")
     val Payload.Select(_, planRows) =
       g2.execute(s"EXPLAIN COMPACT TABLE $db2.t"): @unchecked
     val plan = planRows.map(_.mkString(" ")).mkString("\n")
