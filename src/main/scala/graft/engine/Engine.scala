@@ -28,9 +28,12 @@ import SqlText._
   *    a narrow discovery scan finds the files holding matches
   *    (input_file_name, predicate pushed to the reader), only those
   *    files are read, rewritten via localCheckpoint (cuts lineage so
-  *    we can replace what we read), appended and the originals
-  *    dropped — untouched files survive. Whole-table statements and
-  *    single-file CSV storage rewrite wholesale.
+  *    we can replace what we read), staged into a hidden directory,
+  *    parity-gated, and swapped in through the manifest-bracketed
+  *    rename protocol COMPACT uses (see [[swapIn]]) — untouched files
+  *    survive, readers observe only the renames, and a crash
+  *    anywhere converges via the same repair. Whole-table statements
+  *    and single-file CSV storage rewrite wholesale.
   *  - **CREATE INDEX** records metadata and physically re-clusters the
   *    table by the indexed column (range partition + sort), so parquet
   *    row-group min/max stats provide the range pruning the
@@ -1226,14 +1229,19 @@ class Engine(val spark: SparkSession) {
             .collect().map(_.getString(0)).filter(_.nonEmpty)
           if (affected.isEmpty) return Payload.Update(0L)
           // Affected-row count folded into the rewrite job as an
-          // observed metric — no separate count() pass.
+          // observed metric — no separate count() pass. n_rows (every
+          // row scanned = every row rewritten, UPDATE is 1:1) feeds
+          // the staged swap's parity gate.
           val obs = org.apache.spark.sql.Observation()
           // schema passed explicitly: avoids a footer-inference job
           val out = spark.read.schema(t.schema).parquet(affected.toIndexedSeq: _*)
-            .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
+            .observe(obs,
+              coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"),
+              count(lit(1)).as("n_rows"))
             .select(projection: _*)
             .localCheckpoint(eager = true, Engine.StagingLevel)
           val n = obs.get("n_matched").asInstanceOf[Long]
+          val nScanned = obs.get("n_rows").asInstanceOf[Long]
           tm.columns.filter(!_.nullable).filter(c => assigns.contains(c.name)).foreach { cm =>
             if (out.filter(col(cm.name).isNull).limit(1).count() > 0)
               throw new EngineException(s"null value in NOT NULL column ${cm.name}")
@@ -1249,8 +1257,10 @@ class Engine(val spark: SparkSession) {
             if (dups.limit(1).count() > 0)
               throw new EngineException(s"duplicate entry in unique column ${cm.name}")
           }
-          out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
-          affected.foreach(deleteDataFile)
+          // Manifest-bracketed staged swap (round 18): readers see
+          // only the few renames, and a crash anywhere converges via
+          // the same repair as COMPACT's.
+          stagedDmlSwap(db, tbl, out, affected.toIndexedSeq, expectRows = nScanned)
           spark.catalog.refreshTable(s"`$db`.`$tbl`")
           tm.xlsxPath.foreach(syncXlsx)
           persistMeta(db, tbl) // epoch stamp: other processes refresh
@@ -1340,13 +1350,21 @@ class Engine(val spark: SparkSession) {
             else {
               val obs = org.apache.spark.sql.Observation()
               val kept = spark.read.schema(t.schema).parquet(affected.toIndexedSeq: _*)
-                .observe(obs, coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"))
+                .observe(obs,
+                  coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as("n_matched"),
+                  count(lit(1)).as("n_rows"))
                 .filter(!cond || cond.isNull)
                 .select(tm.columns.map(cm => col(cm.name)): _*)
                 .localCheckpoint(eager = true, Engine.StagingLevel)
               val n = obs.get("n_matched").asInstanceOf[Long]
-              kept.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
-              affected.foreach(deleteDataFile)
+              val nScanned = obs.get("n_rows").asInstanceOf[Long]
+              // Survivors = scanned − deleted (NULL-cond rows are kept
+              // and not matched) — the staged swap's parity gate. A
+              // DELETE keeping zero rows stages zero files; the
+              // manifest's empty_ok marker keeps its repair
+              // roll-FORWARD (see swapIn).
+              stagedDmlSwap(db, tbl, kept, affected.toIndexedSeq,
+                expectRows = nScanned - n)
               spark.catalog.refreshTable(s"`$db`.`$tbl`")
               tm.xlsxPath.foreach(syncXlsx)
               persistMeta(db, tbl) // epoch stamp: other processes refresh
@@ -1841,9 +1859,11 @@ class Engine(val spark: SparkSession) {
     // refuse. Probe the scheme against the documented allowlist BEFORE
     // any rewrite work (round-17 verdict task 5: assume nothing).
     requireAtomicRename(conf, tdir)
-    // Stale staging dirs (a crashed prior compact) are invisible to
-    // readers but hold disk — sweep them while we hold the lock.
+    // Stale staging dirs (a crashed prior compact or DML rewrite) are
+    // invisible to readers but hold disk — sweep while we hold the lock.
     TableFs.listPrefixed(conf, tdir, ".compact_staging_")
+      .foreach(TableFs.deleteRecursively(conf, _))
+    TableFs.listPrefixed(conf, tdir, ".dml_staging_")
       .foreach(TableFs.deleteRecursively(conf, _))
     val staging = new org.apache.hadoop.fs.Path(tdir,
       s".compact_staging_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1870,12 +1890,10 @@ class Engine(val spark: SparkSession) {
       val n = obs.get("n_rows").asInstanceOf[Long]
       val stagedFiles = TableFs.listData(conf, staging).map(_._1)
       // Parity gate, entirely inside staging: the rows that LANDED
-      // (the staged files' own footer counts — a metadata job) must
-      // equal the rows the scan OBSERVED flowing into the writer.
-      val landed =
-        if (stagedFiles.isEmpty) 0L
-        else spark.read.schema(t.schema)
-          .parquet(stagedFiles.map(_.toUri.toString): _*).count()
+      // (the staged files' own footer counts — driver-side metadata
+      // reads, zero Spark jobs) must equal the rows the scan OBSERVED
+      // flowing into the writer.
+      val landed = footerRowCount(conf, stagedFiles)
       if (landed != n)
         throw new EngineException(
           s"COMPACT aborted: staged files hold $landed rows != scanned $n — " +
@@ -1884,37 +1902,7 @@ class Engine(val spark: SparkSession) {
       // k renames + m deletes, filesystem metadata only, bracketed by
       // the crash manifest (intent before the first rename, removal
       // after the last delete).
-      val manifest = new org.apache.hadoop.fs.Path(tdir, Engine.SwapManifestName)
-      val body = (stagedFiles.map(f => s"staged\t${f.getName}") ++
-        paths.map(u => s"orig\t${pathOfUri(u).getName}"))
-        .mkString("\n")
-      TableFs.writeString(conf, manifest, body)
-      try {
-        stagedFiles.foreach { f =>
-          TableFs.rename(conf, f, new org.apache.hadoop.fs.Path(tdir, f.getName))
-        }
-        // deleteDataFile is CHECKED: an original that survives its
-        // delete aborts here with the manifest still in place, so the
-        // repair (immediately below on a live failure, or the next
-        // mutation's after a crash) retries the roll-forward. Only a
-        // fully-retired original set consumes the manifest — removing
-        // it after a partial delete pass would bake the survivors in
-        // as permanent duplicates (round-17 advice).
-        paths.foreach(deleteDataFile)
-        TableFs.deleteChecked(conf, manifest)
-      } catch {
-        case swapErr: Throwable =>
-          // A LIVE (non-crash) failure mid-swap: the writer lock is
-          // still held right here — converge the table NOW instead of
-          // leaving visible duplicates until some later mutation
-          // happens to run the repair (a read-only workload would see
-          // them indefinitely — round-17 advice). The repair's own
-          // failure (e.g. the same FS outage) must not mask the
-          // original error: suppress and rethrow.
-          try repairCompactSwap(db, tbl)
-          catch { case repairErr: Throwable => swapErr.addSuppressed(repairErr) }
-          throw swapErr
-      }
+      swapIn(db, tbl, conf, tdir, stagedFiles, paths)
       spark.catalog.refreshTable(s"`$db`.`$tbl`")
       persistMeta(db, tbl) // epoch stamp: other processes re-list the swapped layout
       Seq(moveSet.size, stagedFiles.size, n, totalMove)
@@ -1938,8 +1926,7 @@ class Engine(val spark: SparkSession) {
   private def requireAtomicRename(conf: org.apache.hadoop.conf.Configuration,
       dir: org.apache.hadoop.fs.Path): Unit = {
     val scheme = Option(dir.toUri.getScheme).getOrElse("file")
-    val extra = conf.getTrimmedStrings("graft.fs.atomic.rename.schemes").toSet
-    if (!Engine.AtomicRenameSchemes.contains(scheme) && !extra.contains(scheme))
+    if (!atomicRenameOk(conf, dir))
       throw new EngineException(
         s"COMPACT TABLE refused: filesystem scheme '$scheme' is not on the " +
           "atomic-rename allowlist (" +
@@ -1949,6 +1936,134 @@ class Engine(val spark: SparkSession) {
           "'graft.fs.atomic.rename.schemes'; for raw object stores use a " +
           "manifest-committer-style output path instead of COMPACT's " +
           "in-place swap")
+  }
+
+  /** THE SWAP — the only span a concurrent reader can observe, shared
+    * by COMPACT and the CoW UPDATE/DELETE rewrite: k renames in + m
+    * deletes out, all filesystem METADATA ops, bracketed by the crash
+    * manifest (intent before the first rename, removal after the last
+    * verified delete). `stagedFiles` may legitimately be EMPTY (a
+    * DELETE whose affected files keep zero rows, a compaction of
+    * zero-row fragments) — the manifest then carries an `empty_ok`
+    * marker so the repair knows to roll FORWARD (finish the deletes)
+    * instead of misreading "no staged files present" as a crashed
+    * staging write and rolling back into a partial mutation.
+    *
+    * deleteDataFile is CHECKED: an original that survives its delete
+    * aborts here with the manifest still in place, so the repair
+    * (immediately below on a live failure, or the next mutation's
+    * after a crash) retries the roll-forward. Only a fully-retired
+    * original set consumes the manifest — removing it after a partial
+    * delete pass would bake the survivors in as permanent duplicates
+    * (round-17 advice). */
+  private def swapIn(db: String, tbl: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      tdir: org.apache.hadoop.fs.Path,
+      stagedFiles: Seq[org.apache.hadoop.fs.Path],
+      origUris: Seq[String]): Unit = {
+    val manifest = new org.apache.hadoop.fs.Path(tdir, Engine.SwapManifestName)
+    val body = (stagedFiles.map(f => s"staged\t${f.getName}") ++
+      origUris.map(u => s"orig\t${pathOfUri(u).getName}") ++
+      (if (stagedFiles.isEmpty) Seq("empty_ok\ttrue") else Seq.empty))
+      .mkString("\n")
+    TableFs.writeString(conf, manifest, body)
+    try {
+      stagedFiles.foreach { f =>
+        TableFs.rename(conf, f, new org.apache.hadoop.fs.Path(tdir, f.getName))
+      }
+      origUris.foreach(deleteDataFile)
+      TableFs.deleteChecked(conf, manifest)
+    } catch {
+      case swapErr: Throwable =>
+        // A LIVE (non-crash) failure mid-swap: the writer lock is
+        // still held right here — converge the table NOW instead of
+        // leaving visible duplicates until some later mutation
+        // happens to run the repair (a read-only workload would see
+        // them indefinitely — round-17 advice). The repair's own
+        // failure (e.g. the same FS outage) must not mask the
+        // original error: suppress and rethrow.
+        try repairCompactSwap(db, tbl)
+        catch { case repairErr: Throwable => swapErr.addSuppressed(repairErr) }
+        throw swapErr
+    }
+  }
+
+  /** Staged swap for the CoW UPDATE/DELETE rewrite (round 18): the
+    * rewritten survivors of the affected files land in a hidden
+    * staging directory, are row-parity-gated THERE, and enter the
+    * table through [[swapIn]]'s manifest-bracketed renames — closing
+    * the same two windows the COMPACT swap closed in rounds 15–17:
+    *  - READER ISOLATION: the old flow appended rewritten rows
+    *    directly into the table directory, so a concurrent reader saw
+    *    rewritten + original rows together for the whole write;
+    *  - CRASH: a death between the append and the original deletes
+    *    left those duplicates PERMANENTLY, with no manifest — exactly
+    *    the hole the COMPACT protocol fixed, unfixed on the much
+    *    hotter DML path.
+    * Now both mutations converge through one protocol and one repair.
+    * FALLBACK: a store without atomic rename (not on the COMPACT
+    * allowlist) or a table without a listable directory keeps the old
+    * direct append + checked deletes — correct end state, documented
+    * visible-duplicates window — because half a swap protocol on a
+    * copy+delete "rename" is worse than none. */
+  private def stagedDmlSwap(db: String, tbl: String, newData: DataFrame,
+      origUris: Seq[String], expectRows: Long): Unit = {
+    val conf = hadoopConf
+    val tdirOpt = tableDirectory(db, tbl)
+      .filter(TableFs.isDirectoryStrict(conf, _))
+      .filter(d => atomicRenameOk(conf, d))
+    tdirOpt match {
+      case None =>
+        newData.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
+        origUris.foreach(deleteDataFile)
+      case Some(tdir) =>
+        val staging = new org.apache.hadoop.fs.Path(tdir,
+          s".dml_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+        try {
+          // newData is already positioned to the table's column order
+          // and types and checkpointed by the caller — this write is
+          // a replay of the checkpoint, not a recompute.
+          newData.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+          val counted = TableFs.listData(conf, staging)
+            .map { case (p, _) => p -> footerRowCount(conf, Seq(p)) }
+          // Parity gate, entirely inside staging: the rows that
+          // LANDED (driver-side footer reads, zero jobs) must equal
+          // the rows the rewrite scan observed flowing to the writer.
+          val landed = counted.map(_._2).sum
+          if (landed != expectRows)
+            throw new EngineException(
+              s"DML rewrite aborted: staged files hold $landed rows != " +
+                s"expected $expectRows — staging discarded, originals untouched")
+          // Zero-row part files (an empty writer task) convey nothing —
+          // swapping them in would only re-fragment the layout.
+          swapIn(db, tbl, conf, tdir, counted.filter(_._2 > 0).map(_._1), origUris)
+        } finally TableFs.deleteRecursively(conf, staging)
+    }
+  }
+
+  /** Total row count of parquet files from their FOOTERS — driver-side
+    * metadata reads, zero Spark jobs. The staged-swap parity gates
+    * compare this against the scan-observed row count: one gate
+    * covering both a lost read and a lost write, at O(files) footer
+    * reads instead of a count job. */
+  private def footerRowCount(conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[org.apache.hadoop.fs.Path]): Long = {
+    import scala.jdk.CollectionConverters._
+    files.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+      finally r.close()
+    }.sum
+  }
+
+  /** Non-throwing [[requireAtomicRename]] — the CoW DML path FALLS
+    * BACK rather than refuses (see [[stagedDmlSwap]]). */
+  private def atomicRenameOk(conf: org.apache.hadoop.conf.Configuration,
+      dir: org.apache.hadoop.fs.Path): Boolean = {
+    val scheme = Option(dir.toUri.getScheme).getOrElse("file")
+    Engine.AtomicRenameSchemes.contains(scheme) ||
+      conf.getTrimmedStrings("graft.fs.atomic.rename.schemes").contains(scheme)
   }
 
   /** Converge a COMPACT swap that a process crash tore (see
@@ -1978,8 +2093,16 @@ class Engine(val spark: SparkSession) {
         .map(_.split("\t", 2)).filter(_.length == 2).toSeq
       val staged = lines.collect { case Array("staged", nm) => nm }
       val origs = lines.collect { case Array("orig", nm) => nm }
-      val allStagedIn = staged.nonEmpty &&
-        staged.forall(nm => TableFs.existsStrict(conf, new org.apache.hadoop.fs.Path(tdir, nm)))
+      // `empty_ok`: the mutation legitimately staged ZERO files (a
+      // DELETE keeping no survivors, a compaction of zero-row
+      // fragments) — the manifest is only ever written after the
+      // staging write completed and passed its parity gate, so an
+      // empty staged set with the marker means "roll forward, finish
+      // the deletes", never "the staging write crashed".
+      val emptyOk = lines.exists(l => l(0) == "empty_ok" && l(1) == "true")
+      val allStagedIn = (staged.nonEmpty &&
+        staged.forall(nm => TableFs.existsStrict(conf, new org.apache.hadoop.fs.Path(tdir, nm)))) ||
+        (staged.isEmpty && emptyOk)
       // Checked deletes: a delete that fails (or silently refuses)
       // must leave the manifest in place — removing it after a
       // PARTIAL roll-forward would bake the surviving originals in

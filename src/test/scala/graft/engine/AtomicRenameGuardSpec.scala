@@ -46,7 +46,12 @@ class AtomicRenameGuardSpec extends AnyFunSuite {
     assert(spark.table("uat.t").count() == rows)
   }
 
-  test("CoW DML still works there — it renames nothing") {
+  test("CoW DML still works there — the staged swap FALLS BACK to direct append+delete") {
+    // On an atomic-rename store the CoW rewrite goes through the
+    // manifest-bracketed staged swap; here that protocol would be
+    // built on a copy+delete "rename", so stagedDmlSwap detects the
+    // scheme and keeps the legacy direct path (correct end state,
+    // documented visible-duplicates window).
     val Payload.Update(nu) =
       g.execute("UPDATE uat.t SET v = v + 1 WHERE k < 50"): @unchecked
     assert(nu == 50L)
