@@ -607,6 +607,11 @@ class Engine(val spark: SparkSession) {
           ColumnMeta(f2.name, f2.dataType, nullable = true))
         TableMeta(cols)
       })
+      // A crashed writer's in-flight marker: converge under the writer
+      // lock — an unlocked clean-persist could clobber a LIVE writer's
+      // dirty stamp in another process.
+      if (meta.get(db, tbl).exists(_.counterDirty))
+        withDbWriter(db)(recoverDirtyCounter(db, tbl))
     }
   }
 
@@ -624,6 +629,8 @@ class Engine(val spark: SparkSession) {
             ColumnMeta(f2.name, f2.dataType, nullable = true))
           TableMeta(cols)
         })
+        if (meta.get(db, tbl).exists(_.counterDirty))
+          withDbWriter(db)(recoverDirtyCounter(db, tbl))
       }
   }
 
@@ -1110,6 +1117,18 @@ class Engine(val spark: SparkSession) {
         throw new EngineException(s"duplicate entry in unique column ${cm.name}")
     }
 
+    // AUTO_INCREMENT crash bracket: stamp the control file DIRTY
+    // before the append starts. A crash between the append landing
+    // and the advanced-counter persist below would otherwise leave
+    // rows on disk whose ids the persisted counter does not cover —
+    // the next process would re-issue them. A reader of a dirty
+    // record recomputes the counter from max(id) over the data
+    // (recoverDirtyCounter) before trusting it.
+    if (autoCol.isDefined && tm.csvPath.isEmpty && tm.xlsxPath.isEmpty) {
+      meta.update(db, tbl)(_.copy(counterDirty = true))
+      persistMeta(db, tbl)
+    }
+
     tm.csvPath match {
       case Some(path) =>
         // CSV table = one local file (reference csv backend): append
@@ -1172,7 +1191,8 @@ class Engine(val spark: SparkSession) {
     }
     if (fastSingleAuto) autoFilled = n // every cell was null by construction
     autoCol.foreach(_ =>
-      meta.update(db, tbl)(m => m.copy(autoCounter = m.autoCounter + autoFilled)))
+      meta.update(db, tbl)(m =>
+        m.copy(autoCounter = m.autoCounter + autoFilled, counterDirty = false)))
     // Counter + epoch durability: a fresh process mounting this
     // directory must continue from the advanced counter, not re-issue
     // ids (the reference's counter lives in the storage backend too —
@@ -1638,17 +1658,42 @@ class Engine(val spark: SparkSession) {
     * reference avoids the problem by flocking for the whole process
     * lifetime (database/mod.rs:72-92) — per-mutation locks are
     * strictly more concurrent and pay this probe instead. */
-  private def syncExternalMeta(db: String, tbl: String): Unit =
+  private def syncExternalMeta(db: String, tbl: String): Unit = {
     meta.get(db, tbl).foreach { m =>
       if (!m.jdbc && m.csvPath.isEmpty && m.xlsxPath.isEmpty)
         tableDirectory(db, tbl).flatMap(loadPersistedMeta).foreach { p =>
           if (p.epoch != m.epoch || p.autoCounter > m.autoCounter) {
             meta.update(db, tbl)(cur => cur.copy(
               autoCounter = math.max(cur.autoCounter, p.autoCounter),
-              epoch = math.max(cur.epoch, p.epoch)))
+              epoch = math.max(cur.epoch, p.epoch),
+              counterDirty = cur.counterDirty || p.counterDirty))
             spark.catalog.refreshTable(s"`$db`.`$tbl`")
           }
         }
+    }
+    recoverDirtyCounter(db, tbl)
+  }
+
+  /** Converge an AUTO_INCREMENT counter whose record is DIRTY — a
+    * writer (this session's failed statement, or a crashed process)
+    * stamped the in-flight marker and never cleared it, so the
+    * persisted counter may not cover ids already on disk. Recompute
+    * from the data: counter = max(persisted, max(id)+1) — one
+    * column-pruned aggregate, only ever run after a crash. Runs under
+    * the writer lock (every caller holds it). */
+  private def recoverDirtyCounter(db: String, tbl: String): Unit =
+    meta.get(db, tbl).filter(_.counterDirty).foreach { m =>
+      m.columns.find(_.autoIncrement) match {
+        case Some(ac) =>
+          val mx = spark.table(s"`$db`.`$tbl`")
+            .agg(max(col(ac.name).cast("long"))).head
+          val next = if (mx.isNullAt(0)) 1L else mx.getLong(0) + 1L
+          meta.update(db, tbl)(cur => cur.copy(
+            autoCounter = math.max(cur.autoCounter, next), counterDirty = false))
+        case None => // vestigial flag (column dropped): just clear it
+          meta.update(db, tbl)(_.copy(counterDirty = false))
+      }
+      persistMeta(db, tbl)
     }
 
   /** Read back a [[persistMeta]] record when mounting an existing

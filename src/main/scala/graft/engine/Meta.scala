@@ -63,7 +63,14 @@ final case class TableMeta(
       * writers sound (the reference sidesteps this by flocking for
       * the whole process lifetime; per-mutation leases are strictly
       * more concurrent and need the freshness probe). */
-    epoch: Long = 0L) {
+    epoch: Long = 0L,
+    /** True while an AUTO_INCREMENT append is in flight: stamped
+      * durable BEFORE the write job starts, cleared (with the
+      * advanced counter) after it lands. A crash in between leaves
+      * rows on disk whose ids the persisted counter does not cover —
+      * the next reader of a dirty record recomputes the counter from
+      * max(id) over the data instead of re-issuing those ids. */
+    counterDirty: Boolean = false) {
   def schema: StructType = StructType(columns.map(_.sparkField))
   def column(name: String): Option[ColumnMeta] =
     columns.find(_.name.equalsIgnoreCase(name))

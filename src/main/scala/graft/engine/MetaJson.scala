@@ -34,6 +34,7 @@ private[engine] object MetaJson {
     root.put("version", 1)
     root.put("autoCounter", tm.autoCounter)
     root.put("epoch", tm.epoch)
+    root.put("counterDirty", tm.counterDirty)
     val cols = root.putArray("columns")
     tm.columns.foreach { c =>
       val o = cols.addObject()
@@ -77,6 +78,7 @@ private[engine] object MetaJson {
     }.toSeq
     TableMeta(columns, indexes,
       autoCounter = root.path("autoCounter").asLong(1L),
-      epoch = root.path("epoch").asLong(0L))
+      epoch = root.path("epoch").asLong(0L),
+      counterDirty = root.path("counterDirty").asBoolean(false))
   }
 }

@@ -112,6 +112,43 @@ class TableMetaPersistSpec extends AnyFunSuite {
     g.execute("DROP DATABASE metaf"); g2.execute("DROP DATABASE metaf_b")
   }
 
+  test("a crashed append's DIRTY counter record recomputes from the data — ids never re-issued") {
+    // The INSERT path stamps the control file dirty BEFORE the append
+    // and clears it (with the advanced counter) after. Simulate the
+    // crash in between: rows on disk up to id=3, persisted counter
+    // rolled back to 1, dirty marker set — exactly what a death after
+    // the write job leaves. The next mount must recompute the counter
+    // from max(id), not hand out 1 again.
+    val g = new Engine(spark)
+    val loc1 = java.nio.file.Files.createTempDirectory("metad1")
+    g.execute("DROP DATABASE IF EXISTS metad")
+    g.execute(s"CREATE DATABASE metad LOCATION '$loc1'")
+    g.execute("CREATE TABLE metad.t (id INTEGER AUTO_INCREMENT, v INTEGER)")
+    g.execute("INSERT INTO metad.t (v) VALUES (10)")
+    g.execute("INSERT INTO metad.t (v) VALUES (20)")
+    g.execute("INSERT INTO metad.t (v) VALUES (30)")
+    val ctl = loc1.resolve("t").resolve(Engine.TableMetaName)
+    val crashed = MetaJson.parse(new String(java.nio.file.Files.readAllBytes(ctl)))
+      .copy(autoCounter = 1L, counterDirty = true)
+    java.nio.file.Files.write(ctl, MetaJson.render(crashed).getBytes)
+    // the nio rewrite invalidates Hadoop LocalFileSystem's checksum
+    // sidecar — drop it (a real crash leaves a CONSISTENT pair; this
+    // edit is the test's shortcut to the crashed content)
+    java.nio.file.Files.deleteIfExists(
+      loc1.resolve("t").resolve(s".${Engine.TableMetaName}.crc"))
+    val loc2 = java.nio.file.Files.createTempDirectory("metad2")
+    copyDir(loc1, loc2)
+    val g2 = new Engine(spark)
+    g2.execute("DROP DATABASE IF EXISTS metad_b")
+    g2.execute(s"CREATE DATABASE metad_b LOCATION '$loc2'")
+    g2.execute("INSERT INTO metad_b.t (v) VALUES (40)")
+    val ids = spark.sql("SELECT id FROM metad_b.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L),
+      s"dirty-counter recovery must continue from max(id)+1, got $ids")
+    g.execute("DROP DATABASE metad"); g2.execute("DROP DATABASE metad_b")
+  }
+
   test("a directory with NO control file still mounts (foreign parquet, lossy fallback)") {
     val g = new Engine(spark)
     val loc = java.nio.file.Files.createTempDirectory("metax")
