@@ -1639,8 +1639,13 @@ class Engine(val spark: SparkSession) {
         tableDirectory(db, tbl).foreach { tdir =>
           // Epoch bump BEFORE the write: the stamped file is how other
           // processes detect this mutation (see [[syncExternalMeta]]).
+          // ATOMIC temp+rename replace (round-18 verdict task 1): this
+          // file is rewritten on every mutation — twice per
+          // AUTO_INCREMENT INSERT — and an in-place overwrite torn by
+          // a crash destroyed the previous good record with it,
+          // bricking every future mount.
           meta.update(db, tbl)(m => m.copy(epoch = m.epoch + 1))
-          TableFs.writeString(hadoopConf,
+          TableFs.writeStringAtomic(hadoopConf,
             new org.apache.hadoop.fs.Path(tdir, Engine.TableMetaName),
             MetaJson.render(meta.get(db, tbl).getOrElse(tm0)))
         }
@@ -1703,15 +1708,37 @@ class Engine(val spark: SparkSession) {
     * file is loud: silently dropping declared constraints is exactly
     * the failure persistence exists to prevent. */
   private def loadPersistedMeta(tdir: org.apache.hadoop.fs.Path): Option[TableMeta] = {
+    val conf = hadoopConf
     val p = new org.apache.hadoop.fs.Path(tdir, Engine.TableMetaName)
-    if (!TableFs.exists(hadoopConf, p)) None
-    else
-      try Some(MetaJson.parse(TableFs.readString(hadoopConf, p)))
-      catch {
-        case e: EngineException => throw e
-        case e: Exception => throw new EngineException(
-          s"corrupt table-metadata control file $p: ${e.getMessage}")
-      }
+    // Crash recovery for the atomic replace protocol
+    // (TableFs.writeStringAtomic): a death between the target's delete
+    // and the temp's rename leaves the COMPLETE new record parked at
+    // `.graft_meta.tmp` — adopt it. A torn TEMP (crash mid temp-write)
+    // never shadows a good target: the target is read first and the
+    // temp only consulted when the target is absent or unparseable.
+    def tryParse(path: org.apache.hadoop.fs.Path): Option[TableMeta] =
+      if (!TableFs.exists(conf, path)) None
+      else Some(MetaJson.parse(TableFs.readString(conf, path)))
+    val tmp = TableFs.tmpName(p)
+    try tryParse(p).orElse(tryParse(tmp))
+    catch {
+      case _: Exception =>
+        // Target present but unreadable/corrupt (a torn copy on a
+        // non-atomic-rename store, a truncated pre-round-19 in-place
+        // write): the temp sibling may hold the full record the
+        // commit was replacing it with. Only if BOTH fail is the
+        // metadata genuinely lost — and that stays LOUD: silently
+        // dropping declared constraints is exactly the failure
+        // persistence exists to prevent.
+        try tryParse(tmp).orElse(throw new EngineException(
+          s"corrupt table-metadata control file $p (no recoverable " +
+            s"$tmp sibling) — the constraint record cannot be read"))
+        catch {
+          case e: EngineException => throw e
+          case e: Exception => throw new EngineException(
+            s"corrupt table-metadata control file $p: ${e.getMessage}")
+        }
+    }
   }
 
   /** Writer-lock + crash-repair bracket for table-REWRITING mutations

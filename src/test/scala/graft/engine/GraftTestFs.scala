@@ -45,10 +45,31 @@ class FlakyGraftFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     maybeFail(f)
     super.exists(f)
   }
+  // Write-fault injection for the atomic control-file replace
+  // (TableMetaPersistSpec): the next create() of a path whose name
+  // contains the armed substring throws — the crash/outage point is
+  // BEFORE any byte reaches the store, exactly the mid-write failure
+  // the temp+rename protocol must leave the previous record intact
+  // through.
+  private def maybeFailCreate(f: org.apache.hadoop.fs.Path): Unit = {
+    val armed = FlakyGraftFs.failCreateOn
+    if (armed != null && f.getName.contains(armed)) {
+      FlakyGraftFs.failCreateOn = null
+      throw new java.io.IOException(s"injected fs write failure on $f")
+    }
+  }
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    maybeFailCreate(f)
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
 }
 object FlakyGraftFs {
   /** Substring of the next path name whose stat should fail, or null. */
   @volatile var failOnceOn: String = _
+  /** Substring of the next path name whose create should fail, or null. */
+  @volatile var failCreateOn: String = _
 }
 
 /** A registered scheme deliberately NOT on the COMPACT atomic-rename

@@ -149,6 +149,106 @@ class TableMetaPersistSpec extends AnyFunSuite {
     g.execute("DROP DATABASE metad"); g2.execute("DROP DATABASE metad_b")
   }
 
+  // ---- Atomic control-file replace (round-18 verdict task 1) ----
+  // persistMeta commits through TableFs.writeStringAtomic: write
+  // `.graft_meta.tmp`, delete the old record, rename the temp over it.
+  // The four crash points a death can leave on disk, each pinned below:
+  // mid temp-write (target intact), between delete and rename (target
+  // absent, COMPLETE temp present), torn target with temp intact
+  // (non-atomic-store copy window / pre-round-19 in-place write), and
+  // both unreadable (genuinely lost → LOUD, never silent constraint
+  // loss).
+
+  private def park(dir: java.nio.file.Path, fromName: String, toName: String): Unit = {
+    import java.nio.file._
+    Files.move(dir.resolve(fromName), dir.resolve(toName), StandardCopyOption.REPLACE_EXISTING)
+    // nio edits bypass Hadoop LocalFileSystem's checksum layer — drop
+    // the sidecars so the engine's read sees a consistent file.
+    Files.deleteIfExists(dir.resolve(s".$fromName.crc"))
+    Files.deleteIfExists(dir.resolve(s".$toName.crc"))
+  }
+
+  test("crash between the record's delete and the temp's rename: the temp is adopted on mount") {
+    val g = new Engine(spark)
+    val loc1 = java.nio.file.Files.createTempDirectory("metat1")
+    buildConstrained(g, "metat", loc1.toString)
+    // Construct the torn-commit state: the new record fully written to
+    // the temp name, the target already deleted, the rename never ran.
+    park(loc1.resolve("t"), Engine.TableMetaName, Engine.TableMetaName + ".tmp")
+    val loc2 = java.nio.file.Files.createTempDirectory("metat2")
+    copyDir(loc1, loc2)
+    val g2 = new Engine(spark)
+    g2.execute("DROP DATABASE IF EXISTS metat_b")
+    g2.execute(s"CREATE DATABASE metat_b LOCATION '$loc2'")
+    assertConstraintsLive(g2, "metat_b")
+    g.execute("DROP DATABASE metat"); g2.execute("DROP DATABASE metat_b")
+  }
+
+  test("torn target with the temp sibling intact: the temp recovers the record") {
+    val g = new Engine(spark)
+    val loc1 = java.nio.file.Files.createTempDirectory("metau1")
+    buildConstrained(g, "metau", loc1.toString)
+    val tdir = loc1.resolve("t")
+    // The complete record parks at the temp name; the target is a
+    // truncated torn write (what a copy+delete "rename" store or a
+    // pre-round-19 in-place overwrite leaves behind).
+    import java.nio.file._
+    Files.copy(tdir.resolve(Engine.TableMetaName),
+      tdir.resolve(Engine.TableMetaName + ".tmp"), StandardCopyOption.REPLACE_EXISTING)
+    Files.write(tdir.resolve(Engine.TableMetaName), "{\"version\": 1, \"auto".getBytes)
+    Files.deleteIfExists(tdir.resolve(s".${Engine.TableMetaName}.crc"))
+    Files.deleteIfExists(tdir.resolve(s".${Engine.TableMetaName}.tmp.crc"))
+    val loc2 = java.nio.file.Files.createTempDirectory("metau2")
+    copyDir(loc1, loc2)
+    val g2 = new Engine(spark)
+    g2.execute("DROP DATABASE IF EXISTS metau_b")
+    g2.execute(s"CREATE DATABASE metau_b LOCATION '$loc2'")
+    assertConstraintsLive(g2, "metau_b")
+    g.execute("DROP DATABASE metau"); g2.execute("DROP DATABASE metau_b")
+  }
+
+  test("target AND temp unreadable: the mount fails LOUDLY, never silent constraint loss") {
+    val g = new Engine(spark)
+    val loc1 = java.nio.file.Files.createTempDirectory("metav1")
+    buildConstrained(g, "metav", loc1.toString)
+    val tdir = loc1.resolve("t")
+    import java.nio.file._
+    Files.write(tdir.resolve(Engine.TableMetaName), "{\"version\": 1, \"auto".getBytes)
+    Files.write(tdir.resolve(Engine.TableMetaName + ".tmp"), "not json either".getBytes)
+    Files.deleteIfExists(tdir.resolve(s".${Engine.TableMetaName}.crc"))
+    val loc2 = java.nio.file.Files.createTempDirectory("metav2")
+    copyDir(loc1, loc2)
+    val g2 = new Engine(spark)
+    g2.execute("DROP DATABASE IF EXISTS metav_b")
+    val err = intercept[EngineException](
+      g2.execute(s"CREATE DATABASE metav_b LOCATION '$loc2'"))
+    assert(err.getMessage.contains("corrupt table-metadata"), err.getMessage)
+    g.execute("DROP DATABASE metav")
+  }
+
+  test("an injected write fault during persist leaves the PREVIOUS record fully usable") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flakyfs.impl", classOf[FlakyGraftFs].getName)
+    val g = new Engine(spark)
+    val loc1 = java.nio.file.Files.createTempDirectory("metaw1")
+    buildConstrained(g, "metaw", s"flakyfs://$loc1")
+    // Arm the outage: the NEXT create of the temp sibling throws — the
+    // mutation must fail loudly with the old record untouched (the
+    // in-place write this replaces corrupted the record right here).
+    FlakyGraftFs.failCreateOn = Engine.TableMetaName + ".tmp"
+    try intercept[Exception](g.execute("INSERT INTO metaw.t (name, code) VALUES ('z', 99)"))
+    finally FlakyGraftFs.failCreateOn = null
+    // The record on disk is the previous good one: a fresh process
+    // mounts it and still enforces every constraint, ids stay dense.
+    val loc2 = java.nio.file.Files.createTempDirectory("metaw2")
+    copyDir(loc1, loc2)
+    val g2 = new Engine(spark)
+    g2.execute("DROP DATABASE IF EXISTS metaw_b")
+    g2.execute(s"CREATE DATABASE metaw_b LOCATION '$loc2'")
+    assertConstraintsLive(g2, "metaw_b")
+    g.execute("DROP DATABASE metaw"); g2.execute("DROP DATABASE metaw_b")
+  }
+
   test("a directory with NO control file still mounts (foreign parquet, lossy fallback)") {
     val g = new Engine(spark)
     val loc = java.nio.file.Files.createTempDirectory("metax")
