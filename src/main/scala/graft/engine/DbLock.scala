@@ -27,17 +27,36 @@ import java.nio.file.StandardOpenOption.{CREATE, WRITE}
   *    exist there, so the exclusion primitive is the one HDFS-like
   *    stores DO guarantee — atomic `create(path, overwrite=false)` on
   *    a lease file `<dir>/.graft.lock.lease` (round-17 verdict task
-  *    4). The lease body carries an owner id; while held, a daemon
-  *    heartbeat refreshes its modification time every
-  *    `graft.lock.stale.ms`/3 (default 60 s / 3 = 20 s). TAKEOVER
-  *    RULE, documented and deliberate: a contender that finds the
-  *    lease older than `graft.lock.stale.ms` deletes it and retries —
-  *    the owner is presumed dead (a live owner's heartbeat is 3×
-  *    faster than the threshold; only a process paused longer than
-  *    2/3 of the stale window can be wrongly usurped, the standard
-  *    lease trade-off). Contention past `graft.lock.timeout.ms` is a
-  *    LOUD [[EngineException]] naming the lease file, never a silent
-  *    race.
+  *    4). The lease body carries a UNIQUE owner id; while held, a
+  *    daemon heartbeat refreshes it every `graft.lock.stale.ms`/3
+  *    (default 60 s / 3 = 20 s) — by `setTimes` mtime bump where the
+  *    store honors it, by rewriting the lease body where it does not
+  *    (PROBED at acquire time: Hadoop's base FileSystem implements
+  *    setTimes as a silent no-op and stores like S3A don't override
+  *    it, so an unprobed mtime heartbeat would leave a live owner
+  *    looking permanently stale — round-18 advice). TAKEOVER RULE,
+  *    documented and deliberate: a contender that finds the lease
+  *    older than `graft.lock.stale.ms` presumes the owner dead and
+  *    reclaims — but CONDITIONALLY (re-stat immediately before the
+  *    delete; only delete if the lease is still the one observed
+  *    stale) and with a post-create VERIFY (read the body back; only
+  *    our own owner id means the lock is held). Two contenders racing
+  *    the same stale lease previously both "won": A deleted + created,
+  *    then B's pending delete removed A's fresh lease and B created
+  *    its own — both writing concurrently. The conditional delete
+  *    stops B (A's fresh lease no longer matches B's stale
+  *    observation), and the verify catches the residual
+  *    stat-then-delete interleave (the usurped party re-enters the
+  *    retry loop instead of proceeding). The release is likewise
+  *    conditional: a holder paused past the stale window whose lease
+  *    was legitimately taken over must not delete the NEW owner's
+  *    lease on its way out. Contention past `graft.lock.timeout.ms`
+  *    is a LOUD [[EngineException]] naming the lease file, never a
+  *    silent race. Residual honesty: without a storage-level
+  *    compare-and-swap (which Hadoop does not expose) a process
+  *    paused longer than the stale window between its verify and its
+  *    write cannot be fenced — the standard lease trade-off,
+  *    inherited by every lease-on-filesystem design.
   *
   * Instantiable for tests: each [[DbLock]] instance has its OWN
   * in-JVM lock table, so two instances over one remote directory
@@ -52,6 +71,7 @@ private[engine] final class DbLock {
     var channel: FileChannel = _
     var lease: org.apache.hadoop.fs.Path = _
     var leaseFs: org.apache.hadoop.fs.FileSystem = _
+    var leaseOwner: String = _
     var heartbeat: java.util.concurrent.ScheduledFuture[_] = _
     var holds: Int = 0
   }
@@ -103,10 +123,18 @@ private[engine] final class DbLock {
           }
           if (e.lease != null) {
             if (e.heartbeat != null) { e.heartbeat.cancel(false); e.heartbeat = null }
-            try e.leaseFs.delete(e.lease, false)
-            catch { case _: Exception => () } // stale takeover reclaims it
+            // CONDITIONAL release: only delete a lease that is still
+            // OURS. A holder paused past the stale window may have
+            // been legitimately usurped — deleting the new owner's
+            // live lease here would hand the directory to a third
+            // writer while the second still holds it.
+            try {
+              if (readLease(e.leaseFs, e.lease) == e.leaseOwner)
+                e.leaseFs.delete(e.lease, false)
+            } catch { case _: Exception => () } // stale takeover reclaims it
             e.lease = null
             e.leaseFs = null
+            e.leaseOwner = null
           }
         }
       }
@@ -137,16 +165,33 @@ private[engine] final class DbLock {
     e.flock = fl
   }
 
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(lease)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](256)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** Lease-file exclusion on a Hadoop FileSystem: atomic
-    * create-no-overwrite to acquire, mtime heartbeat while held,
-    * stale-age takeover (see class doc for the rule). */
+    * create-no-overwrite to acquire (verified by reading the body
+    * back), probed heartbeat while held, identity-conditional
+    * stale-age takeover (see class doc for the rules). */
   private def acquireLease(e: Entry,
       conf: org.apache.hadoop.conf.Configuration,
       rdir: org.apache.hadoop.fs.Path, deadline: Long): Unit = {
     val fs = rdir.getFileSystem(conf)
     val lease = new org.apache.hadoop.fs.Path(rdir, DbLock.LeaseName)
+    // UNIQUE per acquisition, not just per process: the post-create
+    // verify and the conditional release compare exact bodies.
     val owner = s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/" +
-      s"${System.identityHashCode(this)}"
+      s"${System.identityHashCode(this)}/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val ownerBytes = owner.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var acquired = false
     while (!acquired) {
       val out =
@@ -159,31 +204,82 @@ private[engine] final class DbLock {
         }
       out match {
         case Some(o) =>
-          try o.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          try o.write(ownerBytes)
           finally o.close()
-          acquired = true
+          // VERIFY before treating the lock as held: a contender that
+          // observed the PREVIOUS stale lease may have deleted ours in
+          // the window between our create and now (its conditional
+          // delete raced our create). Only our own body back means we
+          // hold it; anything else re-enters the retry loop.
+          val body = try readLease(fs, lease) catch { case _: Exception => null }
+          if (body == owner) acquired = true
+          else Thread.sleep(50)
         case None =>
           // Held by someone. Dead-owner takeover: older than staleMs
-          // (a live owner heartbeats at staleMs/3) → reclaim.
-          val age =
-            try System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
-            catch { case _: java.io.FileNotFoundException => -1L } // released just now → retry
-          if (age > staleMs) {
-            try { fs.delete(lease, false); () } catch { case _: Exception => () }
-          } else if (System.nanoTime() > deadline) {
-            throw new EngineException(
-              s"concurrent mutation on $rdir: another process holds $lease " +
-                s"past ${timeoutMs} ms (lease age ${math.max(age, 0)} ms, " +
-                s"stale threshold ${staleMs} ms) — single-writer discipline " +
-                "refused the write")
-          } else Thread.sleep(50)
+          // (a live owner heartbeats at staleMs/3) → reclaim — but
+          // only the EXACT lease observed stale (identity = mtime):
+          // re-stat right before the delete so a fresh lease that
+          // replaced the stale one mid-decision is never deleted.
+          val observed =
+            try Some(fs.getFileStatus(lease).getModificationTime)
+            catch { case _: java.io.FileNotFoundException => None } // released just now → retry
+          observed match {
+            case Some(mtime) =>
+              val age = System.currentTimeMillis() - mtime
+              val stale = age > staleMs
+              if (stale)
+                try {
+                  if (fs.getFileStatus(lease).getModificationTime == mtime) {
+                    fs.delete(lease, false); ()
+                  }
+                } catch { case _: Exception => () }
+              // The deadline applies on BOTH branches: a takeover
+              // whose delete keeps failing must end loudly too, not
+              // spin forever.
+              if (System.nanoTime() > deadline)
+                throw new EngineException(
+                  s"concurrent mutation on $rdir: another process holds $lease " +
+                    s"past ${timeoutMs} ms (lease age ${math.max(age, 0)} ms, " +
+                    s"stale threshold ${staleMs} ms) — single-writer discipline " +
+                    "refused the write")
+              if (!stale) Thread.sleep(50)
+            case None => () // released just now → retry the create
+          }
       }
     }
     e.lease = lease
     e.leaseFs = fs
+    e.leaseOwner = owner
+    // Heartbeat efficacy probe (round-18 advice): Hadoop's base
+    // FileSystem implements setTimes as a silent no-op and object
+    // stores don't override it — on such a store an mtime heartbeat
+    // never lands and a live owner looks stale after graft.lock
+    // .stale.ms, getting usurped MID-MUTATION. Set a distinct future
+    // mtime and read it back: honored → cheap mtime heartbeat;
+    // ignored → heartbeat by rewriting the lease body (any store
+    // that can host the lease can write it, and a write moves mtime
+    // everywhere). The probe's future stamp is restored immediately;
+    // if it sticks, contenders compute a negative age — never stale.
+    val mtimeWorks =
+      try {
+        val before = fs.getFileStatus(lease).getModificationTime
+        val target = before + 60000L
+        fs.setTimes(lease, target, -1)
+        val honored = fs.getFileStatus(lease).getModificationTime == target
+        if (honored) fs.setTimes(lease, System.currentTimeMillis(), -1)
+        honored
+      } catch { case _: Exception => false }
     e.heartbeat = DbLock.heartbeats.scheduleAtFixedRate(
-      () => try { fs.setTimes(lease, System.currentTimeMillis(), -1); () }
-            catch { case _: Exception => () },
+      () => try {
+        if (mtimeWorks) { fs.setTimes(lease, System.currentTimeMillis(), -1); () }
+        else if (readLease(fs, lease) == owner) {
+          // content-rewrite heartbeat — ownership-checked so a holder
+          // that was usurped while paused never clobbers the new
+          // owner's lease from its heartbeat thread
+          val o = fs.create(lease, true)
+          try o.write(ownerBytes) finally o.close()
+        }
+      } catch { case _: Exception => () },
       staleMs / 3, staleMs / 3, java.util.concurrent.TimeUnit.MILLISECONDS)
   }
 }

@@ -213,7 +213,31 @@ class Engine(val spark: SparkSession) {
   def query(sql: String): DataFrame = {
     val s = preprocess(stripTrailingSemi(sql))
     if (s.trim.toUpperCase.startsWith("EXECUTE OPERATOR")) operatorDf(s.trim)
-    else sqlDf(s)
+    else freshDf(s)
+  }
+
+  /** [[sqlDf]] plus the opt-in cross-process READ freshness probe
+    * (round-18 verdict task 6). Default posture — documented snapshot
+    * semantics: a read-only session over a directory another process
+    * mutates serves the file listing it cached at first touch (Spark's
+    * own behavior for external writers; `spark.catalog.refreshTable`
+    * or any locked mutation refreshes it). `SET @read_fresh = true`
+    * upgrades reads: before executing, each catalog table the analyzed
+    * plan scans is epoch-probed against its persisted control file —
+    * one O(KB) driver-side read per table per query — and on a
+    * mismatch the session adopts the external record (counter,
+    * columns, indexes, catalog shape) and re-analyzes. Off by default
+    * because the always case is single-writer, where the probe is
+    * pure per-query latency. */
+  private def freshDf(sql: String): DataFrame = {
+    val df = sqlDf(sql)
+    val on = vars.get("read_fresh").map(_.trim).exists(v =>
+      v.equalsIgnoreCase("true") || v == "1")
+    if (on) {
+      val changed = org.apache.spark.sql.graft.Shims.catalogTables(df)
+        .map { case (db, tbl) => adoptExternalMeta(db, tbl) }
+      if (changed.contains(true)) sqlDf(sql) else df
+    } else df
   }
 
   /** `spark.sql` with the dialect's arithmetic semantics: the parsed
@@ -404,7 +428,7 @@ class Engine(val spark: SparkSession) {
         maybeAutoCompact(tgtDb, tgtTbl)
         out
       }
-    case _ => sqlDf(sql)
+    case _ => freshDf(sql)
   }
 
   // ------------------------------------------------------------------
@@ -787,23 +811,35 @@ class Engine(val spark: SparkSession) {
 
   /** Remote (Hadoop-scheme) database directory, for the storage-level
     * lease [[DbLock]] takes where flock cannot reach (round-17
-    * verdict task 4): non-`file:` locations whose scheme a FileSystem
-    * actually serves. None for local databases (flock covers those)
-    * and for locations nothing serves (JVM-scoped lock only — the
-    * documented pre-round-18 honesty). */
+    * verdict task 4): non-`file:` locations. None only for genuinely
+    * LOCAL databases (flock covers those) and unresolvable catalog
+    * entries. A resolution error on a location that IS remote —
+    * an unreachable namenode, a scheme whose FileSystem fails to
+    * load — is LOUD (round-18 verdict task 4): swallowing it into
+    * None silently downgraded the mutation from lease-protected to
+    * JVM-lock-only, letting two processes race the very write the
+    * lease exists to serialize. */
   private def dbRemoteDir(db: String):
       Option[(org.apache.hadoop.conf.Configuration, org.apache.hadoop.fs.Path)] =
     if (dbDir(db).isDefined) None
-    else try {
-      val uri = new java.net.URI(spark.catalog.getDatabase(db).locationUri)
-      if (uri.getScheme == null || uri.getScheme == "file") None
-      else {
+    else {
+      // Unknown database / unparseable location: not a remote store —
+      // the mutation's own resolve() produces the right error.
+      val uriOpt =
+        try {
+          val u = new java.net.URI(spark.catalog.getDatabase(db).locationUri)
+          Option(u.getScheme).filter(_ != "file").map(_ => u)
+        } catch { case _: Exception => None }
+      uriOpt.map { uri =>
         val conf = hadoopConf
         val p = new org.apache.hadoop.fs.Path(uri)
-        TableFs.fs(conf, p) // throws if no FileSystem serves the scheme
-        Some((conf, p))
+        try { TableFs.fs(conf, p); (conf, p) }
+        catch { case e: Exception => throw new EngineException(
+          s"cannot reach the filesystem for database $db at $uri — " +
+            "refusing to mutate without the cross-process writer lease " +
+            s"(${e.getMessage})") }
       }
-    } catch { case _: Exception => None }
+    }
 
   /** Writer lock for one database's mutations — local flock or remote
     * lease per the location, plus the in-JVM table. Every mutation
@@ -1532,39 +1568,104 @@ class Engine(val spark: SparkSession) {
       case dropCol(rawName, ifExists, rawCol) =>
         val (db, tbl) = resolve(rawName)
         val c = cleanIdent(rawCol)
-        // IF EXISTS on a missing column is a silent no-op
-        // (reference alter_table.rs DROP COLUMN IF EXISTS battery).
-        if (meta.get(db, tbl).isDefined && requireMeta(db, tbl).column(c).isEmpty && ifExists != null)
-          Payload.AlterTable
-        else {
-          withTableWriter(db, tbl) {
-            val tm = requireMeta(db, tbl)
-            if (tm.column(c).isEmpty) throw new EngineException(s"unknown column $c")
-            val df = spark.table(s"`$db`.`$tbl`").drop(tm.column(c).get.name)
-            rewriteTable(db, tbl, tm.copy(columns = tm.columns.filterNot(_.name.equalsIgnoreCase(c))), df)
+        // The IF EXISTS missing-column no-op is decided INSIDE the
+        // locked block, after syncExternalMeta (round-18 advice): the
+        // pre-lock in-memory snapshot can be stale — another process
+        // may have ADDED the column, and skipping from the stale view
+        // silently failed to drop a column that exists on disk.
+        withTableWriter(db, tbl) {
+          val tm = requireMeta(db, tbl)
+          tm.column(c) match {
+            case None if ifExists != null => // silent no-op
+              // (reference alter_table.rs DROP COLUMN IF EXISTS battery)
+            case None => throw new EngineException(s"unknown column $c")
+            case Some(cm) =>
+              val df = spark.table(s"`$db`.`$tbl`").drop(cm.name)
+              rewriteTable(db, tbl,
+                tm.copy(columns = tm.columns.filterNot(_.name.equalsIgnoreCase(c))), df)
           }
-          Payload.AlterTable
         }
+        Payload.AlterTable
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
     }
   }
 
-  /** Drop + recreate + reload — the rewrite path for schema changes
-    * parquet can't do in place. CSV tables reject ALTER like the
-    * reference's per-backend exception list (tests/databases/csv.rs:30-35). */
+  /** The rewrite path for schema changes parquet can't do in place
+    * (ADD/DROP/RENAME COLUMN). CSV tables reject ALTER like the
+    * reference's per-backend exception list (tests/databases/csv.rs:30-35).
+    *
+    * Managed parquet tables on an atomic-rename store take the SAME
+    * manifest-bracketed staged swap as COMPACT and the CoW DML
+    * (round-18 verdict task 3): the new-shape rows land in a hidden
+    * staging dir, are row-parity-gated against the originals' footer
+    * counts (ALTER never changes the row count — both sides are
+    * driver-side metadata reads, zero extra jobs), and enter through
+    * [[swapIn]] with the NEW constraint record riding the manifest.
+    * The previous flow was localCheckpoint → DROP TABLE → CREATE →
+    * append: a crash between the DROP and the append lost the table
+    * outright (the checkpoint dies with the JVM), and a crash before
+    * persistMeta silently dropped every constraint. Now every crash
+    * point converges through the shared repair to a consistent
+    * (files, meta) pair — old shape or new, never half. The staged
+    * write also replaces the checkpoint: the originals stay readable
+    * until the swap, so the rewrite is one scan→write job instead of
+    * checkpoint-write + read + write.
+    *
+    * XLSX-mirrored tables and stores without atomic rename keep the
+    * drop+recreate flow (the book rewrite is the durability story for
+    * the former; half a swap protocol on a copy+delete "rename" is
+    * worse than none for the latter). */
   private def rewriteTable(db: String, tbl: String, newMeta: TableMeta, data: DataFrame): Unit = {
     meta.get(db, tbl).foreach { tm =>
       if (tm.csvPath.isDefined)
         throw new EngineException("ALTER TABLE is not supported for CSV tables")
     }
-    val out = data.localCheckpoint(eager = true, Engine.StagingLevel)
-    spark.sql(s"DROP TABLE `$db`.`$tbl`")
-    val fields = newMeta.columns.map(c => s"`${c.name}` ${typeName(c.dataType)}").mkString(", ")
-    spark.sql(s"CREATE TABLE `$db`.`$tbl` ($fields) USING parquet")
-    out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
-    meta.put(db, tbl, newMeta)
-    persistMeta(db, tbl)
-    newMeta.xlsxPath.foreach(syncXlsx)
+    val conf = hadoopConf
+    val tdirOpt =
+      if (meta.get(db, tbl).exists(m => m.xlsxPath.isDefined || m.jdbc)) None
+      else tableDirectory(db, tbl)
+        .filter(TableFs.isDirectoryStrict(conf, _))
+        .filter(d => atomicRenameOk(conf, d))
+    tdirOpt match {
+      case Some(tdir) =>
+        val origUris = dataFiles(db, tbl).map(_._1)
+        val staging = new org.apache.hadoop.fs.Path(tdir,
+          s".alter_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+        try {
+          data.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+          val counted = TableFs.listData(conf, staging)
+            .map { case (p, _) => p -> footerRowCount(conf, Seq(p)) }
+          val landed = counted.map(_._2).sum
+          val expect = footerRowCount(conf, origUris.map(pathOfUri))
+          if (landed != expect)
+            throw new EngineException(
+              s"ALTER rewrite aborted: staged files hold $landed rows != " +
+                s"original $expect — staging discarded, originals untouched")
+          // The new record rides the manifest, epoch-bumped past the
+          // session's view so other processes adopt the new shape.
+          val stamped = meta.get(db, tbl) match {
+            case Some(cur) => newMeta.copy(
+              autoCounter = math.max(newMeta.autoCounter, cur.autoCounter),
+              epoch = cur.epoch + 1,
+              counterDirty = cur.counterDirty)
+            case None => newMeta.copy(epoch = newMeta.epoch + 1)
+          }
+          swapIn(db, tbl, conf, tdir, counted.filter(_._2 > 0).map(_._1),
+            origUris, Some(MetaJson.render(stamped)))
+          meta.put(db, tbl, stamped)
+          syncCatalogShape(db, tbl, stamped.schema)
+          spark.catalog.refreshTable(s"`$db`.`$tbl`")
+        } finally TableFs.deleteRecursively(conf, staging)
+      case None =>
+        val out = data.localCheckpoint(eager = true, Engine.StagingLevel)
+        spark.sql(s"DROP TABLE `$db`.`$tbl`")
+        val fields = newMeta.columns.map(c => s"`${c.name}` ${typeName(c.dataType)}").mkString(", ")
+        spark.sql(s"CREATE TABLE `$db`.`$tbl` ($fields) USING parquet")
+        out.write.mode(SaveMode.Append).insertInto(s"`$db`.`$tbl`")
+        meta.put(db, tbl, newMeta)
+        persistMeta(db, tbl)
+        newMeta.xlsxPath.foreach(syncXlsx)
+    }
   }
 
   // ------------------------------------------------------------------
@@ -1664,19 +1765,87 @@ class Engine(val spark: SparkSession) {
     * lifetime (database/mod.rs:72-92) — per-mutation locks are
     * strictly more concurrent and pay this probe instead. */
   private def syncExternalMeta(db: String, tbl: String): Unit = {
+    adoptExternalMeta(db, tbl)
+    recoverDirtyCounter(db, tbl)
+  }
+
+  /** The probe-and-adopt half of [[syncExternalMeta]], safe to run
+    * WITHOUT the writer lock (it reads the control file and updates
+    * session-local state — worst case under a race is one redundant
+    * refresh): the opt-in read-freshness path uses it directly.
+    * Returns true when an external mutation was detected and adopted. */
+  private def adoptExternalMeta(db: String, tbl: String): Boolean = {
+    var adopted = false
     meta.get(db, tbl).foreach { m =>
       if (!m.jdbc && m.csvPath.isEmpty && m.xlsxPath.isEmpty)
         tableDirectory(db, tbl).flatMap(loadPersistedMeta).foreach { p =>
           if (p.epoch != m.epoch || p.autoCounter > m.autoCounter) {
-            meta.update(db, tbl)(cur => cur.copy(
+            adopted = true
+            // Adopt the FULL persisted record, not just the counter
+            // (round-18 verdict task 2): another process's ALTER TABLE
+            // / CREATE UNIQUE INDEX / DROP INDEX changed columns or
+            // indexes, and enforcing this session's stale constraint
+            // set would silently skip the new UNIQUE/NOT NULL (the
+            // reference re-fetches schema per statement —
+            // fetch_schema, src/database/base.rs:7-14). Counter and
+            // dirty flag still MERGE (max/or): this session may hold
+            // in-flight state the persisted record predates.
+            val shapeChanged = p.columns.map(c => (c.name, c.dataType)) !=
+              m.columns.map(c => (c.name, c.dataType))
+            meta.update(db, tbl)(cur => p.copy(
+              csvPath = cur.csvPath, csvHasHeader = cur.csvHasHeader,
+              xlsxPath = cur.xlsxPath, sheetName = cur.sheetName,
+              jdbc = cur.jdbc,
               autoCounter = math.max(cur.autoCounter, p.autoCounter),
               epoch = math.max(cur.epoch, p.epoch),
               counterDirty = cur.counterDirty || p.counterDirty))
+            if (shapeChanged)
+              // The other process REWROTE the table to a new shape
+              // (ADD/DROP/RENAME COLUMN); this session's catalog entry
+              // still describes the old one, so a write through it
+              // would produce wrong-shaped rows. Re-point the catalog
+              // data schema at the persisted shape — O(metadata),
+              // loud if the catalog refuses (a remount then resolves).
+              syncCatalogShape(db, tbl,
+                meta.get(db, tbl).map(_.schema).getOrElse(p.schema))
             spark.catalog.refreshTable(s"`$db`.`$tbl`")
           }
         }
     }
-    recoverDirtyCounter(db, tbl)
+    adopted
+  }
+
+  /** Re-point the session catalog's data schema for `db.tbl` at
+    * `schema` — the catalog-side half of adopting another process's
+    * ALTER TABLE (see [[syncExternalMeta]]) and of the staged ALTER
+    * rewrite. `alterTableDataSchema` is the sanctioned API but refuses
+    * any change that REMOVES an old column name (so cross-process
+    * DROP/RENAME COLUMN would never sync); fall back to replacing the
+    * whole table definition, then VERIFY the catalog took it — the
+    * Hive external catalog silently preserves the old schema on a
+    * bare alterTable, and continuing against a stale shape writes
+    * wrong-shaped rows. Loud when the catalog cannot follow: a
+    * remount resolves, silent stale enforcement does not. */
+  private def syncCatalogShape(db: String, tbl: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db))
+    try {
+      try cat.alterTableDataSchema(ident, schema)
+      catch {
+        case _: Exception =>
+          cat.alterTable(cat.getTableMetadata(ident).copy(schema = schema))
+          val took = cat.getTableMetadata(ident).schema
+          if (took.map(f => (f.name.toLowerCase, f.dataType)) !=
+              schema.map(f => (f.name.toLowerCase, f.dataType)))
+            throw new EngineException("the catalog preserved the old schema")
+      }
+    } catch {
+      case e: Exception => throw new EngineException(
+        s"table $db.$tbl was re-shaped by another process and the " +
+          s"catalog schema could not follow (${e.getMessage}); " +
+          "re-mount the database to continue")
+    }
   }
 
   /** Converge an AUTO_INCREMENT counter whose record is DIRTY — a
@@ -1937,6 +2106,8 @@ class Engine(val spark: SparkSession) {
       .foreach(TableFs.deleteRecursively(conf, _))
     TableFs.listPrefixed(conf, tdir, ".dml_staging_")
       .foreach(TableFs.deleteRecursively(conf, _))
+    TableFs.listPrefixed(conf, tdir, ".alter_staging_")
+      .foreach(TableFs.deleteRecursively(conf, _))
     val staging = new org.apache.hadoop.fs.Path(tdir,
       s".compact_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
@@ -2032,10 +2203,21 @@ class Engine(val spark: SparkSession) {
       conf: org.apache.hadoop.conf.Configuration,
       tdir: org.apache.hadoop.fs.Path,
       stagedFiles: Seq[org.apache.hadoop.fs.Path],
-      origUris: Seq[String]): Unit = {
+      origUris: Seq[String],
+      metaJson: Option[String] = None): Unit = {
     val manifest = new org.apache.hadoop.fs.Path(tdir, Engine.SwapManifestName)
+    // `meta`: the ALTER rewrite swaps in files of a NEW SHAPE, so the
+    // constraint record must change with them or a crash leaves meta
+    // that names columns the files no longer have. The new record
+    // rides the manifest (base64: JSON is multi-line) and is committed
+    // — atomically, temp+rename — after the last original retires,
+    // by this live path or by the repair's roll-forward. A roll-back
+    // discards it with the staged files, leaving the old record: both
+    // crash outcomes are CONSISTENT (files, meta) pairs.
     val body = (stagedFiles.map(f => s"staged\t${f.getName}") ++
       origUris.map(u => s"orig\t${pathOfUri(u).getName}") ++
+      metaJson.map(j => s"meta\t${java.util.Base64.getEncoder.encodeToString(
+        j.getBytes(java.nio.charset.StandardCharsets.UTF_8))}").toSeq ++
       (if (stagedFiles.isEmpty) Seq("empty_ok\ttrue") else Seq.empty))
       .mkString("\n")
     TableFs.writeString(conf, manifest, body)
@@ -2044,6 +2226,8 @@ class Engine(val spark: SparkSession) {
         TableFs.rename(conf, f, new org.apache.hadoop.fs.Path(tdir, f.getName))
       }
       origUris.foreach(deleteDataFile)
+      metaJson.foreach(j => TableFs.writeStringAtomic(conf,
+        new org.apache.hadoop.fs.Path(tdir, Engine.TableMetaName), j))
       TableFs.deleteChecked(conf, manifest)
     } catch {
       case swapErr: Throwable =>
@@ -2179,9 +2363,27 @@ class Engine(val spark: SparkSession) {
       // must leave the manifest in place — removing it after a
       // PARTIAL roll-forward would bake the surviving originals in
       // as permanent duplicates (round-17 advice).
-      if (allStagedIn)
+      if (allStagedIn) {
         origs.foreach(nm => TableFs.deleteChecked(conf, new org.apache.hadoop.fs.Path(tdir, nm)))
-      else
+        // A torn ALTER rewrite carries its NEW constraint record in
+        // the manifest (see [[swapIn]]): rolling forward means the
+        // new-shape files win, so the record and the session's
+        // catalog/meta view must follow — before the manifest is
+        // consumed, so a failure here leaves the repair retryable.
+        lines.collectFirst { case Array("meta", b64) =>
+          new String(java.util.Base64.getDecoder.decode(b64),
+            java.nio.charset.StandardCharsets.UTF_8)
+        }.foreach { body =>
+          TableFs.writeStringAtomic(conf,
+            new org.apache.hadoop.fs.Path(tdir, Engine.TableMetaName), body)
+          val parsed = MetaJson.parse(body)
+          meta.update(db, tbl)(cur => parsed.copy(
+            csvPath = cur.csvPath, csvHasHeader = cur.csvHasHeader,
+            xlsxPath = cur.xlsxPath, sheetName = cur.sheetName,
+            jdbc = cur.jdbc))
+          syncCatalogShape(db, tbl, parsed.schema)
+        }
+      } else
         staged.foreach(nm => TableFs.deleteChecked(conf, new org.apache.hadoop.fs.Path(tdir, nm)))
       TableFs.deleteChecked(conf, manifest)
       spark.catalog.refreshTable(s"`$db`.`$tbl`")

@@ -31,4 +31,15 @@ object Shims {
       c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Catalog tables a query's ANALYZED plan reads (views already
+    * expanded): the opt-in read-freshness probe checks each one's
+    * persisted epoch before executing. */
+  def catalogTables(df: DataFrame): Seq[(String, String)] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.catalogTable.isDefined =>
+        val id = lr.catalogTable.get.identifier
+        (id.database.getOrElse(""), id.table)
+    }.distinct
 }
