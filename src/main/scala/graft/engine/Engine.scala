@@ -1685,17 +1685,48 @@ class Engine(val spark: SparkSession) {
         // manifest over an emptied table, and an unserialized TRUNCATE
         // racing an INSERT could drop the insert's fresh files.
         withTableWriter(db, tbl) {
-          meta.get(db, tbl).flatMap(_.csvPath) match {
-            case Some(path) =>
-              rewriteCsvFile(db, tbl, path, spark.table(s"`$db`.`$tbl`").limit(0))
+          val tm = requireMeta(db, tbl)
+          val conf = hadoopConf
+          val swapDir =
+            if (tm.csvPath.isDefined || tm.xlsxPath.isDefined || tm.jdbc) None
+            else tableDirectory(db, tbl)
+              .filter(TableFs.isDirectoryStrict(conf, _))
+              .filter(d => atomicRenameOk(conf, d))
+          swapDir match {
+            case Some(tdir) =>
+              // Manifest-bracketed EMPTY swap (staged = none, empty_ok)
+              // instead of SQL TRUNCATE: Spark's TRUNCATE deletes the
+              // whole directory — `.graft_meta` included — so a crash
+              // before the re-persist below silently lost the
+              // constraint record (the lossy-fallback remount: every
+              // column nullable, UNIQUE/AUTO_INCREMENT forgotten).
+              // Retiring only the DATA files through the same swapIn
+              // as COMPACT/DML/ALTER keeps the control file out of the
+              // blast radius entirely, and the counter reset
+              // (reference alter_table/truncate.rs:8-40) rides the
+              // manifest's meta line — a crash at ANY point converges
+              // through the shared repair to (empty table, reset
+              // counter, full constraints).
+              val origs = dataFiles(db, tbl).map(_._1)
+              val stamped = tm.copy(autoCounter = 1L, counterDirty = false,
+                epoch = tm.epoch + 1)
+              swapIn(db, tbl, conf, tdir, Seq.empty, origs,
+                Some(MetaJson.render(stamped)))
+              meta.put(db, tbl, stamped)
+              spark.catalog.refreshTable(s"`$db`.`$tbl`")
             case None =>
-              spark.sql(s"TRUNCATE TABLE `$db`.`$tbl`")
-              meta.get(db, tbl).flatMap(_.xlsxPath).foreach(syncXlsx)
+              meta.get(db, tbl).flatMap(_.csvPath) match {
+                case Some(path) =>
+                  rewriteCsvFile(db, tbl, path, spark.table(s"`$db`.`$tbl`").limit(0))
+                case None =>
+                  spark.sql(s"TRUNCATE TABLE `$db`.`$tbl`")
+                  meta.get(db, tbl).flatMap(_.xlsxPath).foreach(syncXlsx)
+              }
+              // Reference resets the auto-increment counter on truncate
+              // (alter_table/truncate.rs:8-40).
+              meta.update(db, tbl)(_.copy(autoCounter = 1L))
+              persistMeta(db, tbl) // SQL TRUNCATE wiped the control file with the data
           }
-          // Reference resets the auto-increment counter on truncate
-          // (alter_table/truncate.rs:8-40).
-          meta.update(db, tbl)(_.copy(autoCounter = 1L))
-          persistMeta(db, tbl) // TRUNCATE TABLE wiped the control file with the data
         }
         Payload.TruncateTable
       case _ => throw new EngineException(s"cannot parse: ${sql.take(60)}")
@@ -1748,7 +1779,8 @@ class Engine(val spark: SparkSession) {
           meta.update(db, tbl)(m => m.copy(epoch = m.epoch + 1))
           TableFs.writeStringAtomic(hadoopConf,
             new org.apache.hadoop.fs.Path(tdir, Engine.TableMetaName),
-            MetaJson.render(meta.get(db, tbl).getOrElse(tm0)))
+            MetaJson.render(meta.get(db, tbl).getOrElse(tm0)),
+            Engine.metaReadable)
         }
     }
 
@@ -2227,7 +2259,8 @@ class Engine(val spark: SparkSession) {
       }
       origUris.foreach(deleteDataFile)
       metaJson.foreach(j => TableFs.writeStringAtomic(conf,
-        new org.apache.hadoop.fs.Path(tdir, Engine.TableMetaName), j))
+        new org.apache.hadoop.fs.Path(tdir, Engine.TableMetaName), j,
+        Engine.metaReadable))
       TableFs.deleteChecked(conf, manifest)
     } catch {
       case swapErr: Throwable =>
@@ -2375,7 +2408,8 @@ class Engine(val spark: SparkSession) {
             java.nio.charset.StandardCharsets.UTF_8)
         }.foreach { body =>
           TableFs.writeStringAtomic(conf,
-            new org.apache.hadoop.fs.Path(tdir, Engine.TableMetaName), body)
+            new org.apache.hadoop.fs.Path(tdir, Engine.TableMetaName), body,
+            Engine.metaReadable)
           val parsed = MetaJson.parse(body)
           meta.update(db, tbl)(cur => parsed.copy(
             csvPath = cur.csvPath, csvHasHeader = cur.csvHasHeader,
@@ -2952,4 +2986,11 @@ object Engine {
     * same constraints the first one declared (the reference persists
     * schema in the storage backend: src/database/base.rs:7-34). */
   val TableMetaName: String = ".graft_meta"
+
+  /** Content-validity probe for [[TableFs.writeStringAtomic]]'s
+    * pre-write repair: a control file that parses as a MetaJson record
+    * is a good copy; torn bytes are not. Lets the commit tell a torn
+    * target from a good one when the temp sibling survived. */
+  val metaReadable: String => Boolean =
+    s => try { MetaJson.parse(s); true } catch { case _: Exception => false }
 }

@@ -141,8 +141,37 @@ private[engine] object TableFs {
     * rename is atomic on the same allowlisted schemes the staged swap
     * already requires; on a copy+delete store the temp survives until
     * the copy completes, so the fallback still sees a full record. */
-  def writeStringAtomic(conf: Configuration, p: Path, body: String): Unit = {
+  /** `readable` lets the caller supply a content validity check (the
+    * engine passes a MetaJson parse) so the pre-write repair below can
+    * tell a torn target from a good one; the default accepts any
+    * readable bytes, which still closes the parked-sole-copy state. */
+  def writeStringAtomic(conf: Configuration, p: Path, body: String,
+      readable: String => Boolean = _ => true): Unit = {
     val tmp = tmpName(p)
+    // Finish a torn PREDECESSOR commit first: writeString below opens
+    // the temp with create(overwrite), truncating it the instant it
+    // opens — so any state in which the temp is the only COMPLETE
+    // copy of the record must be repaired before staging over it, or
+    // a second crash mid-write loses the record outright (the
+    // round-18 failure mode reborn one state deeper). Two such
+    // states:
+    //  - parked: the predecessor died between its delete and its
+    //    rename — no target, complete temp. Rename it home.
+    //  - torn target, good temp: a copy+delete "rename" died
+    //    mid-copy (or a pre-round-19 in-place write tore the
+    //    target). Only distinguishable by CONTENT (`readable`):
+    //    replace the torn target with the temp, then proceed.
+    // A torn temp under an intact target is the normal mid-write
+    // residue — overwriting it is the protocol working as designed.
+    def readsOk(path: Path): Boolean =
+      try readable(readString(conf, path)) catch { case _: Exception => false }
+    if (existsStrict(conf, tmp)) {
+      if (!existsStrict(conf, p)) rename(conf, tmp, p)
+      else if (!readsOk(p) && readsOk(tmp)) {
+        deleteChecked(conf, p)
+        rename(conf, tmp, p)
+      }
+    }
     writeString(conf, tmp, body)
     if (existsStrict(conf, p)) deleteChecked(conf, p)
     rename(conf, tmp, p)

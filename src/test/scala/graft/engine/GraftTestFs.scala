@@ -62,6 +62,17 @@ class FlakyGraftFs extends org.apache.hadoop.fs.RawLocalFileSystem {
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
     maybeFailCreate(f)
+    val armedTrunc = FlakyGraftFs.truncCreateOn
+    if (armedTrunc != null && f.getName.contains(armedTrunc)) {
+      // Crash MID-write, not before it: create(overwrite) truncates
+      // the existing file the instant it opens, so a death between
+      // open and the payload leaves a TORN (here: empty) file — the
+      // state that destroys a record whose only copy was parked at
+      // this name. One-shot like the other arms.
+      FlakyGraftFs.truncCreateOn = null
+      super.create(f, overwrite, bufferSize, replication, blockSize, progress).close()
+      throw new java.io.IOException(s"injected crash mid-write on $f")
+    }
     super.create(f, overwrite, bufferSize, replication, blockSize, progress)
   }
 }
@@ -70,6 +81,9 @@ object FlakyGraftFs {
   @volatile var failOnceOn: String = _
   /** Substring of the next path name whose create should fail, or null. */
   @volatile var failCreateOn: String = _
+  /** Substring of the next path name whose create should TRUNCATE the
+    * file and then fail (simulating a crash mid-write), or null. */
+  @volatile var truncCreateOn: String = _
 }
 
 /** A registered scheme deliberately NOT on the COMPACT atomic-rename

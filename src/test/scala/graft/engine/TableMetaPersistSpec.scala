@@ -249,6 +249,36 @@ class TableMetaPersistSpec extends AnyFunSuite {
     g.execute("DROP DATABASE metaw"); g2.execute("DROP DATABASE metaw_b")
   }
 
+  test("a parked temp (torn predecessor commit) survives a crash mid-way through the NEXT commit") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flakyfs.impl", classOf[FlakyGraftFs].getName)
+    val g = new Engine(spark)
+    val loc1 = java.nio.file.Files.createTempDirectory("metay1")
+    buildConstrained(g, "metay", s"flakyfs://$loc1")
+    // State: the predecessor commit died between its delete and its
+    // rename — the record's ONLY copy is parked at the temp name.
+    park(loc1.resolve("t"), Engine.TableMetaName, Engine.TableMetaName + ".tmp")
+    // ...and the NEXT commit dies mid temp-write (create truncates the
+    // temp the instant it opens, then the "process" dies). Without the
+    // roll-forward at the head of writeStringAtomic this truncates the
+    // parked sole copy in place: record lost, every future mount
+    // bricked — the round-18 failure mode reborn one state deeper.
+    FlakyGraftFs.truncCreateOn = Engine.TableMetaName + ".tmp"
+    try intercept[Exception](
+      g.execute("INSERT INTO metay.t (name, code) VALUES ('z', 99)"))
+    finally FlakyGraftFs.truncCreateOn = null
+    // The previous record must be back at the TARGET name (rolled
+    // forward before the new temp was opened): a fresh process mounts
+    // it and enforces every constraint.
+    val loc2 = java.nio.file.Files.createTempDirectory("metay2")
+    copyDir(loc1, loc2)
+    val g2 = new Engine(spark)
+    g2.execute("DROP DATABASE IF EXISTS metay_b")
+    g2.execute(s"CREATE DATABASE metay_b LOCATION '$loc2'")
+    assertConstraintsLive(g2, "metay_b")
+    g.execute("DROP DATABASE metay"); g2.execute("DROP DATABASE metay_b")
+  }
+
   test("a directory with NO control file still mounts (foreign parquet, lossy fallback)") {
     val g = new Engine(spark)
     val loc = java.nio.file.Files.createTempDirectory("metax")
