@@ -907,6 +907,10 @@ class Engine(val spark: SparkSession) {
       import org.apache.spark.sql.catalyst.plans.logical._
       val nodeOk = p match {
         case _: Project | _: Filter | _: Union | _: LocalRelation | _: Range => true
+        // coalesce(): narrow, order-preserving merge of a deterministic
+        // child — re-reads identically from lineage (the small-batch
+        // file-sizing node the write path inserts).
+        case r: Repartition if !r.shuffle => true
         case _ => p.getClass.getSimpleName == "LogicalRelation" ||
           p.getClass.getSimpleName == "DataSourceV2ScanRelation" ||
           p.getClass.getSimpleName == "OneRowRelation"
@@ -960,6 +964,30 @@ class Engine(val spark: SparkSession) {
     cols.foreach(c => if (tm.column(c).isEmpty)
       throw new EngineException(s"unknown column $c in $db.$tbl"))
     var out = positionedBatch(tm, cols, src)
+
+    // Small-batch file sizing (round 19, guide §6 "aim for output
+    // files in the 128 MB–1 GB range" / small-files anti-pattern): a
+    // batch whose row count is STATICALLY bounded tiny — plan.maxRows
+    // is defined for VALUES, range() and LIMIT sources — would
+    // otherwise write one file per source partition (a range(500)
+    // source carries defaultParallelism partitions → 32 sub-KB files
+    // on local[32], more on a cluster), and every later statement
+    // pays O(files): per-file footer parity reads, a distributed
+    // listing job once the directory passes the 32-path parallel-
+    // discovery threshold, multi-task scans of byte-sized files, and
+    // the auto-compact hook re-packing what never needed to fragment.
+    // coalesce(1) is a deterministic narrow, order-preserving node
+    // over a deterministic source, so the auto-increment dense fill
+    // and staged re-reads are unaffected (insertPolicy.stable accepts
+    // it). Scale-safe by construction: maxRows is a guaranteed static
+    // bound — a genuinely large INSERT…SELECT has none and keeps its
+    // partitioning. Threshold conf'd for deployments with wider rows.
+    val smallBatchRows =
+      try spark.conf.get("graft.insert.smallBatchRows", "10000").toLong
+      catch { case _: NumberFormatException => 10000L }
+    if (tm.csvPath.isEmpty && tm.xlsxPath.isEmpty &&
+        out.queryExecution.optimizedPlan.maxRows.exists(_ <= smallBatchRows))
+      out = out.coalesce(1)
 
     val pol = insertPolicy(tm, out)
     val autoCol = pol.autoCol

@@ -987,7 +987,23 @@ object Dedup {
     * same derivation or replay set-equality would be luck. */
   def spanContents(docs: DataFrame, maxBucket: Int): DataFrame = {
     val w = SpanWords
-    val units = docs
+    // One row per distinct span CONTENT in ONE exchange (round 19,
+    // guide §2.4 "remove shuffles outright"): the previous shape ran a
+    // per-instance (doc_id, fp, ws) DISTINCT — a full exchange of the
+    // span stream — before the groupBy(fp). collect_set(doc_id) +
+    // first(ws) subsume that dedup exactly (collect_set drops repeat
+    // holders; within an fp group every instance carries identical ws,
+    // the same determinism first(ws) always relied on), and both
+    // aggregates partial-combine map-side, so the one remaining
+    // exchange carries one (set-fragment, ws) per (map partition, fp)
+    // — what the second exchange already carried — and the
+    // per-instance exchange disappears. (Computing the signature
+    // map-side per INSTANCE instead was tried and measured: it pushes
+    // the 16-hash kernel onto every boilerplate span repeat — +28%
+    // executor CPU on this corpus — for a 9% shuffle saving; the
+    // per-distinct-content form below keeps the kernel off the
+    // over-cap contents entirely, exactly as before.)
+    val grouped = docs
       .select(col("doc_id"), explode(split(col("text"), "\\n\\s*\\n")).as("para"))
       .select(col("doc_id"),
         filter(split(trim(col("para")), "\\s+"), x => length(x) > lit(0)).as("pws"))
@@ -996,11 +1012,6 @@ object Dedup {
         sequence(lit(1), ceil(size(col("pws")) / lit(w.toDouble)).cast("int")),
         c => slice(col("pws"), (c - lit(1)) * w + lit(1), lit(w)))).as("ws"))
       .select(col("doc_id"), md5(concat_ws(" ", col("ws"))).as("fp"), col("ws"))
-      .distinct()
-    // One row per distinct span CONTENT (fp determines the word
-    // sequence): signature computed once per content, holder docs
-    // carried as a sorted set, over-cap boilerplate dropped upfront.
-    val grouped = units
       .groupBy(col("fp"))
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"),
         first(col("ws")).as("ws")) // ws identical within an fp group

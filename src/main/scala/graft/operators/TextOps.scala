@@ -887,7 +887,6 @@ object TextOps {
   def bigramPredictabilityOn(docs: DataFrame,
       broadcastCap: Long = BigramModelBroadcastCap,
       materialize: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bgs = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
       // Native WordBigrams kernel (short docs yield an empty array —
@@ -898,21 +897,34 @@ object TextOps {
       .select(col("doc_id"),
         explode(graft.functions.Pairs.wordBigrams(col("ws"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    // persist + finally-unpersist after the (doc-sized) result
-    // materializes below — no CacheManager entry outlives the call,
-    // and the count() here is the pass that fills the cache.
-    val countsBase = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-    val counts =
+    // Per-w1 argmax as ONE map-side-combined aggregation (round 19,
+    // guide §2.3 "aggregate before you shuffle" / §2.4): the previous
+    // shape ran row_number() over a w1-partitioned window — a full
+    // exchange of every (w1, w2, c) model row followed by a
+    // per-partition SORT, only to keep rank 1. min_by(w2,
+    // struct(-c, w2)) picks the identical row (largest c, ties to the
+    // lexicographically smallest w2 — exactly the window's ORDER BY
+    // c DESC, w2 ASC at rn=1) inside an aggregate: partial min_by
+    // runs upstream of the exchange, so the second shuffle carries
+    // one candidate per (partition, w1) instead of the whole model,
+    // and the sort disappears. The persist + count() broadcast probe
+    // now caches and counts THIS argmax table — the frame the
+    // broadcast decision is actually about (and the one the
+    // BigramModelBroadcastCap scaladoc always described) — instead
+    // of the strictly larger (w1, w2, c) counts model. The explicit
+    // broadcast hint stays: under the cap the corpus bigram stream
+    // must never be exchanged at all, which AQE's runtime SMJ→BHJ
+    // rewrite cannot promise (the probe side's shuffle write has
+    // already happened by the time AQE sees the build side's size).
+    val best0 = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .groupBy(col("w1"))
+      .agg(min_by(col("w2"), struct((-col("c")).as("nc"), col("w2"))).as("top_w2"))
+    val best =
       if (materialize)
-        countsBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else countsBase
+        best0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else best0
     try {
-    val modelRows = counts.count()
-    val best = counts
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("w1")).orderBy(col("c").desc, col("w2").asc)))
-      .filter(col("rn") === 1)
-      .select(col("w1"), col("w2").as("top_w2"))
+    val modelRows = best.count()
     val model = if (modelRows <= broadcastCap) broadcast(best) else best
     val result = bgs.join(model, "w1")
       .groupBy(col("doc_id"))
@@ -923,7 +935,7 @@ object TextOps {
         col("n_predicted").cast("long").as("n_predicted"),
         expr("(n_predicted * 1000000L) div n_bigrams").as("predict_ppm"))
     if (materialize) result.localCheckpoint(true) else result
-    } finally { if (materialize) counts.unpersist(false) }
+    } finally { if (materialize) best.unpersist(false) }
   }
 
   val bigramPredictabilityOracleSql: String =
