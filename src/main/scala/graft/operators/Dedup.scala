@@ -714,16 +714,27 @@ object Dedup {
 
   /** Source-parameterized form (SQL facade entry). */
   def canonicalSelectOn(docsIn: DataFrame, minEstSim: Double = 0.25): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val groups = dupGroupsOn(docsIn, minEstSim)
     val docs = docsIn.select(col("doc_id"), col("n_chars"))
-    val w = Window.partitionBy(col("canonical_id"))
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    // Per-group representative as ONE map-side-combined aggregation
+    // (round 19, guide §2.3 "aggregate before you shuffle"): the
+    // previous row_number() window exchanged every member row by
+    // canonical_id and SORTED each partition just to keep rank 1.
+    // min_by over struct(-n_chars, doc_id) elects the identical row
+    // (longest doc, ties to the smallest doc_id — the window's ORDER
+    // BY n_chars DESC, doc_id ASC at rk=1; n_chars is NOT NULL in the
+    // corpus schema, so the desc-nulls-last arm is vacuous), with
+    // partial aggregation upstream so the exchange carries one
+    // candidate per (partition, group) instead of every member.
+    // group_size is constant within a group — first() is exact.
     docs.join(broadcast(groups), "doc_id")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("canonical_id"), col("doc_id").as("keep_id"),
-        col("group_size"), col("n_chars").as("keep_n_chars"))
+      .groupBy(col("canonical_id"))
+      .agg(
+        min_by(struct(col("doc_id"), col("n_chars")),
+          struct((-col("n_chars")).as("neg"), col("doc_id"))).as("keep"),
+        first(col("group_size")).as("group_size"))
+      .select(col("canonical_id"), col("keep.doc_id").as("keep_id"),
+        col("group_size"), col("keep.n_chars").as("keep_n_chars"))
   }
 
   // ------------------------------------------------------------------
