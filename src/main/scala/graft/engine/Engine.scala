@@ -981,10 +981,13 @@ class Engine(val spark: SparkSession) {
     // and staged re-reads are unaffected (insertPolicy.stable accepts
     // it). Scale-safe by construction: maxRows is a guaranteed static
     // bound — a genuinely large INSERT…SELECT has none and keeps its
-    // partitioning. Threshold conf'd for deployments with wider rows.
+    // partitioning. Threshold conf'd for deployments with wider rows;
+    // the 2 000-row default stays an order of magnitude under the
+    // bulk-INSERT parallelism contract EngineSpec pins (a 10 k-row
+    // 8-partition batch must keep writing in parallel).
     val smallBatchRows =
-      try spark.conf.get("graft.insert.smallBatchRows", "10000").toLong
-      catch { case _: NumberFormatException => 10000L }
+      try spark.conf.get("graft.insert.smallBatchRows", "2000").toLong
+      catch { case _: NumberFormatException => 2000L }
     if (tm.csvPath.isEmpty && tm.xlsxPath.isEmpty &&
         out.queryExecution.optimizedPlan.maxRows.exists(_ <= smallBatchRows))
       out = out.coalesce(1)
