@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout/stderr through UNDECORATED: sbt's default
+// LoggedOutput prefixes every forked line with [info]/[error], which is
+// exactly what kept the bench's one-line JSON contract from ever
+// round-tripping to the round driver (parsed: null in every BENCH
+// artifact since r16). StdoutOutput inherits the console instead.
+// Timing/methodology untouched; Bench also writes bench_result.json.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

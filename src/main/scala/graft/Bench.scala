@@ -229,9 +229,30 @@ object Bench {
     // null. Flush stderr before the stdout line to pin the order.
     System.err.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$fj,"calibration":$cal,"sf":"$sfDir"}""")
     System.err.flush()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$fj,"calibration":$cal,"sf":"$sfDir"}""")
+    val shortLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$fj,"calibration":$cal,"sf":"$sfDir"}"""
+    println(shortLine)
     System.out.flush()
+    // Round-19 verdict item 1: through `sbt runMain` the stdout line above
+    // arrives "[info]"-prefixed and is followed by sbt's "[success]" footer,
+    // and the driver's parser has returned `parsed: null` on every BENCH
+    // artifact since r16. Two additions (existing lines kept verbatim for
+    // compatibility):
+    //  1. write the canonical one-line JSON to a well-known FILE so the
+    //     driver can read it without scraping decorated process output;
+    //  2. after spark.stop(), re-emit it as the FINAL stderr line — sbt
+    //     passes stderr through unprefixed, so this is the last clean
+    //     JSON line in the combined tail.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (shortLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARNING: could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
+    System.err.println(shortLine)
+    System.err.flush()
     // Exit precedence (round-16 advice): a query FAILURE (exit 1) is
     // the stronger signal and must never be masked by the host gate —
     // exit 4 fires only when the battery itself was clean.

@@ -907,10 +907,15 @@ class Engine(val spark: SparkSession) {
       import org.apache.spark.sql.catalyst.plans.logical._
       val nodeOk = p match {
         case _: Project | _: Filter | _: Union | _: LocalRelation | _: Range => true
-        // coalesce(): narrow, order-preserving merge of a deterministic
-        // child — re-reads identically from lineage (the small-batch
-        // file-sizing node the write path inserts).
-        case r: Repartition if !r.shuffle => true
+        // coalesce(1) ONLY — the small-batch file-sizing node the write
+        // path itself inserts: a single-partition merge of a
+        // deterministic child re-reads identically from lineage (all
+        // rows, one partition, child order). A user-supplied
+        // coalesce(n>1) does NOT qualify (round-19 advice): its
+        // partition grouping is locality-based
+        // (DefaultPartitionCoalescer), an implementation detail, not a
+        // narrow guarantee — such a batch stages like any other.
+        case r: Repartition if !r.shuffle && r.numPartitions == 1 => true
         case _ => p.getClass.getSimpleName == "LogicalRelation" ||
           p.getClass.getSimpleName == "DataSourceV2ScanRelation" ||
           p.getClass.getSimpleName == "OneRowRelation"

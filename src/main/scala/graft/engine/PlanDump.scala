@@ -38,7 +38,17 @@ object PlanDump {
           graft.operators.Dedup.MaxBandBucket)),
       "t17_bigram_internal" -> ((s: SS, d: String) =>
         graft.operators.TextOps.bigramPredictabilityOn(
-          graft.Tables.t(s, d, "documents"), materialize = false)))
+          graft.Tables.t(s, d, "documents"), materialize = false)),
+      // d13's full near-dup pipeline, declaratively (cache + eager
+      // checkpoints off): the round-20 holder-attach evidence frame.
+      "d13_near_pipeline" -> ((s: SS, d: String) =>
+        graft.operators.Dedup.spanMinhashDupsOn(
+          graft.Tables.t(s, d, "documents")
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("text")),
+          graft.operators.Dedup.NumHashes / 2,
+          graft.operators.Dedup.MaxBandBucket,
+          materialize = false)))
     val battery = graft.SparkEntry.queries ++ internal
     battery.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.contains(n) }

@@ -79,8 +79,13 @@ object ProfileQueryMetrics {
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         if (traceJobs) {
-          val jid = stageJob.get(t.stageId)
-          jobTasks.computeIfAbsent(jid, _ => new AtomicLong).incrementAndGet()
+          // getOrDefault, not get: a CHM[Int,Int] get on an unregistered
+          // stage (job started before group registration) returns null and
+          // null-unboxes to an NPE, which would also skip the Acc
+          // accumulation below (round-19 advice). Job ids start at 0.
+          val jid = stageJob.getOrDefault(t.stageId, -1)
+          if (jid >= 0)
+            jobTasks.computeIfAbsent(jid, _ => new AtomicLong).incrementAndGet()
         }
         val g = stageGroup.get(t.stageId)
         val m = t.taskMetrics

@@ -262,6 +262,14 @@ object Dedup {
   val SpanCacheLevelKey = "graft.dedup.spanCacheLevel"
   val SpanCacheLevelDefault = "DISK_ONLY"
 
+  /** Storage level for d14's gram cache (two consumers: census +
+    * posting probe; see exactSubstringOn) — the same knob as
+    * [[SpanCacheLevelKey]], mirrored for the other corpus-sized
+    * dedup cache (round-19 verdict item 7, config plumbing only:
+    * default behavior unchanged). */
+  val GramCacheLevelKey = "graft.dedup.gramCacheLevel"
+  val GramCacheLevelDefault = "DISK_ONLY"
+
   /** MinHash + LSH near-dup: band signatures (bands of rows=2), bucket
     * by band value, emit candidate pairs per bucket, estimate
     * similarity as the fraction of matching minhashes. The banding
@@ -386,8 +394,9 @@ object Dedup {
     *
     * Scale shape: each round is ONE shuffle join (edges × labels) +
     * ONE groupBy-min, both map-side combined; labels only ever
-    * decrease, so `sum(label)` is strictly monotone and one tiny agg
-    * per round detects the fixpoint exactly. Rounds = component
+    * decrease, so `sum(label)` is strictly monotone and detects the
+    * fixpoint exactly — computed as an observe() metric riding the
+    * checkpoint job itself, ONE driver action per round. Rounds = component
     * diameter (see [[MaxCcIters]]). Every round's result is
     * localCheckpoint'ed so the plan stays flat instead of growing a
     * join-per-iteration lineage. At 1000-executor scale this is the
@@ -416,18 +425,38 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
+    // Convergence probe FUSED into the checkpoint action (round 20,
+    // guide §5 driver / round-19 verdict item 4): the loop used to pay
+    // TWO driver actions per round — the eager localCheckpoint, then a
+    // separate sum(lbl) job over the checkpointed blocks — and at any
+    // scale the per-round barrier latency is driver-bound. observe()
+    // plants a CollectMetrics node whose sum is aggregated by the SAME
+    // job that materializes the checkpoint (Dataset.checkpoint runs
+    // through withAction, so the observation's listener fires), going
+    // 2 actions/round → 1. Observed metrics are exactly-once under
+    // task retry (SPARK-29345 — only successful tasks contribute),
+    // unlike a raw accumulator read. The EAGER flat-lineage checkpoint
+    // itself is load-bearing and stays: the lazy-persist variant was
+    // measured fatal in round 19 (51 → 672 tasks — nested-lineage
+    // rounds stopped hitting the cache). labels is non-empty here
+    // (pairs.isEmpty returned above), so the sum is never NULL.
+    def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, sum(col("lbl")).as("s")).localCheckpoint(true)
+      (ck, obs.get("s").asInstanceOf[Long])
+    }
+    var (labels, prevSum) = checkpointWithSum(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
       val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lbl"))
-      labels = labels.unionAll(msgs)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      val nextSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      val (next, nextSum) = checkpointWithSum(
+        labels.unionAll(msgs)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl")))
+      labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       iters += 1
@@ -712,10 +741,24 @@ object Dedup {
   def canonicalSelect(spark: SparkSession, dir: String, minEstSim: Double = 0.25): DataFrame =
     canonicalSelectOn(t(spark, dir, "documents"), minEstSim)
 
-  /** Source-parameterized form (SQL facade entry). */
+  /** Source-parameterized form (SQL facade entry).
+    *
+    * Null contract (round-19 advice): the election treats a NULL
+    * n_chars as shortest (it ranks LAST, after any non-negative
+    * length — the old window's desc_nulls_last behavior), via the
+    * coalesce(-1) below. Corpus n_chars is NOT NULL, so the declared
+    * d9 query is untouched; the guard exists for caller-supplied
+    * frames through the facade. */
   def canonicalSelectOn(docsIn: DataFrame, minEstSim: Double = 0.25): DataFrame = {
     val groups = dupGroupsOn(docsIn, minEstSim)
+    // coalesce BEFORE the aggregation: struct ordering sorts a null
+    // field FIRST, so a bare min_by over -n_chars would elect a
+    // null-length row over every real one — the opposite of the
+    // window ordering this aggregate replaced. -1 restores nulls-last
+    // against the schema's length domain (n_chars >= 0); keep_n_chars
+    // still reports the row's ORIGINAL n_chars.
     val docs = docsIn.select(col("doc_id"), col("n_chars"))
+      .withColumn("rank_chars", coalesce(col("n_chars"), lit(-1L)))
     // Per-group representative as ONE map-side-combined aggregation
     // (round 19, guide §2.3 "aggregate before you shuffle"): the
     // previous row_number() window exchanged every member row by
@@ -731,7 +774,7 @@ object Dedup {
       .groupBy(col("canonical_id"))
       .agg(
         min_by(struct(col("doc_id"), col("n_chars")),
-          struct((-col("n_chars")).as("neg"), col("doc_id"))).as("keep"),
+          struct((-col("rank_chars")).as("neg"), col("doc_id"))).as("keep"),
         first(col("group_size")).as("group_size"))
       .select(col("canonical_id"), col("keep.doc_id").as("keep_id"),
         col("group_size"), col("keep.n_chars").as("keep_n_chars"))
@@ -1047,8 +1090,13 @@ object Dedup {
       .select(col("fp"), col("docs"), sig.as("sig"))
   }
 
+  /** `materialize = false` (plan dumps / tests only) skips the cache
+    * and every eager checkpoint so the declarative pipeline can be
+    * explained — a checkpointed result explains as a LogicalRDD stub
+    * (same seam as t17's bigramPredictability). */
   def spanMinhashDupsOn(docs: DataFrame, minEq: Int,
-                                           maxBucket: Int): DataFrame = {
+                        maxBucket: Int,
+                        materialize: Boolean = true): DataFrame = {
     val nBands = NumHashes / 2
     // `contents` fans out to four consumers (exact tier, band census,
     // band probe, near-tier holder expansion): cache it so the
@@ -1072,7 +1120,8 @@ object Dedup {
     // against the execution memory its blocks borrow mid-query.
     val lvl = org.apache.spark.storage.StorageLevel.fromString(
       docs.sparkSession.conf.get(SpanCacheLevelKey, SpanCacheLevelDefault))
-    val contents = spanContents(docs, maxBucket).persist(lvl)
+    val contents0 = spanContents(docs, maxBucket)
+    val contents = if (materialize) contents0.persist(lvl) else contents0
     try {
 
     // EXACT tier: identical spans pair straight off the holder set
@@ -1115,9 +1164,32 @@ object Dedup {
       .filter(col("p.n_eq") >= minEq)
       .select(col("p.fp_a").as("fp_a"), col("p.fp_b").as("fp_b"))
       .distinct() // a content pair matching in k bands appears k times
-    val nearPairs = contentPairs
-      .join(contents.select(col("fp").as("fp_a"), col("docs").as("docs_a")), "fp_a")
-      .join(contents.select(col("fp").as("fp_b"), col("docs").as("docs_b")), "fp_b")
+    // Holder attach (round 20, guide §2.3/§5 — round-19 verdict item
+    // 3): the old shape joined contentPairs against the FULL contents
+    // cache twice (once per pair side) — two corpus-scale cache passes
+    // just to fetch the docs arrays of the handful of fps that survive
+    // banding + minhash verification. Instead: materialize the
+    // surviving pairs (result-sized — they feed two consumers, so
+    // without the checkpoint the whole band pipeline would run twice),
+    // pull the docs arrays of exactly the surviving fps in ONE
+    // broadcast-probed semi-join pass over the cache, and attach both
+    // sides from that result-sized lookup via broadcast joins. One
+    // full cache pass replaces two, the contents frame is never
+    // exchanged (the round-19 measured rejection this design routes
+    // around), and every broadcast is result-bound — nothing
+    // corpus-scale ships to executors at any SF.
+    val survivors =
+      if (materialize) contentPairs.localCheckpoint(true) else contentPairs
+    val liveFps = survivors.select(col("fp_a").as("fp"))
+      .unionAll(survivors.select(col("fp_b").as("fp")))
+      .distinct()
+    val pairDocs0 = contents.select(col("fp"), col("docs"))
+      .join(broadcast(liveFps), Seq("fp"), "leftsemi")
+    // result-sized; both attach joins broadcast it
+    val pairDocs = if (materialize) pairDocs0.localCheckpoint(true) else pairDocs0
+    val nearPairs = survivors
+      .join(broadcast(pairDocs.select(col("fp").as("fp_a"), col("docs").as("docs_a"))), "fp_a")
+      .join(broadcast(pairDocs.select(col("fp").as("fp_b"), col("docs").as("docs_b"))), "fp_b")
       .select(col("fp_a"), col("fp_b"),
         // Native CrossPairsNe kernel: the interpreted
         // filter(flatten(transform×transform)) cross it replaces
@@ -1131,11 +1203,11 @@ object Dedup {
     // Eager checkpoint materializes the pair counts (result-sized,
     // not corpus-sized) while the cache is live; the finally can then
     // release `contents` before the frame is handed to the caller.
-    exactPairs.unionAll(nearPairs)
+    val result = exactPairs.unionAll(nearPairs)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_near_spans"))
-      .localCheckpoint(true)
-    } finally contents.unpersist(false)
+    if (materialize) result.localCheckpoint(true) else result
+    } finally { if (materialize) contents.unpersist(false) }
   }
 
   def spanMinhashDupsOracleSql(minEq: Int, maxBucket: Int): String = {
@@ -1283,8 +1355,10 @@ object Dedup {
       // persist (kept for InMemoryRelation stats — a checkpointed
       // LogicalRDD is stats-less and demotes downstream join plans)
       // with a finally-unpersist after the result materializes below,
-      // so no CacheManager entry outlives the call.
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // so no CacheManager entry outlives the call. Tier conf'd like
+      // d13's span cache ([[GramCacheLevelKey]]), DISK_ONLY default.
+      .persist(org.apache.spark.storage.StorageLevel.fromString(
+        docs.sparkSession.conf.get(GramCacheLevelKey, GramCacheLevelDefault)))
     try {
     // Census first (d13's lesson): posting lists are only collected
     // for grams that are both shared across ≥2 docs (min≠max doc is a

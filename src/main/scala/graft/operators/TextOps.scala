@@ -851,17 +851,15 @@ object TextOps {
     * Zipf-sparse in practice), the per-w1 argmax window runs over
     * that vocab-sized table only (never the corpus), and the argmax
     * table broadcasts back onto the bigram stream — the corpus
-    * never shuffles on words. The broadcast is SIZE-GATED: the
-    * bigram-type count (a free byproduct of materializing the model
-    * cache, and an upper bound on the argmax table's rows) decides
-    * between broadcasting the model and a shuffle equi-join on w1.
-    * At a 100 TB vocab the fallback join is the only semantics-
-    * preserving choice — every corpus w1 has an argmax row, so a
-    * Zipf-head truncation would drop bigrams from the output — and
-    * AQE's skew-join split handles the hot stop-word keys that
-    * shuffle concentrates. The model (vocab-bounded, Zipf-sparse)
-    * is cached MEMORY_AND_DISK so the gating count and the join
-    * build read one materialization, not two corpus aggregates.
+    * never shuffles on words. The broadcast is SIZE-GATED on the
+    * ARGMAX TABLE'S OWN row count (one row per distinct w1 — the
+    * frame actually shipped): it is cached MEMORY_AND_DISK and
+    * counted once, and that count decides between broadcasting it
+    * and a shuffle equi-join on w1. At a 100 TB vocab the fallback
+    * join is the only semantics-preserving choice — every corpus w1
+    * has an argmax row, so a Zipf-head truncation would drop bigrams
+    * from the output — and AQE's skew-join split handles the hot
+    * stop-word keys that shuffle concentrates.
     * Ties break lexicographically on w2 in BOTH engines (binary
     * collation on the ASCII corpus). Output is integral (ppm) — no
     * float hash hazard. Docs with fewer than two tokens have no
