@@ -48,6 +48,16 @@ object PlanDump {
               org.apache.spark.sql.functions.col("text")),
           graft.operators.Dedup.NumHashes / 2,
           graft.operators.Dedup.MaxBandBucket,
+          materialize = false)),
+      // d14 declaratively (cache + eager checkpoint off) — the
+      // round-20 scan fan-out evidence frame.
+      "d14_internal" -> ((s: SS, d: String) =>
+        graft.operators.Dedup.exactSubstringOn(
+          graft.Tables.t(s, d, "documents")
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("text")),
+          graft.operators.Dedup.SpanWords,
+          graft.operators.Dedup.ExactSubstrPostingCap,
           materialize = false)))
     val battery = graft.SparkEntry.queries ++ internal
     battery.toSeq.sortBy(_._1)

@@ -49,6 +49,7 @@ object ProfileQueryMetrics {
     val traceJobs = sys.env.contains("GRAFT_QM_JOBS")
     val jobStart = new ConcurrentHashMap[Int, (String, Long, String)]()
     val jobTasks = new ConcurrentHashMap[Int, AtomicLong]()
+    val jobInput = new ConcurrentHashMap[Int, AtomicLong]()
     val stageJob = new ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
@@ -69,8 +70,9 @@ object ProfileQueryMetrics {
         if (st != null) {
           val dt = (System.nanoTime() - st._2) / 1e9
           val nt = Option(jobTasks.remove(j.jobId)).map(_.get).getOrElse(0L)
+          val in = Option(jobInput.remove(j.jobId)).map(_.get).getOrElse(0L) / 1048576.0
           System.err.println(
-            f"[qmjob] ${st._1}%-24s job=${j.jobId}%3d ${dt}%7.3f s tasks=$nt%4d ${st._3.take(90)}")
+            f"[qmjob] ${st._1}%-24s job=${j.jobId}%3d ${dt}%7.3f s tasks=$nt%4d in=$in%6.1fMB ${st._3.take(90)}")
         }
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
@@ -84,8 +86,13 @@ object ProfileQueryMetrics {
           // null-unboxes to an NPE, which would also skip the Acc
           // accumulation below (round-19 advice). Job ids start at 0.
           val jid = stageJob.getOrDefault(t.stageId, -1)
-          if (jid >= 0)
+          if (jid >= 0) {
             jobTasks.computeIfAbsent(jid, _ => new AtomicLong).incrementAndGet()
+            val tm = t.taskMetrics
+            if (tm != null)
+              jobInput.computeIfAbsent(jid, _ => new AtomicLong)
+                .addAndGet(tm.inputMetrics.bytesRead)
+          }
         }
         val g = stageGroup.get(t.stageId)
         val m = t.taskMetrics

@@ -34,12 +34,39 @@ object Dedup {
   def portableHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Conditional scan fan-out (round 20, guide §2.5 "input skew: one
+    * huge unsplittable file … repartition immediately after the
+    * read"): a single-row-group parquet (this testdata's layout; any
+    * unsplittable or few-file input generally) gives the scan 1 task,
+    * so the heavy per-document kernel work downstream (span/gram
+    * explode, digests, signatures, map-side partial aggregation) runs
+    * on ONE core regardless of cluster size — measured as a 4.3 s
+    * single-task job dominating d13's profile at sf0.1×32. When the
+    * frame's scan parallelism is under half the cluster's, ONE hash
+    * exchange on doc_id fans the corpus out before the kernels.
+    * doc_id hashing is deterministic, so task retries re-produce the
+    * same placement (round-robin repartition would also pay its
+    * sortBeforeRepartition pass — guide §2.5/SPARK-38388); every
+    * downstream aggregate here is order-insensitive (collect_set /
+    * sorted collect_list / min / count), so results are unchanged.
+    * Scale behavior lives in the CONDITION, not a tuned constant: a
+    * real many-file corpus scans with parts*2 > target and this is a
+    * no-op. Streaming frames pass through untouched (toRdd is illegal
+    * on them; micro-batches arrive pre-partitioned). */
+  private[graft] def fanOutScan(docs: DataFrame): DataFrame =
+    if (docs.isStreaming) docs
+    else {
+      val target = docs.sparkSession.sparkContext.defaultParallelism
+      val parts = docs.queryExecution.toRdd.getNumPartitions
+      if (parts * 2 <= target) docs.repartition(target, col("doc_id")) else docs
+    }
+
   /** Word 3-gram shingles, distinct, as (doc_id, shingle) pairs. */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOn(t(spark, dir, "documents"))
 
   private def shinglesOn(docs: DataFrame): DataFrame =
-    docs
+    fanOutScan(docs)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
       // Native WordGrams kernel: the `array_distinct(transform(
@@ -169,7 +196,7 @@ object Dedup {
     // and keeps a rolling window minimum. Values are bit-identical
     // (same 60-bit md5 prefix, same window layout, same
     // first-occurrence distinct) — pinned by TextHashSpec.
-    docs
+    fanOutScan(docs)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= WinnowK)
       .select(col("doc_id"),
@@ -972,7 +999,7 @@ object Dedup {
     * one definition, two execution modes). */
   def spanFps(docs: DataFrame): DataFrame = {
     val w = SpanWords
-    docs
+    fanOutScan(docs) // streaming-safe: the twin's frame passes through
       .select(col("doc_id"), explode(split(col("text"), "\\n\\s*\\n")).as("para"))
       .select(col("doc_id"),
         filter(split(trim(col("para")), "\\s+"), x => length(x) > lit(0)).as("ws"))
@@ -1057,7 +1084,7 @@ object Dedup {
     // executor CPU on this corpus — for a 9% shuffle saving; the
     // per-distinct-content form below keeps the kernel off the
     // over-cap contents entirely, exactly as before.)
-    val grouped = docs
+    val grouped = fanOutScan(docs)
       .select(col("doc_id"), explode(split(col("text"), "\\n\\s*\\n")).as("para"))
       .select(col("doc_id"),
         filter(split(trim(col("para")), "\\s+"), x => length(x) > lit(0)).as("pws"))
@@ -1332,9 +1359,13 @@ object Dedup {
       t(spark, dir, "documents").select(col("doc_id"), col("text")),
       minTokens, postingCap)
 
+  /** `materialize = false` (plan dumps / tests only): skip the gram
+    * cache and the eager result checkpoint so the declarative plan
+    * can be explained (same seam as d13/t17). */
   private[graft] def exactSubstringOn(docs: DataFrame, w: Int,
-                                      postingCap: Int): DataFrame = {
-    val grams = docs
+                                      postingCap: Int,
+                                      materialize: Boolean = true): DataFrame = {
+    val grams1 = fanOutScan(docs)
       .select(col("doc_id"),
         filter(split(trim(col("text")), "\\s+"), x => length(x) > lit(0)).as("ws"))
       .filter(size(col("ws")) >= w)
@@ -1357,8 +1388,10 @@ object Dedup {
       // with a finally-unpersist after the result materializes below,
       // so no CacheManager entry outlives the call. Tier conf'd like
       // d13's span cache ([[GramCacheLevelKey]]), DISK_ONLY default.
-      .persist(org.apache.spark.storage.StorageLevel.fromString(
+    val grams = if (materialize)
+      grams1.persist(org.apache.spark.storage.StorageLevel.fromString(
         docs.sparkSession.conf.get(GramCacheLevelKey, GramCacheLevelDefault)))
+    else grams1
     try {
     // Census first (d13's lesson): posting lists are only collected
     // for grams that are both shared across ≥2 docs (min≠max doc is a
@@ -1387,12 +1420,12 @@ object Dedup {
       .agg(count(lit(1)).as("run_grams"))
     // Eager checkpoint of the (pair-sized) result lets the finally
     // release the gram cache before the frame reaches the caller.
-    runs.groupBy(col("id_a"), col("id_b"))
+    val res = runs.groupBy(col("id_a"), col("id_b"))
       .agg((max(col("run_grams")) + lit(w - 1)).cast("long").as("max_overlap_tokens"),
         count(lit(1)).as("n_runs"),
         sum(col("run_grams")).cast("long").as("n_shared_grams"))
-      .localCheckpoint(true)
-    } finally grams.unpersist(false)
+    if (materialize) res.localCheckpoint(true) else res
+    } finally { if (materialize) grams.unpersist(false) }
   }
 
   def exactSubstringOracleSql(w: Int, postingCap: Int): String =
