@@ -26,6 +26,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Adopted round 20 after an interleaved sf1 A/B through
+      // SPARK_GRAFT_EXTRA_CONF (guide §3.1/§9 "allow shuffled hash
+      // join when it fits"): q30's two SMJs become ShuffledHashJoins
+      // (two Sort nodes gone, 0.85× wall), total 0.95×, no query
+      // regressed beyond noise; zstd shuffle codec was A/B'd the same
+      // way and REJECTED (flat total, q6 1.20×/q33 1.11× regressions).
+      // Scale-safe: the planner only picks SHJ when the per-partition
+      // build side fits its size conditions. extraConf below still
+      // overrides (applied later).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
     extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
