@@ -59,7 +59,13 @@ object SparkEntry {
     "q27_case_cast" -> (C.q27CaseCast _),
     "q28_cube" -> (C.q28Cube _),
     "q29_point_find" -> (C.q29PointFind _),
-    "q30_percentiles" -> viaFacade("EXECUTE OPERATOR percentiles(source = 'lineitem')"),
+    // broadcast_groups: l_returnflag is a ≤3-value flag — problem
+    // knowledge the planner lacks (guide §8); the hint statically
+    // removes the ranked value stream's join exchange (AQE's runtime
+    // SMJ→BHJ rewrite cannot un-write that side's shuffle files).
+    // Result rows identical either way (oracle-hashed).
+    "q30_percentiles" -> viaFacade(
+      "EXECUTE OPERATOR percentiles(source = 'lineitem', broadcast_groups = 'true')"),
     "q32_grouping_sets" -> (C.q32GroupingSets _),
     "q33_skew_join" -> (Skew.q33SkewJoin _),
     "q34_skew_distinct" -> (Skew.q34SkewDistinct _),

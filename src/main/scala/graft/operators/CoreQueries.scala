@@ -562,12 +562,25 @@ object CoreQueries {
     * single-pass 100 TB default; this is the exact tier done
     * scalably. */
   def q30Percentiles(spark: SparkSession, dir: String): DataFrame =
+    // broadcastWanted: the DECLARED query's group column is
+    // l_returnflag — a ≤3-value flag, problem knowledge the planner
+    // lacks (guide §8) — so the wanted-rank table (6 rows/group) is
+    // statically tiny and the hint removes the ranked value stream's
+    // join exchange outright (round 20; AQE's runtime SMJ→BHJ rewrite
+    // cannot un-write the corpus side's shuffle files, the same
+    // limitation t17's gate documents).
     percentilesOn(t(spark, dir, "lineitem")
-      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v")))
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v")),
+      broadcastWanted = true)
 
   /** Source-parameterized form of [[q30Percentiles]] over (g, v)
-    * columns (also drives the NULL-group/edge-case spec). */
-  def percentilesOn(base: DataFrame): DataFrame = {
+    * columns (also drives the NULL-group/edge-case spec).
+    * `broadcastWanted = false` here: a facade caller's group column
+    * has unknown cardinality, and the wanted table is 6 rows PER
+    * GROUP — the AQE size gate (broadcast at sane group counts,
+    * shuffle fallback over-limit) is the safe default; pass true only
+    * when the group domain is known tiny. */
+  def percentilesOn(base: DataFrame, broadcastWanted: Boolean = false): DataFrame = {
     // min/max/group presence come from the UNFILTERED rows, so a
     // group whose values are all NULL still appears (with NULL
     // percentiles) — matching the built-in aggregate and the oracle.
@@ -602,10 +615,13 @@ object CoreQueries {
       .select(col("g").as("wg"), explode(array(wantedStructs: _*)).as("t"))
       .select(col("wg"), col("t.tag").as("tag"),
         col("t.rank").as("trank"), col("t.w").as("w"))
-    // no broadcast hint: AQE broadcasts the 6-rows-per-group table at
-    // sane group counts (plan-pinned) and falls back to a shuffle
-    // join if a pathological group column makes it over-limit
-    val hits = r.join(wanted,
+    // Broadcast hint only under the caller's known-tiny-group promise
+    // (see broadcastWanted above); otherwise AQE broadcasts the
+    // 6-rows-per-group table at sane group counts (plan-pinned) and
+    // falls back to a shuffle join if a pathological group column
+    // makes it over-limit.
+    val wantedSide = if (broadcastWanted) broadcast(wanted) else wanted
+    val hits = r.join(wantedSide,
       col("g") === col("wg") && col("rn") === col("trank"))
     def pct(tag: String, name: String) =
       sum(when(col("tag") === tag, col("v") * col("w"))
